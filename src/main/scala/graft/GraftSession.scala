@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session bootstrap for the graft engine.
+  *
+  * Mirrors the reference's performance-relevant session defaults
+  * (Apache Impala fork — see SURVEY.md §4/§6,
+  * `common/thrift/ImpalaInternalService.thrift`) with Spark-native
+  * equivalents: AQE for runtime re-planning, CBO + join reorder for the
+  * planner's greedy join ordering (`fe/.../planner/SingleNodePlanner.java:495`),
+  * runtime bloom filters for Impala's runtime-filter propagation
+  * (`fe/.../planner/RuntimeFilterGenerator.java`).
+  */
+object GraftSession {
+
+  /** Driver fixture tables (TESTDATA.md). */
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  private val tuned = java.util.Collections.newSetFromMap(
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Idempotently apply parity + scale settings to an existing session.
+    * Runtime-settable confs only, so it works on a session we didn't build.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    if (tuned.add(spark)) {
+      val c = spark.conf
+      c.set("spark.sql.session.timeZone", "UTC")
+      // AQE: runtime shuffle-partition coalescing, skew-join splitting,
+      // dynamic broadcast conversion — the Spark analog of Impala's
+      // cost-model distribution decisions (DistributedPlanner.java:479-575).
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // CBO + join reorder ≈ Impala's cardinality-based join ordering.
+      c.set("spark.sql.cbo.enabled", "true")
+      c.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // Runtime bloom filters ≈ Impala's BLOOM runtime filters pushed from
+      // hash-join builds to scans (RuntimeFilterGenerator.java).
+      c.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // Partial-agg pushdown into parquet footers (count/min/max only).
+      c.set("spark.sql.parquet.aggregatePushdown", "true")
+      functions.GraftFunctions.registerAll(spark)
+    }
+    spark
+  }
+
+  /** Load one fixture table from an sf directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    tune(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Register every fixture table as a temp view (for SQL-text queries). */
+  def registerAll(spark: SparkSession, dir: String): Unit = {
+    tune(spark)
+    tableNames.foreach { n =>
+      table(spark, dir, n).createOrReplaceTempView(n)
+    }
+  }
+}

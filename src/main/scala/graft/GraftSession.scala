@@ -44,15 +44,31 @@ object GraftSession {
       c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
       // Partial-agg pushdown into parquet footers (count/min/max only).
       c.set("spark.sql.parquet.aggregatePushdown", "true")
+      // events.parquet carries TIMESTAMP(NANOS) which the parquet reader
+      // rejects; read as long and convert in table() below.
+      c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       functions.GraftFunctions.registerAll(spark)
     }
     spark
   }
 
-  /** Load one fixture table from an sf directory. */
+  /** Load one fixture table from an sf directory.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) in the file; Spark has no nanosecond
+    * timestamp, so it arrives as a nanos long (legacy conf above) and is
+    * floor-truncated to microseconds here — the same ns→µs truncation
+    * DuckDB applies, and the precision loss the reference accepts going
+    * from its 96-bit nanosecond TIMESTAMP (`be/src/runtime/
+    * timestamp-value.h:48-54`) to Spark (SURVEY.md §7.4 risk 2).
+    */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
   }
 
   /** Register every fixture table as a temp view (for SQL-text queries). */

@@ -13,6 +13,9 @@ object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
     CoreQueries,
+    JoinQueries,
+    SetOpQueries,
+    AggQueries,
   )
 
   lazy val all: Seq[Q.Def] = {

@@ -16,6 +16,8 @@ object SparkEntry {
     JoinQueries,
     SetOpQueries,
     AggQueries,
+    WindowQueries,
+    SubqueryQueries,
   )
 
   lazy val all: Seq[Q.Def] = {

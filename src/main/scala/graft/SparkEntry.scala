@@ -18,6 +18,7 @@ object SparkEntry {
     AggQueries,
     WindowQueries,
     SubqueryQueries,
+    FunctionQueries,
   )
 
   lazy val all: Seq[Q.Def] = {

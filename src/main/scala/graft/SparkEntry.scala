@@ -19,6 +19,7 @@ object SparkEntry {
     WindowQueries,
     SubqueryQueries,
     FunctionQueries,
+    PipelineQueries,
   )
 
   lazy val all: Seq[Q.Def] = {

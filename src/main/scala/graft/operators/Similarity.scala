@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k — a single scan + TakeOrdered, no
+  * shuffle of the corpus; the right answer up to ~10⁸ rows per query
+  * batch. Scale path: random-hyperplane LSH — per-row signature (no
+  * shuffle), bucket probe filters the corpus to a tiny candidate set
+  * before exact re-ranking, so a 100 TB corpus reads only the probed
+  * buckets (partition/bucket pruning on `bucket` when the table is
+  * written bucketed by it).
+  */
+object Similarity {
+
+  /** Double-precision dot product of two float-array columns, evaluated
+    * strictly in index order (deterministic).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k against one query vector (taken from the
+    * corpus row `queryId` — stays fully declarative via broadcast cross
+    * join, no driver collect).
+    */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    df.crossJoin(broadcast(q))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos_sim"))
+      .orderBy(desc_nulls_last("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 → [-1, 1)). */
+  def hyperplanes(m: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.fill(m, dim)((next() >>> 11) * (2.0 / (1L << 53)) - 1.0)
+  }
+
+  /** m-bit signature: bit i = sign(plane_i · v), packed into an int
+    * (m ≤ 30 so the packing is overflow-free under ANSI).
+    */
+  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
+    require(planes.length <= 30)
+    val pl = typedlit(planes.map(_.toSeq).toSeq)
+    val pows = typedlit((0 until planes.length).map(i => 1 << i))
+    aggregate(
+      zip_with(
+        transform(sequence(lit(0), lit(planes.length - 1)), i =>
+          when(dot(element_at(pl, i + 1), vec) >= 0, 1).otherwise(0)),
+        pows, (bit, p) => bit * p),
+      lit(0), (acc, v) => acc + v)
+  }
+
+  /** Corpus with one LSH bucket per hash table (`tables` independent
+    * plane sets — the standard L-table recall boost). At scale, write
+    * this bucketed/partitioned by `buckets[0]` so single-table probes
+    * prune to a handful of files.
+    */
+  def bucketedCorpus(df: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, dim: Int = 64, tables: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    val cols = (0 until tables).map { l =>
+      lshSignature(col(vecCol), hyperplanes(m, dim, seed + 1000L * l))
+    }
+    df.select(col(idCol), col(vecCol), array(cols: _*).as("buckets"))
+  }
+
+  /** ANN top-k: for each of the L tables, probe the query's bucket plus
+    * all Hamming-distance-1 buckets (multi-probe); union the candidates;
+    * exact cosine re-rank on candidates only.
+    */
+  def annTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, m: Int = 8, dim: Int = 64,
+      tables: Int = 4, seed: Long = 7L): DataFrame = {
+    val corpus = bucketedCorpus(df, idCol, vecCol, m, dim, tables, seed)
+    val qRow = corpus.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"), col("buckets").as("__qbuckets"))
+    def probesFor(l: Int) = transform(sequence(lit(0), lit(m)), i =>
+      when(i === 0, element_at(col("__qbuckets"), l + 1))
+        .otherwise(element_at(col("__qbuckets"), l + 1)
+          .bitwiseXOR(pow(lit(2.0), (i - 1).cast("double")).cast("int"))))
+    val hit = (0 until tables).map { l =>
+      array_contains(probesFor(l), element_at(col("buckets"), l + 1))
+    }.reduce(_ || _)
+    corpus.crossJoin(broadcast(qRow))
+      .filter(col(idCol) =!= queryId && hit)
+      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos_sim"))
+      .orderBy(desc_nulls_last("cos_sim"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,212 @@
+package graft.queries
+
+import graft.GraftSession
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis => TA}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators over the documents/embeddings
+  * fixtures: dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * similarity search (brute-force + LSH ANN), text analysis, and
+  * multimodal binary plumbing. SQL-expressible ones carry a DuckDB
+  * oracle; the sketch/LSH ones are rows-checked here and
+  * determinism/recall-checked in ScalaTest specs.
+  */
+object PipelineQueries extends QueryGroup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    GraftSession.table(s, dir, n)
+
+  def defs: Seq[Q.Def] = Seq(
+
+    // ---- token counting + quality ratios (all exact integer/ratio
+    // arithmetic — oracle-able).
+    Q.Def("q_text_stats", (s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") <= 500)
+        .select(col("doc_id"),
+          TA.tokenCount(col("text")).as("n_tokens"),
+          TA.subwordCount(col("text")).as("n_subwords"),
+          length(col("text")).as("n_chars_m"),
+          TA.stopwordHits(col("text")).as("stop_hits"),
+          round(TA.stopwordRatio(col("text")), 6).as("stop_ratio"),
+          round(TA.meanWordLen(col("text")), 6).as("mean_wlen"),
+          TA.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CAST(LEN(REGEXP_EXTRACT_ALL(TRIM(text), '\S+', 0)) AS INTEGER) AS n_tokens,
+        CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS INTEGER) AS n_subwords,
+        CAST(LENGTH(text) AS INTEGER) AS n_chars_m,
+        CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|a|in|is|that|for|with)\b', 0)) AS INTEGER) AS stop_hits,
+        ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|a|in|is|that|for|with)\b', 0)) AS DOUBLE)
+          / LEN(REGEXP_EXTRACT_ALL(TRIM(text), '\S+', 0)), 6) AS stop_ratio,
+        ROUND(CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS DOUBLE)
+          / LEN(REGEXP_EXTRACT_ALL(TRIM(text), '\S+', 0)), 6) AS mean_wlen,
+        (CASE WHEN LENGTH(text) BETWEEN 50 AND 10000 THEN 0.25 ELSE 0.0 END
+         + CASE WHEN CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|a|in|is|that|for|with)\b', 0)) AS DOUBLE)
+                  / LEN(REGEXP_EXTRACT_ALL(TRIM(text), '\S+', 0)) >= 0.05 THEN 0.25 ELSE 0.0 END
+         + CASE WHEN CAST(LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE)
+                  / LENGTH(text) <= 0.2 THEN 0.25 ELSE 0.0 END
+         + CASE WHEN CAST(LENGTH(REGEXP_REPLACE(text, '\s+', '', 'g')) AS DOUBLE)
+                  / LEN(REGEXP_EXTRACT_ALL(TRIM(text), '\S+', 0)) BETWEEN 3.0 AND 12.0 THEN 0.25 ELSE 0.0 END
+        ) AS quality
+      FROM documents WHERE doc_id <= 500
+      ORDER BY doc_id"""
+    )),
+
+    // ---- language-ID heuristic: marker-word argmax with fixed
+    // precedence; compared against the fixture's lang label.
+    Q.Def("q_lang_id", (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TA.langId(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_guess"))
+    }, Some("""
+      WITH scored AS (
+        SELECT lang,
+          LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|with|from|this)\b', 0)) AS s_en,
+          LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(der|und|mit|von|das)\b', 0)) AS s_de,
+          LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(el|la|con|por|una)\b', 0)) AS s_es,
+          LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(le|la|avec|dans|une)\b', 0)) AS s_fr
+        FROM documents),
+      guessed AS (
+        SELECT lang,
+          CASE WHEN GREATEST(s_en, s_de, s_es, s_fr) = 0 THEN 'und'
+               WHEN s_en = GREATEST(s_en, s_de, s_es, s_fr) THEN 'en'
+               WHEN s_de = GREATEST(s_en, s_de, s_es, s_fr) THEN 'de'
+               WHEN s_es = GREATEST(s_en, s_de, s_es, s_fr) THEN 'es'
+               ELSE 'fr' END AS lang_guess
+        FROM scored)
+      SELECT lang, lang_guess, COUNT(*) AS n
+      FROM guessed
+      GROUP BY lang, lang_guess
+      ORDER BY lang, lang_guess"""
+    )),
+
+    // ---- vocabulary fingerprint (order-insensitive dedup key).
+    Q.Def("q_fingerprint", (s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") <= 300)
+        .select(col("doc_id"), TA.vocabFingerprint(col("text")).as("vocab_fp"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+          STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')), 'ASC'), ' ')) AS vocab_fp
+      FROM documents WHERE doc_id <= 300
+      ORDER BY doc_id"""
+    )),
+
+    // ---- exact dedup summary (hash-groupBy; dup groups + dup row count).
+    Q.Def("q_dedup_exact", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary"))
+      docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(norm).as("n_distinct"),
+        (count(lit(1)) - countDistinct(norm)).as("n_dup_rows"))
+    }, Some("""
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))) AS n_distinct,
+             COUNT(*) - COUNT(DISTINCT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g'))) AS n_dup_rows
+      FROM documents"""
+    )),
+
+    // ---- MinHash+LSH near-dup pipeline summary (shingle → 64-perm
+    // minhash → 16-band LSH → candidate join → Jaccard verify).
+    Q.Def("q_dedup_minhash", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cands = Dedup.candidatePairs(
+        Dedup.bucketTable(docs, "doc_id", "text"))
+      val dups = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      val nDocs = docs.select(count(lit(1)).as("n_docs"))
+      val nCand = cands.select(count(lit(1)).as("n_candidates"))
+      val nDup = dups.select(count(lit(1)).as("n_dups_j50"),
+        coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard"))
+      nDocs.crossJoin(nCand).crossJoin(nDup)
+    }, None),
+
+    // ---- SimHash near-dup summary (64-bit sign vector, 4-chunk banding,
+    // Hamming verify).
+    Q.Def("q_dedup_simhash", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
+        chunks = 4, maxHamming = 10)
+      docs.select(count(lit(1)).as("n_docs")).crossJoin(
+        pairs.select(count(lit(1)).as("n_near_h10"),
+          coalesce(min(col("hamming")), lit(-1)).as("min_hamming")))
+    }, None),
+
+    // ---- n-gram Jaccard inverted-index summary with frequent-shingle
+    // suppression.
+    Q.Def("q_dedup_ngram", (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      pairs.agg(
+        count(lit(1)).as("n_pairs_examined"),
+        coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard"),
+        coalesce(sum(when(col("jaccard") >= 0.3, 1).otherwise(0)), lit(0L))
+          .as("n_pairs_j30"))
+    }, None),
+
+    // ---- brute-force cosine top-k against vec_id 0 (exact re-rank path;
+    // DuckDB recomputes the same double-precision dot product).
+    Q.Def("q_sim_bruteforce", (s, dir) => {
+      Similarity.bruteForceTopK(t(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 10)
+        .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim_r"))
+    }, Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, qv),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM embeddings, q
+        WHERE vec_id <> 0)
+      SELECT vec_id, ROUND(sim, 3) AS cos_sim_r
+      FROM scored
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""
+    )),
+
+    // ---- LSH ANN top-k (8 hyperplanes → 256 buckets, multi-probe
+    // Hamming-1): approximate — recall vs brute force asserted in the
+    // spec. Plane count scales with corpus size (log2(n/bucket_target)).
+    Q.Def("q_sim_ann", (s, dir) => {
+      Similarity.annTopK(t(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 10, m = 8)
+        .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim_r"))
+    }, None),
+
+    // ---- multimodal metadata plumbing (binary payload + typed meta).
+    Q.Def("q_multimodal_meta", (s, dir) => {
+      Multimodal.asMediaTable(
+          t(s, dir, "documents").filter(col("doc_id") <= 300), "doc_id", "text")
+        .select(col("doc_id"), col("format"), col("n_bytes"),
+          hex(expr("substring(payload, 1, 8)")).as("head_hex"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id, 'txt' AS format,
+             CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+             HEX(CAST(SUBSTR(text, 1, 8) AS BLOB)) AS head_hex
+      FROM documents WHERE doc_id <= 300
+      ORDER BY doc_id"""
+    )),
+
+    // ---- multimodal feature extraction via mapPartitions (stub decoder;
+    // the Spark plumbing — typed Dataset, per-partition init shape — is
+    // the thing under test).
+    Q.Def("q_multimodal_features", (s, dir) => {
+      Multimodal.extractFeatures(s,
+          Multimodal.asMediaTable(
+            t(s, dir, "documents").filter(col("doc_id") <= 300),
+            "doc_id", "text"))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }, None),
+  )
+}

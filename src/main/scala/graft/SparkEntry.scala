@@ -20,6 +20,7 @@ object SparkEntry {
     SubqueryQueries,
     FunctionQueries,
     PipelineQueries,
+    EventsQueries,
   )
 
   lazy val all: Seq[Q.Def] = {

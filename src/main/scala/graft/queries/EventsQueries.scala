@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Q.dec2
+
+/** Incremental-batch analytics over the `events` table (the reference has
+  * no streaming engine — SURVEY.md §2.11; its "real-time" story is fast
+  * batch, which these queries model) plus the INSERT/CTAS write path
+  * (HdfsTableSink, `be/src/exec/hdfs-table-sink.h:90` → partitioned
+  * parquet write with dynamic partitioning). A Structured Streaming
+  * mirror of the tumbling-window agg lives in the test suite.
+  */
+object EventsQueries extends QueryGroup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    GraftSession.table(s, dir, n)
+
+  def defs: Seq[Q.Def] = Seq(
+
+    // ---- tumbling 1-hour windows via the streaming-compatible window()
+    // operator (oracle: date_trunc equivalence for aligned windows).
+    Q.Def("q_events_tumbling", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_start"), col("event_type"), col("n"), col("value_sum"),
+          col("n_users"))
+        .orderBy(col("hour_start"), col("event_type"))
+    }, Some("""
+      SELECT STRFTIME(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_start, event_type"""
+    )),
+
+    // ---- sessionization: 30-minute inactivity gap, lag + running-sum
+    // session ids, per-user session stats.
+    Q.Def("q_events_session", (s, dir) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+      val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(runSum))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("double").as("value_total"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH w AS (
+        SELECT user_id, ts, event_id, value,
+          LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id
+            ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS prev_us
+        FROM events),
+      flagged AS (
+        SELECT user_id, ts, event_id, value,
+          CASE WHEN prev_us IS NULL
+                 OR EPOCH_US(ts) - prev_us > 1800 * 1000000 THEN 1
+               ELSE 0 END AS new_sess
+        FROM w),
+      sess AS (
+        SELECT user_id, value,
+          SUM(new_sess) OVER (PARTITION BY user_id
+            ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        FROM flagged)
+      SELECT user_id, CAST(MAX(sess_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_total
+      FROM sess
+      GROUP BY user_id
+      ORDER BY user_id"""
+    )),
+
+    // ---- funnel-ish: per event_type daily counts with day-over-day
+    // delta (lag over aggregated series).
+    Q.Def("q_events_daily_delta", (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(asc_nulls_last("day"))
+      daily.withColumn("prev_n", lag(col("n"), 1, 0L).over(w))
+        .withColumn("delta", col("n") - col("prev_n"))
+        .orderBy(col("event_type"), col("day"))
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type, STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT event_type, day, n,
+             LAG(n, 1, 0) OVER (PARTITION BY event_type
+               ORDER BY day ASC NULLS LAST) AS prev_n,
+             n - LAG(n, 1, 0) OVER (PARTITION BY event_type
+               ORDER BY day ASC NULLS LAST) AS delta
+      FROM daily
+      ORDER BY event_type, day"""
+    )),
+
+    // ---- write path: dynamic-partitioned parquet CTAS (HdfsTableSink
+    // semantics: INSERT OVERWRITE ... PARTITION (event_type)), then read
+    // back and aggregate — the oracle computes the same from the source,
+    // proving the round trip is lossless.
+    Q.Def("q_write_ctas", (s, dir) => {
+      val out = s"/tmp/graft_ctas_events"
+      t(s, dir, "events")
+        .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("event_type")
+        .parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          countDistinct(col("day")).as("n_days"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum,
+             COUNT(DISTINCT STRFTIME(DATE_TRUNC('day', ts), '%Y-%m-%d')) AS n_days
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""
+    )),
+  )
+}

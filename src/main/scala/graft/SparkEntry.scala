@@ -13,6 +13,7 @@ object SparkEntry {
 
   private def groups: Seq[QueryGroup] = Seq(
     CoreQueries,
+    TpchQueries,
     JoinQueries,
     SetOpQueries,
     AggQueries,

@@ -22,6 +22,7 @@ object SparkEntry {
     FunctionQueries,
     PipelineQueries,
     EventsQueries,
+    SketchQueries,
   )
 
   lazy val all: Seq[Q.Def] = {

@@ -1,15 +1,59 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
 /** Registration point for the Impala-compat function layer
-  * (SURVEY.md §2.8/§2.4): name aliases over Spark built-ins plus custom
-  * Catalyst expressions/aggregates for the true gaps.
+  * (SURVEY.md §2.8/§2.4): name aliases over Spark built-ins
+  * ([[Aliases]]) plus the custom Catalyst expressions / aggregates for
+  * the true gaps — hashes ([[FnvHash]]/[[MurmurHash64]]), bit ops
+  * ([[RotateLeft]]/[[RotateRight]]/[[GetBit]]/[[SetBit]]/[[CountSet]]),
+  * string distances ([[DamerauLevenshtein]]/Jaro family), and sketches
+  * ([[NdvHll]]/[[DsHllSketch]]/[[DsKllSketch]]/[[HistogramAgg]]).
   *
-  * Filled in incrementally; must stay idempotent per session.
+  * Idempotent per session; call via [[graft.GraftSession]].
   */
 object GraftFunctions {
+
+  private val custom: Map[String, Seq[Expression] => Expression] = Map(
+    // hashes (be/src/exprs/utility-functions-ir.cc)
+    "fnv_hash" -> (a => FnvHash(a.head)),
+    "murmur_hash" -> (a => MurmurHash64(a.head)),
+    // bit manipulation (be/src/exprs/bit-byte-functions-ir.cc)
+    "rotateleft" -> (a => RotateLeft(a(0), a(1))),
+    "rotateright" -> (a => RotateRight(a(0), a(1))),
+    "getbit" -> (a => GetBit(a(0), a(1))),
+    "setbit" -> (a =>
+      if (a.length == 2) SetBit(a(0), a(1), Literal(1)) else SetBit(a(0), a(1), a(2))),
+    "countset" -> (a =>
+      if (a.length == 1) CountSet(a.head, Literal(1)) else CountSet(a(0), a(1))),
+    // string distances (be/src/exprs/string-functions-ir.cc)
+    "damerau_levenshtein" -> (a => DamerauLevenshtein(a(0), a(1))),
+    "jaro_distance" -> (a => JaroDistance(a(0), a(1))),
+    "jaro_similarity" -> (a => JaroSimilarity(a(0), a(1))),
+    "jaro_winkler_distance" -> (a => JaroWinklerDistance(a(0), a(1))),
+    "jaro_winkler_similarity" -> (a => JaroWinklerSimilarity(a(0), a(1))),
+    // sketches (be/src/exprs/aggregate-functions-ir.cc,
+    // datasketches-functions-ir.cc)
+    "ndv_hll" -> (a => NdvHll(a.head)),
+    "ds_hll_sketch" -> (a => DsHllSketch(a.head)),
+    "ds_hll_union" -> (a => DsHllUnion(a.head)),
+    "ds_hll_estimate" -> (a => DsHllEstimate(a.head)),
+    "ds_kll_sketch" -> (a => DsKllSketch(a.head)),
+    "ds_kll_union" -> (a => DsKllUnion(a.head)),
+    "ds_kll_quantile" -> (a => DsKllQuantile(a(0), a(1))),
+    "ds_kll_rank" -> (a => DsKllRank(a(0), a(1))),
+    "ds_kll_n" -> (a => DsKllN(a.head)),
+    "histogram" -> (a => HistogramAgg(a.head)),
+  )
+
   def registerAll(spark: SparkSession): Unit = {
     Aliases.registerAll(spark)
+    val reg = spark.sessionState.functionRegistry
+    custom.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
+
+  def names: Seq[String] = (custom.keys ++ Aliases.names).toSeq.sorted
 }

@@ -1,0 +1,142 @@
+package graft.queries
+
+import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries exercising the custom Catalyst function layer
+  * (graft.functions.*): string distances, bit manipulation, Impala-compat
+  * hashes, and the HLL/KLL sketch family (SURVEY.md §2.4/§2.8 gaps).
+  *
+  * Distances and bit ops are oracle-checked (DuckDB ships
+  * damerau_levenshtein / jaro* / bit_count and the bit ops are plain
+  * arithmetic); hash and sketch outputs have no DuckDB equivalent, so
+  * they get rows-only checks here and exact-value specs in
+  * src/test/scala/graft/FunctionsSpec.scala.
+  */
+object SketchQueries extends QueryGroup {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    GraftSession.table(s, dir, n)
+
+  def defs: Seq[Q.Def] = Seq(
+
+    // ---- string-distance functions vs DuckDB's implementations
+    // (string-functions-ir.cc jaro/damerau family).
+    Q.Def("q_fn_strdist", (s, dir) => {
+      t(s, dir, "part")
+        .filter(col("p_partkey") < 200)
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+        .withColumn("dl", call_function("damerau_levenshtein", col("p_name"), col("p_type")))
+        .withColumn("jaro", round(call_function("jaro_similarity", col("p_name"), col("p_type")), 6))
+        .withColumn("jw", round(call_function("jaro_winkler_similarity", col("p_name"), col("p_type")), 6))
+        .withColumn("lev", levenshtein(col("p_name"), col("p_type")))
+        .orderBy(col("p_partkey"))
+    }, Some("""
+      SELECT p_partkey, p_name, p_type,
+             damerau_levenshtein(p_name, p_type) AS dl,
+             ROUND(jaro_similarity(p_name, p_type), 6) AS jaro,
+             ROUND(jaro_winkler_similarity(p_name, p_type), 6) AS jw,
+             levenshtein(p_name, p_type) AS lev
+      FROM part
+      WHERE p_partkey < 200
+      ORDER BY p_partkey"""
+    )),
+
+    // ---- bit-manipulation functions vs arithmetic oracle
+    // (bit-byte-functions-ir.cc rotate/getbit/setbit/countset).
+    Q.Def("q_fn_bits", (s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"))
+        // small keys → no wraparound, so the oracle is plain arithmetic;
+        // wrap semantics are exact-value-tested in FunctionsSpec.
+        .withColumn("rl", call_function("rotateleft", col("o_orderkey"), lit(7)))
+        .withColumn("rr", call_function("rotateright", col("o_orderkey"), lit(61)))
+        .withColumn("gb", call_function("getbit", col("o_orderkey"), lit(4)).cast("int"))
+        .withColumn("sb", call_function("setbit", col("o_orderkey"), lit(2), lit(1)))
+        .withColumn("cs", call_function("countset", col("o_orderkey")))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(o_orderkey * 128 AS BIGINT) AS rl,
+             CAST(o_orderkey * 8 AS BIGINT) AS rr,
+             CAST((o_orderkey >> 4) & 1 AS INT) AS gb,
+             CAST(o_orderkey | 4 AS BIGINT) AS sb,
+             CAST(bit_count(o_orderkey) AS INT) AS cs
+      FROM orders
+      WHERE o_orderkey < 500
+      ORDER BY o_orderkey"""
+    )),
+
+    // ---- Impala-compat hashes: deterministic grouping key derivation
+    // (utility-functions-ir.cc fnv_hash/murmur_hash). No DuckDB analog →
+    // rows-only here; exact vectors in FunctionsSpec. The query shape is
+    // the scale-relevant one: hash-bucketing rows into N stable shards.
+    Q.Def("q_fn_hash_shard", (s, dir) => {
+      t(s, dir, "customer")
+        .withColumn("shard", pmod(call_function("fnv_hash", col("c_name")), lit(16)))
+        .withColumn("mshard", pmod(call_function("murmur_hash", col("c_name")), lit(16)))
+        .groupBy(col("shard")).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("mshard")).as("n_msh"))
+        .orderBy(col("shard"))
+    }, None),
+
+    // ---- ndv + HLL sketch family (aggregate-functions-ir.cc Hll*,
+    // datasketches-functions-ir.cc): per-nation sketches unioned to a
+    // global estimate — the two-level rollup pattern that makes HLL
+    // useful at 100 TB (partial sketch per partition, tiny shuffle).
+    Q.Def("q_sketch_hll", (s, dir) => {
+      val perNation = t(s, dir, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(
+          call_function("ndv_hll", col("c_custkey")).as("ndv_cust"),
+          call_function("ds_hll_sketch", col("c_custkey")).as("sk"),
+          countDistinct(col("c_custkey")).as("exact"))
+      perNation.agg(
+        sum(col("exact")).as("exact_total"),
+        sum(col("ndv_cust")).as("ndv_sum"),
+        call_function("ds_hll_estimate",
+          call_function("ds_hll_union", col("sk"))).as("ndv_union"))
+    }, None),
+
+    // ---- KLL quantile family + histogram (BuiltinsDb.java:1001,1056-77).
+    Q.Def("q_sketch_kll", (s, dir) => {
+      val sk = t(s, dir, "lineitem")
+        .agg(call_function("ds_kll_sketch", col("l_quantity")).as("sk"))
+      sk.select(
+        call_function("ds_kll_n", col("sk")).as("n"),
+        round(call_function("ds_kll_quantile", col("sk"), lit(0.5)), 2).as("p50"),
+        round(call_function("ds_kll_quantile", col("sk"), lit(0.95)), 2).as("p95"),
+        round(call_function("ds_kll_rank", col("sk"), lit(25.0d)), 2).as("rank25"))
+    }, None),
+
+    // ---- histogram over a numeric column (rows-only; boundary values
+    // asserted in FunctionsSpec on exact small inputs).
+    Q.Def("q_sketch_histogram", (s, dir) => {
+      t(s, dir, "supplier")
+        .groupBy(col("s_nationkey"))
+        .agg(call_function("histogram", col("s_acctbal")).as("hist"))
+        .filter(length(col("hist")) > 0)
+        .orderBy(col("s_nationkey"))
+    }, None),
+
+    // ---- ordered group_concat (BuiltinsDb.java:1277-1288 StringConcat;
+    // Impala's is input-order-dependent → deterministic sorted variant,
+    // oracle-checked vs DuckDB string_agg ORDER BY).
+    Q.Def("q_fn_group_concat", (s, dir) => {
+      t(s, dir, "nation")
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+        .orderBy(col("r_name"))
+    }, Some("""
+      SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+      FROM nation, region
+      WHERE n_regionkey = r_regionkey
+      GROUP BY r_name
+      ORDER BY r_name"""
+    )),
+  )
+}

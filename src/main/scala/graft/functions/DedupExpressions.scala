@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native signature kernels for the dedup operators
+  * (graft.operators.Dedup). Expressed as higher-order column functions
+  * these are O(k·|shingles|) *interpreted* expression evaluations per
+  * row (~77 ms/doc measured at sf0.1); as native expressions they are a
+  * single JVM loop (~µs/doc) — the difference between a dedup pass that
+  * scales to 100 TB and one that doesn't.
+  *
+  * No reference-engine counterpart (the reference has no dedup
+  * operators); hash family is the standard (a·x+b) mod p universal
+  * family over the Mersenne prime 2^31-1.
+  */
+object MinHashImpl {
+  val P = 2147483647L // 2^31-1
+
+  /** Deterministic coefficients via public splitmix64 mixing. */
+  def coeffs(k: Int, seed: Long): (Array[Long], Array[Long]) = {
+    var x = seed
+    def next(): Long = {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val as = Array.fill(k)(math.floorMod(next(), P - 1) + 1)
+    val bs = Array.fill(k)(math.floorMod(next(), P))
+    (as, bs)
+  }
+
+  /** sig[i] = min over x of (a_i·x + b_i) mod P; empty input → all P
+    * (never collides with a real hash, which is < P).
+    */
+  def signature(hashes: Array[Long], as: Array[Long], bs: Array[Long]): Array[Long] = {
+    val k = as.length
+    val sig = Array.fill(k)(P)
+    var j = 0
+    while (j < hashes.length) {
+      val x = hashes(j)
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * x + bs(i)) % P
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** 64-bit SimHash of pre-hashed tokens: bit i set iff the count of
+    * tokens with bit i set is >= half (majority vote, >= for ties —
+    * matching the `v >= 0` convention of the HOF formulation).
+    */
+  def simhash64(hashes: Array[Long]): Long = {
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < hashes.length) {
+      val h = hashes(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var r = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) >= 0) r |= (1L << i)
+      i += 1
+    }
+    r
+  }
+}
+
+/** `minhash_signature(hashes, k, seed)` → ARRAY<BIGINT> of length k. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression {
+  private lazy val (as, bs) = MinHashImpl.coeffs(k, seed)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      MinHashImpl.signature(v.asInstanceOf[ArrayData].toLongArray(), as, bs))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashExpr", this,
+      classOf[MinHashSignature].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.sigFor($c)")
+  }
+  /** Codegen entry: keeps the coefficient arrays in one shared object. */
+  def sigFor(a: ArrayData): ArrayData =
+    new GenericArrayData(MinHashImpl.signature(a.toLongArray(), as, bs))
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** `simhash64(hashes)` → BIGINT packed SimHash bits. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    MinHashImpl.simhash64(v.asInstanceOf[ArrayData].toLongArray())
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashImpl.simhash64($c.toLongArray())")
+  override protected def withNewChildInternal(c: Expression): SimHash64 =
+    copy(child = c)
+  override def prettyName: String = "simhash64"
+}

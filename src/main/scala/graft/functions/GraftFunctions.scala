@@ -45,6 +45,12 @@ object GraftFunctions {
     "ds_kll_rank" -> (a => DsKllRank(a(0), a(1))),
     "ds_kll_n" -> (a => DsKllN(a.head)),
     "histogram" -> (a => HistogramAgg(a.head)),
+    // dedup signature kernels (graft.operators.Dedup; k/seed must be
+    // foldable literals)
+    "minhash_signature" -> (a => MinHashSignature(a(0),
+      a(1).eval().asInstanceOf[Number].intValue,
+      a(2).eval().asInstanceOf[Number].longValue)),
+    "simhash64" -> (a => SimHash64(a.head)),
   )
 
   def registerAll(spark: SparkSession): Unit = {

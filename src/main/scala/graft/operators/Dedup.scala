@@ -21,22 +21,7 @@ object Dedup {
   /** Mersenne prime 2^31-1: (a*x+b) stays < 2^62, so the arithmetic is
     * overflow-free under ANSI mode.
     */
-  private val P = 2147483647L
-
-  /** Deterministic hash-family coefficients (public splitmix64 mixing). */
-  private def coeffs(k: Int, seed: Long): (Array[Long], Array[Long]) = {
-    var x = seed
-    def next(): Long = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    val as = Array.fill(k)(math.floorMod(next(), P - 1) + 1) // a in [1, P-1]
-    val bs = Array.fill(k)(math.floorMod(next(), P))         // b in [0, P-1]
-    (as, bs)
-  }
+  private val P = graft.functions.MinHashImpl.P
 
   /** Word n-gram shingles of `text` (whole text when shorter than n). */
   def shingles(text: Column, n: Int = 3): Column = {
@@ -52,16 +37,13 @@ object Dedup {
     array_distinct(transform(shingles(text, n), s => pmod(xxhash64(s), lit(P))))
 
   /** k-permutation MinHash signature of a shingle-hash array:
-    * sig[i] = min over x of (a_i * x + b_i) mod P.
+    * sig[i] = min over x of (a_i * x + b_i) mod P. Computed by the native
+    * [[graft.functions.MinHashSignature]] kernel — a single JVM loop per
+    * row instead of O(k·|shingles|) interpreted expression evals
+    * (~1000× at sf0.1; see DedupExpressions.scala).
     */
-  def minhashSignature(hashes: Column, k: Int = 64, seed: Long = 42L): Column = {
-    val (as, bs) = coeffs(k, seed)
-    val aLit = typedlit(as.toSeq)
-    val bLit = typedlit(bs.toSeq)
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(hashes, x =>
-        pmod(element_at(aLit, i + 1) * x + element_at(bLit, i + 1), lit(P)))))
-  }
+  def minhashSignature(hashes: Column, k: Int = 64, seed: Long = 42L): Column =
+    call_function("minhash_signature", hashes, lit(k), lit(seed))
 
   /** LSH banding: hash each of `bands` contiguous signature slices.
     * Two docs sharing any band bucket are candidates; for Jaccard s,
@@ -106,44 +88,41 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash with banding into `chunks` slices for near-dup candidates
-    * (hamming distance d < chunks ⇒ at least one identical chunk).
+  /** SimHash with banding into `chunks` bit-slices for near-dup
+    * candidates (hamming distance d < chunks ⇒ at least one identical
+    * chunk). The 64 bits pack into one BIGINT via the native
+    * [[graft.functions.SimHash64]] kernel; chunk extraction is shift+mask.
     */
   def simhashTable(df: DataFrame, idCol: String, textCol: String,
       chunks: Int = 4): DataFrame = {
-    val bitsExpr =
-      "transform(aggregate(transform(split(lower(trim(__text)), '\\\\s+'), " +
-        "w -> xxhash64(w)), array_repeat(CAST(0 AS BIGINT), 64), " +
-        "(acc, h) -> zip_with(acc, sequence(0, 63), " +
-        "(x, i) -> x + IF(((h >> i) & 1) = 1, 1, -1))), v -> IF(v >= 0, 1, 0))"
     val chunkLen = 64 / chunks
-    df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .withColumn("bits", expr(bitsExpr))
-      .select(col("id"), col("bits"),
-        transform(sequence(lit(0), lit(chunks - 1)), c =>
-          xxhash64(slice(col("bits"), c * chunkLen + 1, lit(chunkLen)), c))
+    val mask = (1L << chunkLen) - 1
+    val sim = call_function("simhash64",
+      transform(split(lower(trim(col(textCol))), "\\s+"), w => xxhash64(w)))
+    df.select(col(idCol).as("id"), sim.as("sim"))
+      .select(col("id"), col("sim"),
+        array((0 until chunks).map(c =>
+          shiftright(col("sim"), c * chunkLen).bitwiseAND(lit(mask))): _*)
           .as("chunks"))
-      .drop("__text")
   }
 
-  /** Near-dup pairs by SimHash: candidates share a chunk, verified by
-    * Hamming distance ≤ maxHamming.
+  /** Near-dup pairs by SimHash: candidates share a chunk slice, verified
+    * by Hamming distance ≤ maxHamming via bit_count(xor) — one codegen'd
+    * instruction pair per candidate.
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
     val t = simhashTable(df, idCol, textCol, chunks)
-    val b = t.select(col("id"), col("bits"),
-      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_hash")))
-    val l = b.select(col("chunk_idx"), col("chunk_hash"),
-      col("id").as("id1"), col("bits").as("bits1"))
-    val r = b.select(col("chunk_idx"), col("chunk_hash"),
-      col("id").as("id2"), col("bits").as("bits2"))
-    l.join(r, Seq("chunk_idx", "chunk_hash"))
+    val b = t.select(col("id"), col("sim"),
+      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+    val l = b.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id1"), col("sim").as("sim1"))
+    val r = b.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id2"), col("sim").as("sim2"))
+    l.join(r, Seq("chunk_idx", "chunk_val"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
-        aggregate(zip_with(col("bits1"), col("bits2"),
-          (x, y) => when(x === y, 0).otherwise(1)),
-          lit(0), (acc, v) => acc + v).as("hamming"))
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -80,6 +80,55 @@ object MinHashImpl {
   }
 }
 
+/** `shingle_hashes(text, n)` → ARRAY<BIGINT>: distinct word-n-gram
+  * hashes in [0, P), first-occurrence order. One JVM pass per row
+  * (lowercase → whitespace split → sliding window → murmur mod P)
+  * replacing a split/transform/slice/concat/hash/distinct HOF pipeline
+  * that costs ~1.3 ms/doc interpreted.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleHashes.compute(v.toString, n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ShingleHashes.compute($c.toString(), $n)")
+  override protected def withNewChildInternal(c: Expression): ShingleHashes =
+    copy(child = c)
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashes {
+  def compute(text: String, n: Int): ArrayData = {
+    val words = text.trim.toLowerCase.split("\\s+")
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    def hashOf(s: String): Long =
+      math.floorMod(HashImpls.murmur(s.getBytes("UTF-8")), MinHashImpl.P)
+    if (words.length < n) {
+      seen.add(hashOf(words.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i + n <= words.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        seen.add(hashOf(sb.toString))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
 /** `minhash_signature(hashes, k, seed)` → ARRAY<BIGINT> of length k. */
 case class MinHashSignature(child: Expression, k: Int, seed: Long)
     extends UnaryExpression {

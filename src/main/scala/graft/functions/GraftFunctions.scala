@@ -47,6 +47,8 @@ object GraftFunctions {
     "histogram" -> (a => HistogramAgg(a.head)),
     // dedup signature kernels (graft.operators.Dedup; k/seed must be
     // foldable literals)
+    "shingle_hashes" -> (a => ShingleHashes(a(0),
+      a(1).eval().asInstanceOf[Number].intValue)),
     "minhash_signature" -> (a => MinHashSignature(a(0),
       a(1).eval().asInstanceOf[Number].intValue,
       a(2).eval().asInstanceOf[Number].longValue)),

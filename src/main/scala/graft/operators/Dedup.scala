@@ -32,9 +32,11 @@ object Dedup {
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))
   }
 
-  /** Distinct shingle hashes folded into [0, P). */
+  /** Distinct shingle hashes folded into [0, P) — native kernel
+    * ([[graft.functions.ShingleHashes]]), one pass per row.
+    */
   def shingleHashes(text: Column, n: Int = 3): Column =
-    array_distinct(transform(shingles(text, n), s => pmod(xxhash64(s), lit(P))))
+    call_function("shingle_hashes", text, lit(n))
 
   /** k-permutation MinHash signature of a shingle-hash array:
     * sig[i] = min over x of (a_i * x + b_i) mod P. Computed by the native

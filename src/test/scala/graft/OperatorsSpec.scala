@@ -1,0 +1,198 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{MinHashImpl, ShingleHashes}
+import graft.operators._
+
+/** Behavioral specs for the LLM-pipeline operators (dedup, similarity,
+  * text analysis, multimodal plumbing) on planted fixtures with known
+  * answers.
+  */
+class OperatorsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different text about astronomy stars galaxies and void"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "einzelne deutsche worte ohne englische bedeutung hier"),
+  ).toDF("doc_id", "text")
+
+  // --- dedup -----------------------------------------------------------
+
+  test("exactDupGroups finds the planted exact duplicate") {
+    val g = Dedup.exactDupGroups(docs, "doc_id", "text").collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n_copies") == 2)
+    assert(g.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash kernel equals brute-force signature") {
+    val hashes = Array(17L, 99999L, 123456789L)
+    val (as, bs) = MinHashImpl.coeffs(8, 42L)
+    val sig = MinHashImpl.signature(hashes, as, bs)
+    (0 until 8).foreach { i =>
+      val expect = hashes.map(x => (as(i) * x + bs(i)) % MinHashImpl.P).min
+      assert(sig(i) == expect)
+    }
+    // empty input → sentinel P everywhere (never matches a real hash)
+    assert(MinHashImpl.signature(Array.empty, as, bs).forall(_ == MinHashImpl.P))
+  }
+
+  test("minhashDupPairs: exact+near dups found, unrelated docs not paired") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))
+    val ids = pairs.map(p => (p._1, p._2))
+    assert(ids.contains((1L, 4L))) // exact dup: jaccard 1.0
+    assert(pairs.find(p => p._1 == 1L && p._2 == 4L).get._3 == 1.0)
+    assert(ids.contains((1L, 2L)) && ids.contains((2L, 4L))) // near dup
+    assert(!ids.exists(p => p._1 == 3L || p._2 == 3L)) // unrelated
+    assert(!ids.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated docs unpaired") {
+    val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 4L)
+    assert(exact.isDefined && exact.get._3 == 0)
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs computes exact jaccard on shingle sets") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      maxDocFreq = 10, minShared = 2).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 4L)) == 1.0)
+    // docs 1/2: 13 words → 11 shingles each, difference only in the last
+    // word → 10 shared, union 12
+    assert(math.abs(pairs((1L, 2L)) - 10.0 / 12.0) < 1e-12)
+  }
+
+  test("shingle_hashes kernel: n-gram count and determinism") {
+    val hs = ShingleHashes.compute("a b c d", 3)
+    assert(hs.numElements() == 2) // "a b c", "b c d"
+    val hs2 = ShingleHashes.compute("a b c d", 3)
+    assert(hs.toLongArray().sameElements(hs2.toLongArray()))
+    assert(ShingleHashes.compute("a b", 3).numElements() == 1) // whole text
+    assert(hs.toLongArray().forall(h => h >= 0 && h < MinHashImpl.P))
+  }
+
+  // --- similarity ------------------------------------------------------
+
+  private lazy val vecs: DataFrame = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),  // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),  // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f)), // opposite
+    (4L, Array(0.8f, 0.2f, 0.1f)),  // close-ish
+  ).toDF("vec_id", "vec")
+
+  test("cosine: hand-computed values") {
+    val r = vecs.filter($"vec_id" === 1L)
+      .select(Similarity.cosine($"vec", typedlit(Seq(1.0f, 0.0f, 0.0f))))
+      .head().getDouble(0)
+    // cos = 0.9 / sqrt(0.81+0.01) = 0.9/0.90554
+    assert(math.abs(r - 0.9 / math.sqrt(0.82)) < 1e-9)
+  }
+
+  test("bruteForceTopK: correct ranking, query excluded") {
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "vec", 0L, 3)
+      .collect().map(_.getLong(0))
+    assert(top.toSeq == Seq(1L, 4L, 2L)) // by descending cosine to [1,0,0]
+  }
+
+  test("annTopK: candidates come from the corpus and include the planted twin") {
+    // 64-dim corpus: id 1 is a noisy copy of id 0, others random
+    val dim = 64
+    def splitmix(seed: Long): Iterator[Double] = new Iterator[Double] {
+      var x = seed
+      def hasNext = true
+      def next(): Double = {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z ^ (z >>> 31)) >>> 11) * (2.0 / (1L << 53)) - 1.0
+      }
+    }
+    val base = splitmix(1L).take(dim).toArray
+    val rows = (0L to 30L).map { id =>
+      val v =
+        if (id == 0L) base
+        else if (id == 1L) base.zip(splitmix(id).take(dim).toSeq).map { case (b, n) => b + 0.05 * n }
+        else splitmix(id).take(dim).toArray
+      (id, v.map(_.toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "vec")
+    val ann = Similarity.annTopK(corpus, "vec_id", "vec", 0L, 5, m = 8,
+      dim = dim, tables = 4).collect().map(_.getLong(0))
+    assert(ann.contains(1L), s"planted twin missing from ${ann.toSeq}")
+    assert(!ann.contains(0L))
+  }
+
+  // --- text analysis ---------------------------------------------------
+
+  test("token counts and ratios") {
+    val df = Seq("Hello, World! 123").toDF("t")
+    val r = df.select(
+      TextAnalysis.tokenCount($"t"),
+      TextAnalysis.subwordCount($"t"),
+      TextAnalysis.punctRatio($"t"),
+      TextAnalysis.digitRatio($"t")).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 5) // [Hello][,][World][!][123]
+    assert(r.getDouble(2) == 2.0 / 17) // ',' and '!'
+    assert(r.getDouble(3) == 3.0 / 17) // '1' '2' '3'
+  }
+
+  test("langId picks marker-majority language, 'und' when none") {
+    val r = Seq(
+      "the cat and the dog with this hat",
+      "der hund und die katze mit von das",
+      "xyzzy plugh qwerty").toDF("t")
+      .select(TextAnalysis.langId($"t")).collect().map(_.getString(0))
+    assert(r.toSeq == Seq("en", "de", "und"))
+  }
+
+  test("vocabFingerprint is order-insensitive") {
+    val r = Seq(("alpha beta gamma", "gamma alpha beta alpha"), ("a b", "a c"))
+      .toDF("t1", "t2")
+      .select(TextAnalysis.vocabFingerprint($"t1") ===
+        TextAnalysis.vocabFingerprint($"t2")).collect().map(_.getBoolean(0))
+    assert(r.toSeq == Seq(true, false))
+  }
+
+  test("qualityScore rewards clean English prose") {
+    val good = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the river with a friend for many days in the sun"
+    val bad = "@@@@ #### $$$$ 1234 %%%% ^^^^ &&&& **** (((( ))))"
+    val r = Seq(good, bad).toDF("t")
+      .select(TextAnalysis.qualityScore($"t")).collect().map(_.getDouble(0))
+    assert(r(0) == 1.0)
+    assert(r(1) <= 0.25)
+  }
+
+  // --- multimodal plumbing ---------------------------------------------
+
+  test("multimodal: schema, deterministic stub features, partition path") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    assert(media.schema.map(f => (f.name, f.dataType.typeName)).toSeq ==
+      Seq("doc_id" -> "long", "payload" -> "binary", "format" -> "string",
+        "n_bytes" -> "long"))
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(feats.size == 5)
+    val f1 = feats(1L)
+    val bytes = "the quick brown fox jumps over the lazy dog near the river bank"
+      .getBytes("UTF-8")
+    assert(f1.n_bytes == bytes.length)
+    assert(f1.byte_sum == bytes.map(_ & 0xff).sum)
+    assert(f1.head_hex == bytes.take(8).map("%02x".format(_)).mkString)
+    assert(f1.width >= 64 && f1.width < 128 && f1.height >= 64 && f1.height < 128)
+    // exact dup payload ⇒ identical features
+    assert(feats(4L).byte_sum == f1.byte_sum)
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics-parity specs for the risk areas in SURVEY.md §7.4:
+  * NOT IN null-awareness, Impala NULL-ordering defaults, exact decimal
+  * money math, `<=>`, set-op null handling, TABLESAMPLE.
+  */
+class SemanticsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("NOT IN over a subquery with NULLs returns no rows (null-aware anti)") {
+    Seq(1, 2, 3).toDF("x").createOrReplaceTempView("probe_t")
+    Seq(Some(1), None).toDF("y").createOrReplaceTempView("build_t")
+    // Impala rewrites NOT IN to NULL_AWARE_LEFT_ANTI_JOIN
+    // (PlanNodes.thrift:367-371); Spark's LeftAnti with <=> semantics
+    // must agree: any NULL in the build side → empty result.
+    assert(spark.sql(
+      "SELECT x FROM probe_t WHERE x NOT IN (SELECT y FROM build_t)").count() == 0)
+    // without the NULL, normal anti-join results
+    assert(spark.sql(
+      "SELECT x FROM probe_t WHERE x NOT IN (SELECT y FROM build_t WHERE y IS NOT NULL)")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+  }
+
+  test("Impala default NULL ordering: ASC→NULLS LAST, DESC→NULLS FIRST") {
+    // OrderByElement.java:115-116 — opposite of Spark's default, so the
+    // engine always emits explicit null ordering.
+    val df = Seq(Some(2), None, Some(1)).toDF("x")
+    assert(df.orderBy(asc_nulls_last("x")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq ==
+      Seq(Some(1), Some(2), None))
+    assert(df.orderBy(desc_nulls_first("x")).collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq ==
+      Seq(None, Some(2), Some(1)))
+  }
+
+  test("<=> IS NOT DISTINCT FROM matches NULLs") {
+    val r = spark.sql(
+      """SELECT NULL <=> NULL, 1 <=> 1, NULL <=> 1,
+                CAST(NULL AS INT) IS NOT DISTINCT FROM CAST(NULL AS INT)""").head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && !r.getBoolean(2) && r.getBoolean(3))
+  }
+
+  test("INTERSECT/EXCEPT treat NULL as equal (set semantics)") {
+    // SetOperationStmt.java:686-727 rewrites to SEMI/ANTI with <=>
+    val a = Seq(Some(1), None, Some(2)).toDF("x")
+    val b = Seq(Some(1), None, Some(3)).toDF("x")
+    val inter = a.intersect(b).collect()
+      .map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSet
+    assert(inter == Set(Some(1), None))
+    val ex = a.except(b).collect().map(_.getInt(0)).toSeq
+    assert(ex == Seq(2))
+  }
+
+  test("decimal money math is exact and order-independent") {
+    // SURVEY §7.4 risk 1: DECIMAL_V2 exact sums. 0.1 + 0.2 == 0.3 in
+    // DECIMAL, not in DOUBLE; sums must not drift with partitioning.
+    val df = (1 to 10000).map(i => (i % 7, BigDecimal(i) / 100))
+      .toDF("k", "amt")
+    val total = df.agg(sum($"amt".cast("decimal(12,2)"))).head().getDecimal(0)
+    assert(total == new java.math.BigDecimal("500050.00"))
+    val repart = df.repartition(13).agg(sum($"amt".cast("decimal(12,2)")))
+      .head().getDecimal(0)
+    assert(repart == total)
+  }
+
+  test("TABLESAMPLE SYSTEM with REPEATABLE seed is deterministic") {
+    // TableSampleClause.java:27-30 → Spark TABLESAMPLE
+    GraftSession.registerAll(spark, sfDir)
+    val n1 = spark.sql(
+      "SELECT COUNT(*) FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+      .head().getLong(0)
+    val n2 = spark.sql(
+      "SELECT COUNT(*) FROM lineitem TABLESAMPLE (10 PERCENT) REPEATABLE (42)")
+      .head().getLong(0)
+    assert(n1 == n2)
+    val total = spark.sql("SELECT COUNT(*) FROM lineitem").head().getLong(0)
+    assert(n1 > 0 && n1 < total)
+  }
+
+  test("scalar subquery over >1 row fails (CardinalityCheckNode analog)") {
+    Seq(1, 2).toDF("x").createOrReplaceTempView("two_rows_t")
+    val e = intercept[Exception] {
+      spark.sql("SELECT (SELECT x FROM two_rows_t)").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("more than one row") ||
+      e.getMessage.contains("SCALAR_SUBQUERY"))
+  }
+
+  test("VALUES lists and CTEs") {
+    val r = spark.sql(
+      """WITH v(a, b) AS (VALUES (1, 'x'), (2, 'y'))
+         SELECT a, b FROM v ORDER BY a""").collect()
+    assert(r.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(r.map(_.getString(1)).toSeq == Seq("x", "y"))
+  }
+
+  test("INSERT INTO / INSERT OVERWRITE partitioned table (HdfsTableSink)") {
+    val loc = java.nio.file.Files.createTempDirectory("graft_ins").toString
+    spark.sql("DROP TABLE IF EXISTS graft_ins_t")
+    spark.sql(
+      s"""CREATE TABLE graft_ins_t (k INT, v STRING) USING parquet
+          PARTITIONED BY (p STRING) LOCATION '$loc'""")
+    spark.sql("INSERT INTO graft_ins_t PARTITION (p='a') VALUES (1, 'one')")
+    spark.sql("INSERT INTO graft_ins_t PARTITION (p='a') VALUES (2, 'two')")
+    spark.sql("INSERT INTO graft_ins_t PARTITION (p='b') VALUES (3, 'three')")
+    assert(spark.table("graft_ins_t").count() == 3)
+    // dynamic partition overwrite replaces only partition 'a'
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.sql("INSERT OVERWRITE graft_ins_t PARTITION (p='a') VALUES (9, 'nine')")
+    val rows = spark.table("graft_ins_t").collect()
+      .map(r => (r.getInt(0), r.getString(2))).sorted.toSeq
+    assert(rows == Seq((3, "b"), (9, "a")))
+    spark.sql("DROP TABLE graft_ins_t")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape assertions for the 100 TB design goals: filters and
+  * projections reach the parquet scan, small dimensions broadcast,
+  * aggregates are partial (map-side) before the shuffle, and hot paths
+  * stay inside whole-stage codegen. A plan regression here is a scale
+  * bug even when results stay correct.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def plan(name: String): String = {
+    val df: DataFrame = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("scan-projection query pushes filter and prunes columns") {
+    val p = plan("q_scan_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") ||
+      p.contains("GreaterThanOrEqual(l_quantity"), p)
+    // ReadSchema lists only the 4 referenced columns
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(Seq("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+      .forall(read.contains), read)
+    assert(!read.contains("l_extendedprice"), read)
+  }
+
+  test("TPC-H Q3: dimension-side joins broadcast, no full-table shuffle of lineitem") {
+    val p = plan("tpch_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // partial aggregation before the exchange (map-side combine)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("TPC-H Q5: 6-way join keeps small dims on broadcast side, codegen'd") {
+    val p = plan("tpch_q5")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // whole-stage codegen visible once AQE finalizes the plan
+    val df = SparkEntry.queries("tpch_q5")(spark, sfDir)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+
+  test("TPC-H Q1: partial agg + single shuffle + TopN-free sort") {
+    val p = plan("tpch_q1")
+    // two HashAggregates (partial + final) around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("top-k order-by-limit compiles to TakeOrderedAndProject") {
+    val p = plan("q_topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("semi/anti joins stay joins (no subquery re-execution)") {
+    assert(plan("tpch_q4").contains("LeftSemi"), "q4 semi")
+    assert(plan("tpch_q21").contains("LeftAnti"), "q21 anti")
+  }
+
+  test("dedup bucket pipeline shuffles only compact key tuples") {
+    val p = plan("q_dedup_minhash")
+    // signature kernels evaluate inside project/codegen, not UDF nodes
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+}

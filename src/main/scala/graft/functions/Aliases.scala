@@ -6,9 +6,12 @@ import org.apache.spark.sql.catalyst.expressions._
 
 /** Impala builtin names that are aliases / thin compositions of Spark
   * built-ins (reference registry: `common/function-registry/
-  * impala_functions.py`, `fe/.../catalog/BuiltinsDb.java`,
-  * `be/src/exprs/conditional-functions.h`). Registered on the session's
-  * FunctionRegistry so Impala SQL text runs where only the name differs.
+  * impala_functions.py` — 218 distinct names; registration
+  * `fe/.../catalog/BuiltinsDb.java`; impls under `be/src/exprs/`).
+  * Registered on the session's FunctionRegistry so Impala SQL text runs
+  * where only the name differs; true semantic gaps get native
+  * expressions instead (HashExpressions/BitExpressions/StringDistance/
+  * Sketches/DedupExpressions).
   */
 object Aliases {
 
@@ -19,9 +22,19 @@ object Aliases {
     UnresolvedFunction(Seq(name), args, isDistinct = false)
 
   private def lit(v: Any): Expression = Literal(v)
+  private def str(s: String): Expression = Literal.create(s,
+    org.apache.spark.sql.types.StringType)
+
+  /** timestampadd with a fixed unit (timestamp-functions-ir.cc
+    * years_add/months_add/... family).
+    */
+  private def tsAdd(unit: String, neg: Boolean)(a: Seq[Expression]): Expression = {
+    val qty = if (neg) UnaryMinus(a(1)) else a(1)
+    TimestampAdd(unit, qty, a(0))
+  }
 
   private val builders: Map[String, Seq[Expression] => Expression] = Map(
-    // conditional (be/src/exprs/conditional-functions.h)
+    // ---- conditional (be/src/exprs/conditional-functions.h)
     "nvl" -> (a => call("coalesce", a: _*)),
     "isnull" -> (a =>
       if (a.length == 1) IsNull(a.head) else call("coalesce", a: _*)),
@@ -34,20 +47,129 @@ object Aliases {
     "isnotfalse" -> (a => Or(IsNull(a.head), a.head)),
     "nonnullvalue" -> (a => IsNotNull(a.head)),
     "nullvalue" -> (a => IsNull(a.head)),
-    // string (be/src/exprs/string-functions-ir.cc)
+    // ---- string (be/src/exprs/string-functions-ir.cc)
     "strleft" -> (a => call("left", a: _*)),
     "strright" -> (a => call("right", a: _*)),
-    // math (be/src/exprs/math-functions-ir.cc)
+    "base64encode" -> (a => call("base64", a.head)),
+    "base64decode" -> (a => Cast(call("unbase64", a.head),
+      org.apache.spark.sql.types.StringType)),
+    "regexp_match_count" -> (a => call("regexp_count", a(0), a(1))),
+    "regexp_escape" -> (a => call("regexp_replace", a.head,
+      str("([.\\\\+*?\\[^\\]$(){}=!<>|:\\-#])"), str("\\\\$1"))),
+    "charlength" -> (a => call("char_length", a.head)),
+    "jaro_winkler" -> (a => JaroWinklerDistance(a(0), a(1))),
+    // ---- math (be/src/exprs/math-functions-ir.cc)
     "dround" -> (a => call("round", a: _*)),
+    "dceil" -> (a => call("ceil", a.head)),
+    "dfloor" -> (a => call("floor", a.head)),
+    "dsqrt" -> (a => call("sqrt", a.head)),
+    "dexp" -> (a => call("exp", a.head)),
+    "dlog10" -> (a => call("log10", a.head)),
+    "dpow" -> (a => call("power", a: _*)),
+    "fpow" -> (a => call("power", a: _*)),
     "fmod" -> (a => call("mod", a: _*)),
     "quotient" -> (a => call("div", a: _*)),
-    // aggregates (fe/.../catalog/BuiltinsDb.java:913-1288)
+    "truncate" -> (a => numericTrunc(a)),
+    "dtrunc" -> (a => numericTrunc(a)),
+    "is_inf" -> (a => EqualTo(call("abs", a.head), lit(Double.PositiveInfinity))),
+    "is_nan" -> (a => call("isnan", a.head)),
+    // type-limit constants (impala_functions.py max_int/min_int family)
+    "max_tinyint" -> (_ => lit(Byte.MaxValue)),
+    "min_tinyint" -> (_ => lit(Byte.MinValue)),
+    "max_smallint" -> (_ => lit(Short.MaxValue)),
+    "min_smallint" -> (_ => lit(Short.MinValue)),
+    "max_int" -> (_ => lit(Int.MaxValue)),
+    "min_int" -> (_ => lit(Int.MinValue)),
+    "max_bigint" -> (_ => lit(Long.MaxValue)),
+    "min_bigint" -> (_ => lit(Long.MinValue)),
+    // ---- timestamp/date (be/src/exprs/timestamp-functions-ir.cc)
+    "years_add" -> tsAdd("YEAR", neg = false),
+    "years_sub" -> tsAdd("YEAR", neg = true),
+    "months_add" -> tsAdd("MONTH", neg = false),
+    "months_sub" -> tsAdd("MONTH", neg = true),
+    "weeks_add" -> tsAdd("WEEK", neg = false),
+    "weeks_sub" -> tsAdd("WEEK", neg = true),
+    "days_add" -> tsAdd("DAY", neg = false),
+    "days_sub" -> tsAdd("DAY", neg = true),
+    "hours_add" -> tsAdd("HOUR", neg = false),
+    "hours_sub" -> tsAdd("HOUR", neg = true),
+    "minutes_add" -> tsAdd("MINUTE", neg = false),
+    "minutes_sub" -> tsAdd("MINUTE", neg = true),
+    "seconds_add" -> tsAdd("SECOND", neg = false),
+    "seconds_sub" -> tsAdd("SECOND", neg = true),
+    "milliseconds_add" -> tsAdd("MILLISECOND", neg = false),
+    "milliseconds_sub" -> tsAdd("MILLISECOND", neg = true),
+    "microseconds_add" -> tsAdd("MICROSECOND", neg = false),
+    "microseconds_sub" -> tsAdd("MICROSECOND", neg = true),
+    "dayname" -> (a => call("date_format", a.head, str("EEEE"))),
+    "monthname" -> (a => call("date_format", a.head, str("MMMM"))),
+    "int_months_between" -> (a =>
+      Cast(call("floor", call("months_between", a(0), a(1))),
+        org.apache.spark.sql.types.IntegerType)),
+    "utc_timestamp" -> (_ => call("to_utc_timestamp",
+      call("current_timestamp"), call("current_timezone"))),
+    "unix_micros_to_utc_timestamp" -> (a => call("timestamp_micros", a.head)),
+    "utc_to_unix_micros" -> (a => call("unix_micros", a.head)),
+    "timestamp_cmp" -> (a => If(Or(IsNull(a(0)), IsNull(a(1))),
+      Literal.create(null, org.apache.spark.sql.types.IntegerType),
+      If(GreaterThan(a(0), a(1)), lit(1),
+        If(LessThan(a(0), a(1)), lit(-1), lit(0))))),
+    // ---- utility (be/src/exprs/utility-functions-ir.cc)
+    "effective_user" -> (_ => call("current_user")),
+    "current_database_impala" -> (_ => call("current_database")),
+    "sleep" -> (a => lit(true)), // no-op in a declarative engine
+    // ---- masking (be/src/exprs/mask-functions-ir.cc; Spark `mask` does
+    // the per-char classes, these add Impala's positional variants)
+    "mask_hash" -> (a => call("sha2", a.head, lit(256))),
+    "mask_first_n" -> (a => maskFirstN(a)),
+    "mask_last_n" -> (a => maskLastN(a)),
+    "mask_show_first_n" -> (a => maskShowFirstN(a)),
+    "mask_show_last_n" -> (a => maskShowLastN(a)),
+    // ---- aggregates (fe/.../catalog/BuiltinsDb.java:913-1288)
     "ndv" -> (a => call("approx_count_distinct", a.head)),
     "appx_median" -> (a => call("percentile_approx", a.head, lit(0.5), lit(10000))),
     "group_concat" -> (a =>
       if (a.length == 1) call("concat_ws", lit(", "), call("collect_list", a.head))
       else call("concat_ws", a(1), call("collect_list", a(0)))),
   )
+
+  /** truncate(x[, d]): toward-zero rounding at d decimal places
+    * (math-functions-ir.cc TruncDecimal — ROUND ... HALF gives away,
+    * so compose from floor/ceil by sign).
+    */
+  private def numericTrunc(a: Seq[Expression]): Expression = {
+    val d = if (a.length > 1) a(1) else lit(0)
+    val scale = call("power", lit(10.0), d)
+    val scaled = Multiply(Cast(a.head, org.apache.spark.sql.types.DoubleType), scale)
+    Divide(If(GreaterThanOrEqual(a.head, lit(0)),
+      call("floor", scaled), call("ceil", scaled)), scale)
+  }
+
+  private def n2(a: Seq[Expression]): Expression =
+    if (a.length > 1) a(1) else lit(4)
+
+  private def maskFirstN(a: Seq[Expression]): Expression =
+    call("concat", call("mask", call("left", a(0), n2(a))),
+      call("substr", a(0), Add(n2(a), lit(1))))
+
+  private def maskLastN(a: Seq[Expression]): Expression =
+    If(LessThanOrEqual(call("char_length", a(0)), n2(a)),
+      call("mask", a(0)),
+      call("concat",
+        call("left", a(0), Subtract(call("char_length", a(0)), n2(a))),
+        call("mask", call("right", a(0), n2(a)))))
+
+  private def maskShowFirstN(a: Seq[Expression]): Expression =
+    call("concat", call("left", a(0), n2(a)),
+      call("mask", call("substr", a(0), Add(n2(a), lit(1)))))
+
+  private def maskShowLastN(a: Seq[Expression]): Expression =
+    If(LessThanOrEqual(call("char_length", a(0)), n2(a)),
+      a(0),
+      call("concat",
+        call("mask", call("left", a(0),
+          Subtract(call("char_length", a(0)), n2(a)))),
+        call("right", a(0), n2(a))))
 
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+
+/** Minimal bridge into the classic Spark session internals: builds a
+  * DataFrame from a LogicalPlan (`Dataset.ofRows` is private[sql]).
+  * Lives in the org.apache.spark.sql package tree for access; contains
+  * no logic of its own.
+  */
+object Bridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
+
+  def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
+    spark.asInstanceOf[ClassicSession].sessionState.sqlParser.parsePlan(sql)
+}

@@ -1,0 +1,55 @@
+package graft
+
+/** Specs for the Impala SQL dialect shim. */
+class DialectSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("dialect ORDER BY uses Impala default NULL ordering") {
+    Seq(Some(2), None, Some(1)).toDF("x").createOrReplaceTempView("d_nulls")
+    // plain ORDER BY x: Spark default puts NULL first; Impala puts it last
+    val asc = ImpalaDialect.sql(spark, "SELECT x FROM d_nulls ORDER BY x")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(asc.toSeq == Seq(Some(1), Some(2), None))
+    val desc = ImpalaDialect.sql(spark, "SELECT x FROM d_nulls ORDER BY x DESC")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0)))
+    assert(desc.toSeq == Seq(None, Some(2), Some(1)))
+    // window sorts get the same defaults
+    val rn = ImpalaDialect.sql(spark,
+      "SELECT x, row_number() OVER (ORDER BY x) rn FROM d_nulls")
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0)), r.getInt(1)))
+      .toMap
+    assert(rn(None) == 3)
+  }
+
+  test("CAST ... FORMAT clause translates ISO-SQL patterns") {
+    val ts = ImpalaDialect.sql(spark,
+      "SELECT CAST('2024-02-29 13:45:59' AS TIMESTAMP FORMAT 'YYYY-MM-DD HH24:MI:SS') t")
+      .head().getTimestamp(0)
+    assert(ts.toString == "2024-02-29 13:45:59.0")
+    val s = ImpalaDialect.sql(spark,
+      "SELECT CAST(TIMESTAMP '2024-02-29 13:45:59' AS STRING FORMAT 'DD/MM/YYYY') t")
+      .head().getString(0)
+    assert(s == "29/02/2024")
+    val d = ImpalaDialect.sql(spark,
+      "SELECT CAST('29-Feb-2024' AS DATE FORMAT 'DD-MON-YYYY') t")
+      .head().getDate(0)
+    assert(d.toString == "2024-02-29")
+  }
+
+  test("format token translation table") {
+    assert(ImpalaDialect.translateFormat("YYYY-MM-DD") == "yyyy-MM-dd")
+    assert(ImpalaDialect.translateFormat("HH24:MI:SS.FF6") == "HH:mm:ss.SSSSSS")
+    assert(ImpalaDialect.translateFormat("DY DD MON YYYY") == "EEE dd MMM yyyy")
+  }
+
+  test("Impala grammar Spark already accepts passes through") {
+    GraftSession.registerAll(spark, sfDir)
+    val r = ImpalaDialect.sql(spark,
+      """SELECT r_regionkey DIV 2 AS h, count(*) AS n,
+                group_concat(r_name, ';') AS gs
+         FROM region
+         WHERE r_name != 'nope' AND r_name ILIKE '%a%'
+         GROUP BY 1 ORDER BY 1""").collect()
+    assert(r.length == 3) // keys 0,1,2
+  }
+}

@@ -19,6 +19,7 @@ object SparkEntry {
     AggQueries,
     WindowQueries,
     SubqueryQueries,
+    NestedQueries,
     FunctionQueries,
     PipelineQueries,
     EventsQueries,

@@ -53,6 +53,10 @@ object GraftFunctions {
       a(1).eval().asInstanceOf[Number].intValue,
       a(2).eval().asInstanceOf[Number].longValue)),
     "simhash64" -> (a => SimHash64(a.head)),
+    // vector kernels (graft.operators.Similarity)
+    "vec_dot" -> (a => VecDot(a(0), a(1))),
+    "vec_cosine" -> (a => VecCosine(a(0), a(1))),
+    "vec_norm" -> (a => VecNorm(a.head)),
   )
 
   def registerAll(spark: SparkSession): Unit = {

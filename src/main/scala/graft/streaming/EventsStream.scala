@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the `events` table shape.
+  *
+  * The reference has no streaming engine (SURVEY.md §2.11 — its
+  * "real-time" story is fast batch over continuously-ingested storage).
+  * This module upgrades that story Spark-natively: the SAME
+  * transformations run as batch (EventsQueries) or incrementally via
+  * `readStream`, because they are defined once over a DataFrame and the
+  * streaming planner handles state/watermarks.
+  *
+  * At scale: tumbling-window aggregation state is bounded by
+  * (windows-in-watermark × groups); the watermark bounds late-data
+  * buffering; file-source streaming reads only newly-arrived files per
+  * micro-batch (incremental ingest, no full rescans).
+  */
+object EventsStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over a directory of events parquet files: each new
+    * file becomes a micro-batch (the incremental-ingest pattern).
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Tumbling-window counts/sums per event type — identical logic to the
+    * batch q_events_tumbling; watermark bounds state for streaming use.
+    */
+  def tumblingAgg(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("value_sum"),
+        approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("value_sum"), col("approx_users"))
+
+  /** Sliding-window rates (window/slide) — the sliding variant the
+    * reference cannot express at all.
+    */
+  def slidingAgg(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "15 minutes", watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Session windows via the native session_window (gap-based), the
+    * streaming equivalent of the batch lag/running-sum sessionization in
+    * EventsQueries.q_events_session.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("value_total"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("value_total"))
+
+  /** Write a streaming result to partitioned parquet with checkpointing
+    * (exactly-once file sink).
+    */
+  def toParquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+}

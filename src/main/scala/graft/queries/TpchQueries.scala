@@ -339,15 +339,19 @@ object TpchQueries extends QueryGroup {
     // ---- Q11: important stock identification (HAVING vs global scalar
     // subquery; partsupp value → lineitem extendedprice by NATION_13 supps).
     Q.Def("tpch_q11", (s, dir) => {
+      // the scalar total joins back as a broadcast single-row relation —
+      // no driver-side .first() (stays one declarative job at any scale)
       val natLi = t(s, dir, "lineitem")
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "nation").filter(col("n_name") === "NATION_13"),
           col("s_nationkey") === col("n_nationkey"))
-      val total = natLi.agg(sum(dec2(col("l_extendedprice"))).cast("double"))
-        .first().getDouble(0)
+      val total = natLi.agg(
+        sum(dec2(col("l_extendedprice"))).cast("double").as("grand_total"))
       natLi.groupBy(col("l_partkey"))
         .agg(sum(dec2(col("l_extendedprice"))).cast("double").as("value"))
-        .filter(col("value") > lit(total) * 0.001)
+        .crossJoin(broadcast(total))
+        .filter(col("value") > col("grand_total") * 0.001)
+        .select(col("l_partkey"), col("value"))
         .orderBy(desc_nulls_first("value"), asc_nulls_last("l_partkey"))
     }, Some("""
       SELECT l_partkey,
@@ -448,10 +452,11 @@ object TpchQueries extends QueryGroup {
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
         .agg(sum(rev).cast("double").as("total_revenue"))
-      val maxRev = revenue.agg(max(col("total_revenue"))).first().getDouble(0)
+      val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
       t(s, dir, "supplier")
         .join(revenue, col("s_suppkey") === col("supplier_no"))
-        .filter(col("total_revenue") === maxRev)
+        .crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_rev"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(col("s_suppkey"))
     }, Some("""
@@ -657,9 +662,10 @@ object TpchQueries extends QueryGroup {
         .withColumn("cntrycode", pmod(col("c_nationkey"), lit(10)))
         .filter(col("cntrycode").isin(1, 2, 3, 4, 5, 6, 7))
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
-        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))))
-        .first().getDouble(0)
-      cust.filter(col("c_acctbal") > avgBal)
+        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+          .as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
         .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("numcust"),

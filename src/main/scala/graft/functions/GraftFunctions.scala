@@ -44,6 +44,9 @@ object GraftFunctions {
     "ds_kll_quantile" -> (a => DsKllQuantile(a(0), a(1))),
     "ds_kll_rank" -> (a => DsKllRank(a(0), a(1))),
     "ds_kll_n" -> (a => DsKllN(a.head)),
+    "ds_kll_cdf" -> (a => DsKllCdf(a(0), a(1))),
+    "ds_kll_pmf" -> (a => DsKllPmf(a(0), a(1))),
+    "ds_hll_stringify" -> (a => DsHllStringify(a.head)),
     "histogram" -> (a => HistogramAgg(a.head)),
     // dedup signature kernels (graft.operators.Dedup; k/seed must be
     // foldable literals)

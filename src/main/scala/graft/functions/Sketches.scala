@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -371,6 +372,64 @@ case class DsKllRank(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(l, r)
   override def prettyName: String = "ds_kll_rank"
+}
+
+/** `ds_kll_cdf(sketch, splits)` → ARRAY<DOUBLE>: cumulative mass at each
+  * split point, plus a trailing 1.0 (m+1 values for m splits, matching
+  * the DataSketches KLL API shape — `datasketches-functions-ir.cc`).
+  */
+case class DsKllCdf(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(s: Any, splits: Any): Any = {
+    val buf = Quantiles.deserialize(s.asInstanceOf[Array[Byte]])
+    val pts = splits.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    new GenericArrayData(pts.map(p => Quantiles.rank(buf, p)) :+ 1.0)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+  override def prettyName: String = "ds_kll_cdf"
+}
+
+/** `ds_kll_pmf(sketch, splits)` → ARRAY<DOUBLE>: probability mass in each
+  * of the m+1 intervals defined by m split points.
+  */
+case class DsKllPmf(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override protected def nullSafeEval(s: Any, splits: Any): Any = {
+    val buf = Quantiles.deserialize(s.asInstanceOf[Array[Byte]])
+    val pts = splits.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray()
+    val cdf = pts.map(p => Quantiles.rank(buf, p)) :+ 1.0
+    val pmf = new Array[Double](cdf.length)
+    var prev = 0.0
+    var i = 0
+    while (i < cdf.length) { pmf(i) = cdf(i) - prev; prev = cdf(i); i += 1 }
+    new GenericArrayData(pmf)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(l, r)
+  override def prettyName: String = "ds_kll_pmf"
+}
+
+/** `ds_hll_stringify(sketch)` → STRING human-readable summary
+  * (`datasketches-functions-ir.cc` DsHllStringify — summary-level, not
+  * byte-format, compat).
+  */
+case class DsHllStringify(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = {
+    val reg = v.asInstanceOf[Array[Byte]]
+    val nonzero = reg.count(_ != 0)
+    UTF8String.fromString(
+      s"HLL(p=${Hll.P}, estimate=${Hll.estimate(reg)}, nonzero=$nonzero)")
+  }
+  override protected def withNewChildInternal(c: Expression): DsHllStringify =
+    copy(c)
+  override def prettyName: String = "ds_hll_stringify"
 }
 
 /** `ds_kll_n(sketch)` → BIGINT number of values fed to the sketch. */

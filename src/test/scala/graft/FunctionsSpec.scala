@@ -165,6 +165,22 @@ class FunctionsSpec extends SparkSpecBase {
     assert(h == "10, 20, 30, 40, 50, 60, 70, 80, 90, 100")
   }
 
+  test("ds_kll_cdf/pmf and ds_hll_stringify") {
+    val b = Quantiles.create()
+    (1 to 100).foreach(i => Quantiles.insert(b, i.toDouble))
+    spark.sql("SELECT 1").count() // session init for function registry
+    val r = spark.sql(
+      """SELECT ds_kll_cdf(sk, array(25.0d, 50.0d, 75.0d)) cdf,
+                ds_kll_pmf(sk, array(25.0d, 50.0d, 75.0d)) pmf,
+                ds_hll_stringify(hs) s
+         FROM (SELECT ds_kll_sketch(id) sk, ds_hll_sketch(id) hs
+               FROM range(1, 101))""").head()
+    assert(r.getSeq[Double](0) == Seq(0.25, 0.5, 0.75, 1.0))
+    assert(r.getSeq[Double](1).sum == 1.0)
+    assert(r.getSeq[Double](1) == Seq(0.25, 0.25, 0.25, 0.25))
+    assert(r.getString(2).startsWith("HLL(p=10, estimate="))
+  }
+
   test("ds_kll sketch → quantile through SQL") {
     val r = sql1(
       s"""SELECT ds_kll_n(sk), ds_kll_quantile(sk, CAST(0.5 AS DOUBLE))

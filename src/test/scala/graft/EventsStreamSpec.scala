@@ -53,6 +53,21 @@ class EventsStreamSpec extends SparkSpecBase {
     assert(streamed == batch)
   }
 
+  test("flatMapGroupsWithState sessionize == batch lag/running-sum sessionization") {
+    val events = GraftSession.table(spark, sfDir, "events")
+    val stateful = EventsStream.sessionize(spark, events)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum($"n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // reference: the oracle-checked batch sessionization (q_events_session)
+    val batch = SparkEntry.queries("q_events_session")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stateful.keySet == batch.keySet)
+    stateful.foreach { case (u, (n, e)) =>
+      assert(batch(u) == ((n, e)), s"user $u: stateful=($n,$e) batch=${batch(u)}")
+    }
+  }
+
   test("session_window agg bounds sessions by gap") {
     import java.sql.Timestamp
     val evs = Seq(

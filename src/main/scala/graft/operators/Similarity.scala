@@ -85,6 +85,93 @@ object Similarity {
     df.select(col(idCol), col(vecCol), array(cols: _*).as("buckets"))
   }
 
+  /** IVF (inverted-file) index: k-means coarse quantizer over a sample,
+    * then every vector assigned to its nearest centroid's list. At scale
+    * the corpus is written partitioned by `ivf_cell`, so a probe reads
+    * only nprobe cells (partition pruning does the file skipping).
+    *
+    * Centroids are driver-side — they are k·dim doubles (tiny, like any
+    * broadcast dimension table); assignment is a broadcast map-side pass,
+    * no shuffle of the corpus.
+    */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, iters: Int = 5, sampleN: Int = 2048,
+      seed: Long = 11L): (DataFrame, Array[Array[Double]]) = {
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    // deterministic init: first k vectors by id order
+    var centroids: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val sample = df.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    val cLit = typedlit(centroids.map(_.toSeq).toSeq)
+    val n2Lit = typedlit(centroids.map(c => c.map(x => x * x).sum).toSeq)
+    // argmin over c of ||v-c||² ≡ argmin(||c||² - 2 c·v)  (v·v constant/row)
+    val withDists = df.withColumn("ivf_dists",
+      zip_with(cLit, n2Lit, (c, n2) =>
+        n2 - lit(2.0) * call_function("vec_dot", c, col(vecCol))))
+      .withColumn("ivf_cell",
+        (array_position(transform(col("ivf_dists"),
+          d => d === array_min(col("ivf_dists"))), true) - 1).cast("int"))
+      .drop("ivf_dists")
+    (withDists, centroids)
+  }
+
+  private[graft] def nearestCentroid(v: Array[Double],
+      cs: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      var d = 0.0
+      var i = 0
+      val cc = cs(c)
+      while (i < v.length) { val t = v(i) - cc(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF top-k: probe the `nprobe` cells nearest to the query vector and
+    * exact-rerank only those lists.
+    */
+  def ivfTopK(indexed: DataFrame, centroids: Array[Array[Double]],
+      idCol: String, vecCol: String, queryId: Long, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val q = indexed.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qvec"))
+    val qVec = q.head().getSeq[Float](0).map(_.toDouble).toArray
+    val cells = centroids.indices
+      .sortBy { c =>
+        var d = 0.0
+        var i = 0
+        while (i < qVec.length) { val t = qVec(i) - centroids(c)(i); d += t * t; i += 1 }
+        d
+      }
+      .take(nprobe)
+    indexed.filter(col("ivf_cell").isin(cells: _*) && col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos_sim"))
+      .orderBy(desc_nulls_last("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k: for each of the L tables, probe the query's bucket plus
     * all Hamming-distance-1 buckets (multi-probe); union the candidates;
     * exact cosine re-rank on candidates only.

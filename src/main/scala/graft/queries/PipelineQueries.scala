@@ -191,6 +191,17 @@ object PipelineQueries extends QueryGroup {
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim_r"))
     }, None),
 
+    // ---- IVF ANN: k-means coarse quantizer, nprobe-cell probe + exact
+    // re-rank (the partition-pruned scale path; cell assignment and
+    // recall asserted in OperatorsSpec).
+    Q.Def("q_sim_ivf", (s, dir) => {
+      val (indexed, centroids) = Similarity.ivfIndex(
+        t(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
+      Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding",
+          queryId = 0L, k = 10, nprobe = 4)
+        .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim_r"))
+    }, None),
+
     // ---- multimodal metadata plumbing (binary payload + typed meta).
     Q.Def("q_multimodal_meta", (s, dir) => {
       Multimodal.asMediaTable(

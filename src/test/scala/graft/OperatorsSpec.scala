@@ -133,6 +133,47 @@ class OperatorsSpec extends SparkSpecBase {
     assert(!ann.contains(0L))
   }
 
+  test("IVF index: cells partition the corpus; probe finds the planted twin") {
+    val dim = 64
+    def splitmix(seed: Long): Iterator[Double] = new Iterator[Double] {
+      var x = seed
+      def hasNext = true
+      def next(): Double = {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z ^ (z >>> 31)) >>> 11) * (2.0 / (1L << 53)) - 1.0
+      }
+    }
+    val base = splitmix(1L).take(dim).toArray
+    val rows = (0L to 60L).map { id =>
+      val v =
+        if (id == 0L) base
+        else if (id == 1L) base.zip(splitmix(id).take(dim).toSeq)
+          .map { case (b, n) => b + 0.02 * n }
+        else splitmix(id).take(dim).toArray
+      (id, v.map(_.toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "vec")
+    val (indexed, centroids) = Similarity.ivfIndex(corpus, "vec_id", "vec",
+      k = 8, iters = 4, sampleN = 61)
+    // every row got a valid cell
+    val cells = indexed.select("ivf_cell").collect().map(_.getInt(0))
+    assert(cells.forall(c => c >= 0 && c < 8))
+    assert(cells.distinct.length > 1) // corpus actually partitioned
+    // the near-identical twin lands in the query's cell → found at nprobe 1
+    val top = Similarity.ivfTopK(indexed, centroids, "vec_id", "vec",
+      queryId = 0L, k = 3, nprobe = 1).collect().map(_.getLong(0))
+    assert(top.contains(1L), top.toSeq)
+    // assignment agrees with the driver-side nearest-centroid rule
+    val arr = indexed.select("vec_id", "vec", "ivf_cell").collect()
+    arr.foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble).toArray
+      assert(r.getInt(2) == Similarity.nearestCentroid(v, centroids))
+    }
+  }
+
   // --- text analysis ---------------------------------------------------
 
   test("token counts and ratios") {

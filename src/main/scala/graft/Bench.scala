@@ -19,8 +19,10 @@ object Bench {
   private val headline: Seq[String] =
     (1 to 22).map(i => s"tpch_q$i") ++ Seq(
       "q_events_session", "q_events_tumbling",
-      "q_dedup_minhash", "q_dedup_ngram", "q_sim_ann",
-      "q_text_stats", "q_lang_id", "q_fingerprint")
+      "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
+      "q_sim_ann", "q_sim_ivf",
+      "q_text_stats", "q_lang_id", "q_fingerprint",
+      "q_sketch_hll", "q_nested_array_struct", "q_window_running")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -150,6 +150,35 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   override def prettyName: String = "minhash_signature"
 }
 
+/** `simhash_text(text)` → BIGINT: lowercase → whitespace-split → murmur
+  * per token → 64-bit SimHash, one pass (replaces an interpreted
+  * transform(split(...), w -> xxhash64(w)) per-word lambda).
+  */
+case class SimHashText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(v: Any): Any =
+    SimHashText.compute(v.toString)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SimHashText.compute($c.toString())")
+  override protected def withNewChildInternal(c: Expression): SimHashText =
+    copy(child = c)
+  override def prettyName: String = "simhash_text"
+}
+
+object SimHashText {
+  def compute(text: String): Long = {
+    val words = text.trim.toLowerCase.split("\\s+")
+    val hashes = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      hashes(i) = HashImpls.murmur(words(i).getBytes("UTF-8"))
+      i += 1
+    }
+    MinHashImpl.simhash64(hashes)
+  }
+}
+
 /** `simhash64(hashes)` → BIGINT packed SimHash bits. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

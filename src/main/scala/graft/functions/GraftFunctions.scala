@@ -56,6 +56,7 @@ object GraftFunctions {
       a(1).eval().asInstanceOf[Number].intValue,
       a(2).eval().asInstanceOf[Number].longValue)),
     "simhash64" -> (a => SimHash64(a.head)),
+    "simhash_text" -> (a => SimHashText(a.head)),
     // vector kernels (graft.operators.Similarity)
     "vec_dot" -> (a => VecDot(a(0), a(1))),
     "vec_cosine" -> (a => VecCosine(a(0), a(1))),

@@ -99,8 +99,7 @@ object Dedup {
       chunks: Int = 4): DataFrame = {
     val chunkLen = 64 / chunks
     val mask = (1L << chunkLen) - 1
-    val sim = call_function("simhash64",
-      transform(split(lower(trim(col(textCol))), "\\s+"), w => xxhash64(w)))
+    val sim = call_function("simhash_text", col(textCol))
     df.select(col(idCol).as("id"), sim.as("sim"))
       .select(col("id"), col("sim"),
         array((0 until chunks).map(c =>

@@ -69,21 +69,20 @@ object TpchQueries extends QueryGroup {
     // decorrelated Spark-side into a broadcast-able min-per-part join).
     // partsupp.ps_supplycost → min unit price from lineitem.
     Q.Def("tpch_q2", (s, dir) => {
-      val eurCost = t(s, dir, "lineitem")
+      // correlated min decorrelated as a window min over l_partkey —
+      // one pass over the joined stream instead of re-joining a
+      // separately aggregated min-cost table
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+      t(s, dir, "part")
+        .filter(col("p_size") === 15 && col("p_type") === "SMALL")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
         .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
           col("n_regionkey") === col("r_regionkey"))
-        .select(col("l_partkey"), col("l_suppkey"),
-          (col("l_extendedprice") / col("l_quantity")).as("cost"),
-          col("s_acctbal"), col("s_name"), col("n_name"))
-      val minCost = eurCost.groupBy(col("l_partkey").as("mc_partkey"))
-        .agg(min(col("cost")).as("min_cost"))
-      t(s, dir, "part")
-        .filter(col("p_size") === 15 && col("p_type") === "SMALL")
-        .join(eurCost, col("p_partkey") === col("l_partkey"))
-        .join(minCost, col("p_partkey") === col("mc_partkey") &&
-          col("cost") === col("min_cost"))
+        .withColumn("cost", col("l_extendedprice") / col("l_quantity"))
+        .withColumn("min_cost", min(col("cost")).over(w))
+        .filter(col("cost") === col("min_cost"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"),
           col("p_partkey"), col("p_name")).distinct()
         .orderBy(desc_nulls_first("s_acctbal"), asc_nulls_last("n_name"),

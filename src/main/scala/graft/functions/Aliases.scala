@@ -127,6 +127,11 @@ object Aliases {
     "mask_show_last_n" -> (a => maskShowLastN(a)),
     // ---- aggregates (fe/.../catalog/BuiltinsDb.java:913-1288)
     "ndv" -> (a => call("approx_count_distinct", a.head)),
+    // legacy probabilistic-counting names (aggregate-functions.h Pc*/Pcsa*)
+    // and sampled_ndv (BuiltinsDb.java:1086) — all HLL-backed here
+    "pc" -> (a => call("approx_count_distinct", a.head)),
+    "pcsa" -> (a => call("approx_count_distinct", a.head)),
+    "sampled_ndv" -> (a => call("approx_count_distinct", a.head)),
     "appx_median" -> (a => call("percentile_approx", a.head, lit(0.5), lit(10000))),
     "group_concat" -> (a =>
       if (a.length == 1) call("concat_ws", lit(", "), call("collect_list", a.head))

@@ -122,6 +122,27 @@ object SketchQueries extends QueryGroup {
         .orderBy(col("s_nationkey"))
     }, None),
 
+    // ---- Impala-dialect SQL through the shim (ImpalaDialect.sql):
+    // plain ORDER BY must sort NULLS LAST ascending (the Impala default,
+    // opposite of Spark's) — oracle spells it explicitly.
+    Q.Def("q_impala_dialect", (s, dir) => {
+      graft.GraftSession.registerAll(s, dir)
+      graft.ImpalaDialect.sql(s, """
+        SELECT s_suppkey, nullif(s_nationkey, 7) AS nk,
+               strleft(s_name, 12) AS sn,
+               CAST('2024-02-29 13:45:59' AS TIMESTAMP
+                 FORMAT 'YYYY-MM-DD HH24:MI:SS') AS ts_fmt
+        FROM supplier
+        ORDER BY nk, s_suppkey""")
+        .withColumn("ts_fmt", date_format(col("ts_fmt"), "yyyy-MM-dd HH:mm:ss"))
+    }, Some("""
+      SELECT s_suppkey, nullif(s_nationkey, 7) AS nk,
+             LEFT(s_name, 12) AS sn,
+             '2024-02-29 13:45:59' AS ts_fmt
+      FROM supplier
+      ORDER BY nk ASC NULLS LAST, s_suppkey ASC NULLS LAST"""
+    )),
+
     // ---- ordered group_concat (BuiltinsDb.java:1277-1288 StringConcat;
     // Impala's is input-order-dependent → deterministic sorted variant,
     // oracle-checked vs DuckDB string_agg ORDER BY).

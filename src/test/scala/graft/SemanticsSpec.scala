@@ -96,6 +96,21 @@ class SemanticsSpec extends SparkSpecBase {
     assert(r.map(_.getString(1)).toSeq == Seq("x", "y"))
   }
 
+  test("CREATE VIEW / temp view over fixtures (CreateViewStmt analog)") {
+    GraftSession.registerAll(spark, sfDir)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW big_orders AS
+                 SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_totalprice > 50000""")
+    val n = spark.sql("SELECT COUNT(*) FROM big_orders").head().getLong(0)
+    val direct = spark.sql(
+      "SELECT COUNT(*) FROM orders WHERE o_totalprice > 50000").head().getLong(0)
+    assert(n == direct && n > 0)
+    // views compose (view-on-view)
+    spark.sql("""CREATE OR REPLACE TEMP VIEW big_orders2 AS
+                 SELECT * FROM big_orders WHERE o_orderkey % 2 = 0""")
+    assert(spark.sql("SELECT COUNT(*) FROM big_orders2").head().getLong(0) <= n)
+  }
+
   test("INSERT INTO / INSERT OVERWRITE partitioned table (HdfsTableSink)") {
     val loc = java.nio.file.Files.createTempDirectory("graft_ins").toString
     spark.sql("DROP TABLE IF EXISTS graft_ins_t")

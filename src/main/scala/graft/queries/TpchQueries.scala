@@ -610,18 +610,21 @@ object TpchQueries extends QueryGroup {
     // over self-joined lineitem → semi + anti joins; late = shipped
     // >180 days after order date, status F).
     Q.Def("tpch_q21", (s, dir) => {
+      // l1 (late line of a status-F order) and l3 (another supplier's
+      // late line of the SAME order) are the same relation — the NOT
+      // EXISTS order is l1's order, so its status filter is implied.
+      // One join builds both sides.
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
-      val l1 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
-        .select(col("l_orderkey").as("l1_orderkey"), col("l_suppkey").as("l1_suppkey"),
-          col("o_orderdate"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l1 = late.select(col("l_orderkey").as("l1_orderkey"),
+        col("l_suppkey").as("l1_suppkey"))
       val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
         col("l_suppkey").as("l2_suppkey"))
-      val l3 = li.join(t(s, dir, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
-        .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
+      val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
+        col("l_suppkey").as("l3_suppkey"))
       l1
         .join(l2, col("l2_orderkey") === col("l1_orderkey") &&
           col("l2_suppkey") =!= col("l1_suppkey"), "left_semi")

@@ -161,6 +161,34 @@ object CoreQueries extends QueryGroup {
       ORDER BY nk ASC NULLS LAST, s_acctbal DESC NULLS FIRST, s_suppkey ASC NULLS LAST"""
     )),
 
+    // ---- PartialSortNode (be/src/exec/partial-sort-node.h:67,
+    // TSortType PARTIAL): per-partition sort, no global order. The
+    // oracle compares content (the driver sort-normalizes), which is
+    // exactly the PARTIAL contract — rows unchanged, order local.
+    Q.Def("q_partial_sort", (s, dir) => {
+      t(s, dir, "lineitem")
+        .repartition(8, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .filter(col("l_orderkey") < 3000)
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity
+      FROM lineitem
+      WHERE l_orderkey < 3000"""
+    )),
+
+    // ---- exchange semantics (krpc-data-stream-sender.cc HASH/RANDOM
+    // partitioning): repartitioning must be content-preserving.
+    Q.Def("q_exchange_repartition", (s, dir) => {
+      t(s, dir, "orders")
+        .repartition(16, col("o_custkey"))
+        .groupBy(spark_partition_id().as("pid"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).cast("int").as("n_partitions"),
+          sum(col("n")).as("total_rows"),
+          max(col("n")).as("max_part"))
+    }, None),
+
     // ---- deterministic TABLESAMPLE analog (TableSampleClause.java:27-30):
     // hash-free modulus sample so Spark and the oracle agree exactly.
     Q.Def("q_sample_det", (s, dir) => {

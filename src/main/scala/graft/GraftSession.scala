@@ -79,6 +79,15 @@ object GraftSession {
     }
   }
 
+  /** One-call Impala-compat entry (the "ImpalaSession" facade of
+    * SURVEY §7.1): tables registered, parity confs + function layer
+    * applied, Impala-dialect SQL executed.
+    */
+  def sql(spark: SparkSession, dir: String, impalaSql: String) = {
+    registerAll(spark, dir)
+    ImpalaDialect.sql(spark, impalaSql)
+  }
+
   /** COMPUTE STATS analog (`fe/.../analysis/ComputeStatsStmt.java` →
     * `ANALYZE TABLE ... COMPUTE STATISTICS FOR ALL COLUMNS`): registers
     * the fixture tables as *cataloged* external tables and collects

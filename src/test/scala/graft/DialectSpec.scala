@@ -42,6 +42,12 @@ class DialectSpec extends SparkSpecBase {
     assert(ImpalaDialect.translateFormat("DY DD MON YYYY") == "EEE dd MMM yyyy")
   }
 
+  test("GraftSession.sql one-call facade") {
+    val r = GraftSession.sql(spark, sfDir,
+      "SELECT ndv(c_custkey) AS n FROM customer").head().getLong(0)
+    assert(r > 0)
+  }
+
   test("Impala grammar Spark already accepts passes through") {
     GraftSession.registerAll(spark, sfDir)
     val r = ImpalaDialect.sql(spark,

@@ -110,6 +110,38 @@ object EventsQueries extends QueryGroup {
       ORDER BY event_type, day"""
     )),
 
+    // ---- backward as-of join (operators.Temporal, composed
+    // union→window→filter): each view event picks up the user's most
+    // recent purchase at-or-before it. Oracle: DuckDB's native
+    // ASOF LEFT JOIN — strong cross-engine check of the semantics.
+    Q.Def("q_events_asof", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      graft.operators.Temporal.asofJoinBackward(
+          views, purchases, "user_id", "ts", "ts",
+          Seq("purchase_id", "purchase_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+          col("purchase_id"),
+          round(col("purchase_value").cast("double"), 2).as("purchase_value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT v.event_id, v.user_id,
+             STRFTIME(v.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+             p.purchase_id, ROUND(p.purchase_value, 2) AS purchase_value
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'view') v
+      ASOF LEFT JOIN (SELECT user_id, ts, event_id AS purchase_id,
+                             value AS purchase_value
+                      FROM events WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id AND v.ts >= p.ts
+      ORDER BY v.event_id"""
+    )),
+
     // ---- write path: dynamic-partitioned parquet CTAS (HdfsTableSink
     // semantics: INSERT OVERWRITE ... PARTITION (event_type)), then read
     // back and aggregate — the oracle computes the same from the source,

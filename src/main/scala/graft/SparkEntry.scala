@@ -14,6 +14,7 @@ object SparkEntry {
   private def groups: Seq[QueryGroup] = Seq(
     CoreQueries,
     TpchQueries,
+    TpcdsQueries,
     JoinQueries,
     SetOpQueries,
     AggQueries,

@@ -75,13 +75,23 @@ object ImpalaDialect {
       java.util.regex.Matcher.quoteReplacement(repl)
     })
 
-  /** Run Impala-dialect SQL: format-cast rewrite, parse, then flip every
-    * sort key to Impala's default NULL ordering.
+  /** Impala bracketed plan hints (`[BROADCAST]`/`[SHUFFLE]` after JOIN —
+    * `fe/.../analysis/PlanHint.java`) aren't Spark grammar. They are
+    * advisory; AQE makes the distribution decision instead, so dialect
+    * mode strips them (comment-style plus-hints already parse).
+    */
+  private val bracketHintRe = """(?i)\[\s*(BROADCAST|SHUFFLE|NOSHUFFLE)\s*\]""".r
+
+  def stripBracketHints(sql: String): String =
+    bracketHintRe.replaceAllIn(sql, "")
+
+  /** Run Impala-dialect SQL: hint strip + format-cast rewrite, parse,
+    * then flip every sort key to Impala's default NULL ordering.
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftSession.tune(spark)
     val plan = org.apache.spark.sql.graft.Bridge.parsePlan(
-      spark, rewriteCastFormat(text))
+      spark, rewriteCastFormat(stripBracketHints(text)))
     val impalaSorted = plan.transformAllExpressions {
       case SortOrder(c, Ascending, NullsFirst, same) =>
         SortOrder(c, Ascending, NullsLast, same)

@@ -53,4 +53,35 @@ object Temporal {
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
         payloadCols.map(c => col(s"__f.$c").as(c)): _*)
   }
+
+  /** Forward as-of join: earliest right row with `rightTs >= leftTs`
+    * (mirror of [[asofJoinBackward]]; ties match).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payloadStruct = struct(payloadCols.map(col): _*)
+    val payloadType = right.select(payloadStruct).schema.head.dataType
+    val l = left.select(
+      col(key).as("__k") +: col(leftTs).as("__ts") +:
+        lit(1).as("__src") +:
+        lit(null).cast(payloadType).as("__p") +:
+        leftCols.map(c => col(c).as(s"__l_$c")): _*)
+    val r = right.select(
+      col(key).as("__k") +: col(rightTs).as("__ts") +:
+        lit(2).as("__src") +:
+        payloadStruct.as("__p") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c")): _*)
+    // scan time DESCENDING; right rows (src 2) sort after left at equal
+    // ts in descending src order → ties match
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(desc_nulls_last("__ts"), desc_nulls_last("__src"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("__f", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__src") === 1)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
+        payloadCols.map(c => col(s"__f.$c").as(c)): _*)
+  }
 }

@@ -42,6 +42,15 @@ class DialectSpec extends SparkSpecBase {
     assert(ImpalaDialect.translateFormat("DY DD MON YYYY") == "EEE dd MMM yyyy")
   }
 
+  test("Impala bracketed join hints are stripped") {
+    GraftSession.registerAll(spark, sfDir)
+    val r = ImpalaDialect.sql(spark,
+      """SELECT COUNT(*) FROM nation n JOIN [BROADCAST] region r
+         ON n.n_regionkey = r.r_regionkey""").head().getLong(0)
+    assert(r == 25)
+    assert(ImpalaDialect.stripBracketHints("JOIN [SHUFFLE] t") == "JOIN  t")
+  }
+
   test("GraftSession.sql one-call facade") {
     val r = GraftSession.sql(spark, sfDir,
       "SELECT ndv(c_custkey) AS n FROM customer").head().getLong(0)

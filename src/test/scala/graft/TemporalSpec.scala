@@ -37,6 +37,23 @@ class TemporalSpec extends SparkSpecBase {
     assert(joined("t3") == ((Some(200.0), Some(3L)))) // 10:00:06, not 08
   }
 
+  test("forward as-of: earliest right row at-or-after each left row") {
+    val l = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "a"),
+      (1L, ts("2024-01-01 10:00:10"), "b"), // tie with q at 10
+      (1L, ts("2024-01-01 10:00:20"), "c"), // nothing after
+    ).toDF("k", "ts", "id")
+    val r = Seq(
+      (1L, ts("2024-01-01 10:00:10"), 7L),
+      (1L, ts("2024-01-01 10:00:01"), 5L), // before everything
+    ).toDF("k", "ts", "qid")
+    val j = Temporal.asofJoinForward(l, r, "k", "ts", "ts", Seq("qid"))
+      .collect().map(x => x.getString(2) -> Option(x.get(3))).toMap
+    assert(j("a") == Some(7L))
+    assert(j("b") == Some(7L)) // tie matches
+    assert(j("c") == None)
+  }
+
   test("payload atomicity: both columns come from the same right row") {
     val l = Seq((1L, ts("2024-01-01 00:00:10"), "x")).toDF("k", "ts", "id")
     val r = Seq(

@@ -54,6 +54,32 @@ object Temporal {
         payloadCols.map(c => col(s"__f.$c").as(c)): _*)
   }
 
+  /** Range (interval-containment) join: left rows with `leftTs` inside
+    * `[rightStart, rightEnd]` of same-key right rows. A plain theta join
+    * would be a per-key nested loop (`BroadcastNestedLoopJoin` — the
+    * reference's NestedLoopJoinNode path); instead both sides bucket by
+    * time (`bucketMs`), the right interval explodes into the buckets it
+    * covers, and an equi-join on (key, bucket) + residual BETWEEN does
+    * the rest. Shuffle cost: O(rows × avg interval/bucketMs) — pick
+    * bucketMs near the typical interval length.
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightStart: String, rightEnd: String,
+      bucketMs: Long): DataFrame = {
+    // NTZ columns cast through the session zone (pinned UTC) for epoch math
+    def millis(c: String) = unix_millis(col(c).cast("timestamp"))
+    val lb = left.withColumn("__bucket",
+      (millis(leftTs) / bucketMs).cast("long"))
+    val rb = right.withColumn("__bucket",
+      explode(sequence(
+        (millis(rightStart) / bucketMs).cast("long"),
+        (millis(rightEnd) / bucketMs).cast("long"))))
+    lb.join(rb,
+        lb(key) === rb(key) && lb("__bucket") === rb("__bucket") &&
+          col(leftTs).between(col(rightStart), col(rightEnd)))
+      .drop(rb(key)).drop("__bucket")
+  }
+
   /** Forward as-of join: earliest right row with `rightTs >= leftTs`
     * (mirror of [[asofJoinBackward]]; ties match).
     */

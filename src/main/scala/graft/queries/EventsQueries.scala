@@ -142,6 +142,29 @@ object EventsQueries extends QueryGroup {
       ORDER BY v.event_id"""
     )),
 
+    // ---- bucketed range join (operators.Temporal.rangeJoin): lineitems
+    // shipped within 180 days of their order date — equi-key + interval
+    // containment without a nested-loop join. Oracle: plain BETWEEN join.
+    Q.Def("q_range_join", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+          (col("o_orderdate") + expr("INTERVAL 180 DAYS")).as("o_deadline"))
+      graft.operators.Temporal.rangeJoin(li, ord, "l_orderkey",
+          "l_shipdate", "o_orderdate", "o_deadline",
+          bucketMs = 30L * 24 * 3600 * 1000)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy(col("l_orderkey"))
+    }, Some("""
+      SELECT l_orderkey, COUNT(*) AS n_in_window
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 180 DAY
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey"""
+    )),
+
     // ---- write path: dynamic-partitioned parquet CTAS (HdfsTableSink
     // semantics: INSERT OVERWRITE ... PARTITION (event_type)), then read
     // back and aggregate — the oracle computes the same from the source,

@@ -54,6 +54,27 @@ class TemporalSpec extends SparkSpecBase {
     assert(j("c") == None)
   }
 
+  test("rangeJoin == plain theta join on interval containment") {
+    val points = Seq(
+      (1L, ts("2024-01-01 00:10:00"), "p1"),
+      (1L, ts("2024-01-01 05:00:00"), "p2"),
+      (2L, ts("2024-01-01 00:10:00"), "p3"),
+    ).toDF("k", "ts", "pid")
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 01:00:00"), "i1"),
+      (1L, ts("2024-01-01 04:00:00"), ts("2024-01-01 06:00:00"), "i2"),
+      (2L, ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00"), "i3"),
+    ).toDF("k", "start", "end", "iid")
+    val got = graft.operators.Temporal.rangeJoin(points, intervals, "k",
+        "ts", "start", "end", bucketMs = 15 * 60 * 1000)
+      .select("pid", "iid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val expect = points.join(intervals, points("k") === intervals("k") &&
+        points("ts").between(intervals("start"), intervals("end")))
+      .select("pid", "iid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == expect)
+    assert(got == Set(("p1", "i1"), ("p2", "i2"))) // p3 outside i3
+  }
+
   test("payload atomicity: both columns come from the same right row") {
     val l = Seq((1L, ts("2024-01-01 00:00:10"), "x")).toDF("k", "ts", "id")
     val r = Seq(

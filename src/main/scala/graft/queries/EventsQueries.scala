@@ -42,6 +42,26 @@ object EventsQueries extends QueryGroup {
       ORDER BY hour_start, event_type"""
     )),
 
+    // ---- sliding windows (1h length, 15m slide): each event lands in 4
+    // overlapping windows. The oracle enumerates the same 4 aligned
+    // starts per event — pinning Spark's window() slide semantics.
+    Q.Def("q_events_sliding", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("win_start"), col("event_type"), col("n"))
+        .orderBy(col("win_start"), col("event_type"))
+    }, Some("""
+      SELECT STRFTIME(to_timestamp(
+               CAST(FLOOR(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900),
+               '%Y-%m-%d %H:%M:%S') AS win_start,
+             event_type, COUNT(*) AS n
+      FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+      GROUP BY 1, 2
+      ORDER BY win_start, event_type"""
+    )),
+
     // ---- sessionization: 30-minute inactivity gap, lag + running-sum
     // session ids, per-user session stats.
     Q.Def("q_events_session", (s, dir) => {

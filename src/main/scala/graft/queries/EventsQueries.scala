@@ -105,6 +105,41 @@ object EventsQueries extends QueryGroup {
       ORDER BY user_id"""
     )),
 
+    // ---- native session_window (gap 30m) pinned against an independent
+    // lag/running-sum derivation in the oracle: same sessions, same
+    // bounds, same per-session counts.
+    Q.Def("q_events_session_window", (s, dir) => {
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"))
+        .select(col("user_id"),
+          date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+            .as("sess_start"),
+          col("n_events"), col("value_sum"))
+        .orderBy(col("user_id"), col("sess_start"))
+    }, Some("""
+      WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER w)
+                         > 1800 * 1000000 THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sess AS (
+        SELECT user_id, ts, value,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM flagged)
+      SELECT user_id,
+             STRFTIME(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+      FROM sess
+      GROUP BY user_id, sid
+      ORDER BY user_id, sess_start"""
+    )),
+
     // ---- funnel-ish: per event_type daily counts with day-over-day
     // delta (lag over aggregated series).
     Q.Def("q_events_daily_delta", (s, dir) => {

@@ -135,6 +135,71 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"))
       .filter(col("n_copies") > 1)
 
+  /** Distinct word n-gram shingle *strings* — the exact-Jaccard
+    * verification path ([[shingleHashes]] is the hashed scale path).
+    */
+  def shingleSet(text: Column, n: Int = 3): Column =
+    array_distinct(shingles(text, n))
+
+  /** Exact n-gram Jaccard over every pair of a corpus slice. O(n²)
+    * pairs: this is the verification-grade kernel for a *blocked*
+    * candidate set — at 100 TB the pair space must be pruned first
+    * (LSH bands, [[ngramJaccardPairs]]' inverted index, or IVF cells);
+    * here the blocking predicate is the caller's id bound.
+    */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.2): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      shingleSet(col(textCol), shingleN).as("s"))
+    sh.select(col("id").as("id1"), col("s").as("s1"))
+      .join(sh.select(col("id").as("id2"), col("s").as("s2")),
+        col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (size(array_intersect(col("s1"), col("s2"))).cast("double") /
+          size(array_union(col("s1"), col("s2")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs, exact: norms once per row
+    * (map-side, no shuffle), then a pair join verified by the native
+    * dot kernel. The pair space is O(n²) — use [[embedDupPairsIvf]]
+    * to block by coarse-quantizer cell at scale.
+    */
+  def embedDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val w = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      call_function("vec_norm", col(vecCol)).as("nrm"))
+    w.select(col("id").as("id1"), col("v").as("v1"), col("nrm").as("n1"))
+      .join(w.select(col("id").as("id2"), col("v").as("v2"),
+        col("nrm").as("n2")), col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (call_function("vec_dot", col("v1"), col("v2")) /
+          (col("n1") * col("n2"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Embedding near-dup at scale: block pairs by IVF cell (each vector
+    * joins only within its own coarse-quantizer cell), then exact-verify
+    * with the dot kernel. Equi-join on `ivf_cell` shuffles each cell's
+    * vectors together — pair work drops from O(n²) to Σ|cell|²; recall
+    * vs [[embedDupPairs]] is asserted in OperatorsSpec.
+    */
+  def embedDupPairsIvf(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 16): DataFrame = {
+    val (indexed, _) = Similarity.ivfIndex(df, idCol, vecCol, k)
+    val w = indexed.select(col(idCol).as("id"), col(vecCol).as("v"),
+      col("ivf_cell"), call_function("vec_norm", col(vecCol)).as("nrm"))
+    w.select(col("ivf_cell"), col("id").as("id1"), col("v").as("v1"),
+        col("nrm").as("n1"))
+      .join(w.select(col("ivf_cell"), col("id").as("id2"),
+        col("v").as("v2"), col("nrm").as("n2")), Seq("ivf_cell"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        (call_function("vec_dot", col("v1"), col("v2")) /
+          (col("n1") * col("n2"))).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
   /** n-gram Jaccard all-pairs via inverted index with frequent-shingle
     * suppression (maxDocFreq caps the quadratic blowup on common n-grams).
     */

@@ -160,6 +160,55 @@ object PipelineQueries extends QueryGroup {
           .as("n_pairs_j30"))
     }, None),
 
+    // ---- exact n-gram Jaccard near-dup pairs over a bounded slice
+    // (the verification-grade dedup kernel; DuckDB recomputes the same
+    // distinct-shingle set algebra).
+    Q.Def("q_dedup_jaccard_pairs", (s, dir) => {
+      Dedup.jaccardPairsExact(
+          t(s, dir, "documents").filter(col("doc_id") <= 200),
+          "doc_id", "text", shingleN = 3, threshold = 0.2)
+        .select(col("id1"), col("id2"), round(col("jaccard"), 6).as("jaccard_r"))
+        .orderBy(col("id1"), col("id2"))
+    }, Some("""
+      WITH words AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w
+        FROM documents WHERE doc_id <= 200),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN LEN(w) < 3 THEN [ARRAY_TO_STRING(w, ' ')]
+               ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                 i -> ARRAY_TO_STRING(w[i:i+2], ' '))) END AS s
+        FROM words)
+      SELECT id1, id2, ROUND(j, 6) AS jaccard_r FROM (
+        SELECT a.doc_id AS id1, b.doc_id AS id2,
+          CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+            / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) AS j
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id) t
+      WHERE j >= 0.2
+      ORDER BY id1, id2"""
+    )),
+
+    // ---- embedding-cosine near-dup pairs (exact; norms precomputed
+    // map-side, native dot kernel on the pair join — bit-identical to
+    // DuckDB's sequential double arithmetic).
+    Q.Def("q_dedup_embed", (s, dir) => {
+      Dedup.embedDupPairs(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.45)
+        .select(col("id1"), col("id2"), round(col("cos_sim"), 3).as("cos_sim_r"))
+        .orderBy(col("id1"), col("id2"))
+    }, Some("""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings)
+      SELECT id1, id2, ROUND(sim, 3) AS cos_sim_r FROM (
+        SELECT a.vec_id AS id1, b.vec_id AS id2,
+          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(a.embedding, b.embedding),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * SQRT(LIST_SUM(LIST_TRANSFORM(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM e a, e b WHERE a.vec_id < b.vec_id) t
+      WHERE sim >= 0.45
+      ORDER BY id1, id2"""
+    )),
+
     // ---- brute-force cosine top-k against vec_id 0 (exact re-rank path;
     // DuckDB recomputes the same double-precision dot product).
     Q.Def("q_sim_bruteforce", (s, dir) => {

@@ -174,6 +174,51 @@ class OperatorsSpec extends SparkSpecBase {
     }
   }
 
+  test("embedDupPairs exact vs IVF-blocked: twins found, IVF recall on planted pairs") {
+    val dim = 64
+    def splitmix(seed: Long): Iterator[Double] = new Iterator[Double] {
+      var x = seed
+      def hasNext = true
+      def next(): Double = {
+        x += 0x9e3779b97f4a7c15L
+        var z = x
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        ((z ^ (z >>> 31)) >>> 11) * (2.0 / (1L << 53)) - 1.0
+      }
+    }
+    val base = splitmix(1L).take(dim).toArray
+    val rows = (0L to 60L).map { id =>
+      val v =
+        if (id == 0L) base
+        else if (id <= 2L) base.zip(splitmix(id).take(dim).toSeq)
+          .map { case (b, n) => b + 0.02 * n } // near-dups of 0
+        else splitmix(id).take(dim).toArray
+      (id, v.map(_.toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "vec")
+    val exact = Dedup.embedDupPairs(corpus, "vec_id", "vec", 0.9)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the three planted twins pair up pairwise, nothing else reaches 0.9
+    assert(exact == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // IVF blocking keeps the planted near-dup pairs (they share a cell)
+    val ivf = Dedup.embedDupPairsIvf(corpus, "vec_id", "vec", 0.9, k = 8)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(exact)) // blocking can only lose pairs, never invent
+    assert(ivf == exact, s"IVF lost pairs: ${exact.diff(ivf)}")
+  }
+
+  test("jaccardPairsExact matches hand-computed jaccard and finds near-dup") {
+    val pairs = Dedup.jaccardPairsExact(docs, "doc_id", "text", 3, 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // docs 1 & 4 identical → jaccard 1.0
+    assert(pairs((1L, 4L)) == 1.0)
+    // docs 1 & 2 differ in the last word: 11 shingles each, 10 shared
+    assert(math.abs(pairs((1L, 2L)) - 10.0 / 12.0) < 1e-12)
+    // unrelated docs below threshold
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((3L, 5L)))
+  }
+
   // --- text analysis ---------------------------------------------------
 
   test("token counts and ratios") {

@@ -75,15 +75,54 @@ object ImpalaDialect {
       java.util.regex.Matcher.quoteReplacement(repl)
     })
 
-  /** Impala bracketed plan hints (`[BROADCAST]`/`[SHUFFLE]` after JOIN —
-    * `fe/.../analysis/PlanHint.java`) aren't Spark grammar. They are
-    * advisory; AQE makes the distribution decision instead, so dialect
-    * mode strips them (comment-style plus-hints already parse).
+  /** Impala join-level plan hints (`fe/.../analysis/PlanHint.java`):
+    * the bracket form `JOIN [BROADCAST] t` and the comment form
+    * (slash-star +SHUFFLE star-slash after JOIN), neither of which is
+    * Spark grammar (Spark hints are SELECT-level plus-hints). Each join
+    * hint is lifted to the statement head on the hinted relation (alias
+    * when present): BROADCAST → BROADCAST(t), SHUFFLE → SHUFFLE_HASH(t)
+    * (Impala SHUFFLE means "partitioned join", DistributedPlanner.java:
+    * 479-575); NOSHUFFLE is dropped (AQE owns that decision).
+    * `SELECT STRAIGHT_JOIN` (SingleNodePlanner.java FROM-order fallback)
+    * is stripped — FROM order is already what Spark keeps when its CBO
+    * join reorder doesn't fire.
     */
-  private val bracketHintRe = """(?i)\[\s*(BROADCAST|SHUFFLE|NOSHUFFLE)\s*\]""".r
+  private val joinHintRe =
+    ("""(?i)JOIN\s*(?:\[\s*(BROADCAST|SHUFFLE|NOSHUFFLE)\s*\]|""" +
+      """/\*\s*\+\s*(BROADCAST|SHUFFLE|NOSHUFFLE)\s*\*/)\s*""" +
+      """([A-Za-z_][\w.]*)(\s+(?:AS\s+)?([A-Za-z_]\w*))?""").r
 
-  def stripBracketHints(sql: String): String =
-    bracketHintRe.replaceAllIn(sql, "")
+  private val sqlKeywords = Set("ON", "USING", "WHERE", "GROUP", "ORDER",
+    "HAVING", "LIMIT", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+    "UNION", "INTERSECT", "EXCEPT", "AS")
+
+  private val straightJoinRe = """(?i)\bSELECT\s+STRAIGHT_JOIN\b""".r
+
+  def rewriteHints(sql: String): String = {
+    val hints = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stripped = joinHintRe.replaceAllIn(sql, m => {
+      val hint = Option(m.group(1)).getOrElse(m.group(2)).toUpperCase
+      val table = m.group(3)
+      val alias = Option(m.group(5))
+        .filterNot(a => sqlKeywords.contains(a.toUpperCase))
+      val target = alias.getOrElse(table.split('.').last)
+      hint match {
+        case "BROADCAST" => hints += s"BROADCAST($target)"
+        case "SHUFFLE" => hints += s"SHUFFLE_HASH($target)"
+        case _ => // NOSHUFFLE: advisory no-op under AQE
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        s"JOIN $table${m.group(4) match { case null => ""; case s => s }}")
+    })
+    val noStraight = straightJoinRe.replaceAllIn(stripped, "SELECT")
+    if (hints.isEmpty) noStraight
+    else noStraight.replaceFirst("(?i)\\bSELECT\\b",
+      java.util.regex.Matcher.quoteReplacement(
+        s"SELECT /*+ ${hints.mkString(", ")} */"))
+  }
+
+  /** Back-compat name: round-1 callers knew this as a pure strip. */
+  def stripBracketHints(sql: String): String = rewriteHints(sql)
 
   /** Run Impala-dialect SQL: hint strip + format-cast rewrite, parse,
     * then flip every sort key to Impala's default NULL ordering.

@@ -133,9 +133,8 @@ object Aliases {
     "pcsa" -> (a => call("approx_count_distinct", a.head)),
     "sampled_ndv" -> (a => call("approx_count_distinct", a.head)),
     "appx_median" -> (a => call("percentile_approx", a.head, lit(0.5), lit(10000))),
-    "group_concat" -> (a =>
-      if (a.length == 1) call("concat_ws", lit(", "), call("collect_list", a.head))
-      else call("concat_ws", a(1), call("collect_list", a(0)))),
+    // group_concat lives in GraftFunctions as a true AggregateFunction
+    // (alias composition can't see the DISTINCT flag)
   )
 
   /** truncate(x[, d]): toward-zero rounding at d decimal places

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 
 /** Registration point for the Impala-compat function layer
   * (SURVEY.md §2.8/§2.4): name aliases over Spark built-ins
@@ -48,6 +48,12 @@ object GraftFunctions {
     "ds_kll_pmf" -> (a => DsKllPmf(a(0), a(1))),
     "ds_hll_stringify" -> (a => DsHllStringify(a.head)),
     "histogram" -> (a => HistogramAgg(a.head)),
+    // group_concat as a real AggregateFunction so DISTINCT resolves
+    // (BuiltinsDb.java:1277-1288)
+    "group_concat" -> (a => GroupConcat(
+      Cast(a.head, org.apache.spark.sql.types.StringType),
+      if (a.length > 1) a(1)
+      else Literal.create(", ", org.apache.spark.sql.types.StringType))),
     // dedup signature kernels (graft.operators.Dedup; k/seed must be
     // foldable literals)
     "shingle_hashes" -> (a => ShingleHashes(a(0),

@@ -139,6 +139,25 @@ object AggQueries extends QueryGroup {
       ORDER BY n_regionkey"""
     )),
 
+    // ---- group_concat(DISTINCT ...): resolves through the native
+    // GroupConcat AggregateFunction + Catalyst's distinct rewrite; the
+    // output set is order-unspecified, so both sides sort-normalize the
+    // element list before concatenation.
+    Q.Def("q_group_concat_distinct", (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(concat_ws(",", sort_array(split(
+          expr("group_concat(DISTINCT o_orderpriority, ';')"), ";")))
+          .as("prios"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus,
+             STRING_AGG(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""
+    )),
+
     // ---- min_by / max_by (Impala aggif internals) with a unique composite
     // ordering key for determinism.
     Q.Def("q_agg_minmaxby", (s, dir) => {

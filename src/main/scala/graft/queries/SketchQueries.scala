@@ -143,6 +143,31 @@ object SketchQueries extends QueryGroup {
       ORDER BY nk ASC NULLS LAST, s_suppkey ASC NULLS LAST"""
     )),
 
+    // ---- Impala join hints through the dialect shim: STRAIGHT_JOIN +
+    // bracket BROADCAST + comment SHUFFLE all lift to Spark hints
+    // (PlanHint.java / DistributedPlanner.java); result must equal the
+    // unhinted join.
+    Q.Def("q_impala_hints", (s, dir) => {
+      graft.GraftSession.registerAll(s, dir)
+      graft.ImpalaDialect.sql(s, """
+        SELECT STRAIGHT_JOIN r.r_name,
+               count(DISTINCT n.n_nationkey) AS n_nations,
+               count(*) AS n_customers
+        FROM nation n
+        JOIN [BROADCAST] region r ON n.n_regionkey = r.r_regionkey
+        JOIN /* +SHUFFLE */ customer c ON c.c_nationkey = n.n_nationkey
+        GROUP BY r.r_name
+        ORDER BY r.r_name""")
+    }, Some("""
+      SELECT r_name, count(DISTINCT n_nationkey) AS n_nations,
+             count(*) AS n_customers
+      FROM nation
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN customer ON c_nationkey = n_nationkey
+      GROUP BY r_name
+      ORDER BY r_name"""
+    )),
+
     // ---- ordered group_concat (BuiltinsDb.java:1277-1288 StringConcat;
     // Impala's is input-order-dependent → deterministic sorted variant,
     // oracle-checked vs DuckDB string_agg ORDER BY).

@@ -99,5 +99,19 @@ class AliasSpec extends SparkSpecBase {
       .head().getString(0)
     assert(gc.split("\\|").sorted.toSeq ==
       Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"))
+    // DISTINCT flows through the native AggregateFunction (round-1 gap:
+    // the alias-builder path dropped it)
+    val gcd = spark.sql(
+      """SELECT group_concat(DISTINCT n_regionkey, ',') FROM nation""")
+      .head().getString(0)
+    assert(gcd.split(",").sorted.toSeq == Seq("0", "1", "2", "3", "4"))
+    // empty group → NULL; nulls skipped; default separator ', '
+    assert(spark.sql(
+      "SELECT group_concat(r_name) FROM region WHERE r_regionkey < 0")
+      .head().isNullAt(0))
+    val gcn = spark.sql(
+      """SELECT group_concat(v) FROM (SELECT CASE WHEN r_regionkey = 0 THEN NULL
+         ELSE r_name END AS v FROM region ORDER BY r_name)""").head().getString(0)
+    assert(gcn.split(", ").length == 4)
   }
 }

@@ -42,13 +42,32 @@ class DialectSpec extends SparkSpecBase {
     assert(ImpalaDialect.translateFormat("DY DD MON YYYY") == "EEE dd MMM yyyy")
   }
 
-  test("Impala bracketed join hints are stripped") {
+  test("Impala join hints lift to Spark hints and shape the plan") {
     GraftSession.registerAll(spark, sfDir)
-    val r = ImpalaDialect.sql(spark,
+    // bracket form → BROADCAST(alias): result unchanged, plan broadcasts
+    val bc = ImpalaDialect.sql(spark,
       """SELECT COUNT(*) FROM nation n JOIN [BROADCAST] region r
-         ON n.n_regionkey = r.r_regionkey""").head().getLong(0)
-    assert(r == 25)
-    assert(ImpalaDialect.stripBracketHints("JOIN [SHUFFLE] t") == "JOIN  t")
+         ON n.n_regionkey = r.r_regionkey""")
+    assert(bc.head().getLong(0) == 25)
+    assert(bc.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // comment form → SHUFFLE_HASH(alias): no broadcast in the plan
+    val sh = ImpalaDialect.sql(spark,
+      """SELECT COUNT(*) FROM nation n JOIN /* +SHUFFLE */ region r
+         ON n.n_regionkey = r.r_regionkey""")
+    assert(sh.head().getLong(0) == 25)
+    assert(sh.queryExecution.executedPlan.toString.contains("ShuffledHashJoin"))
+    // STRAIGHT_JOIN strips; NOSHUFFLE drops; query still runs
+    val st = ImpalaDialect.sql(spark,
+      """SELECT STRAIGHT_JOIN COUNT(*) FROM nation n
+         JOIN [NOSHUFFLE] region r ON n.n_regionkey = r.r_regionkey""")
+    assert(st.head().getLong(0) == 25)
+    // pure-string checks
+    assert(ImpalaDialect.rewriteHints(
+      "SELECT * FROM a JOIN [SHUFFLE] b ON a.k = b.k")
+      .startsWith("SELECT /*+ SHUFFLE_HASH(b) */"))
+    assert(ImpalaDialect.rewriteHints(
+      "SELECT * FROM a JOIN /* +BROADCAST */ dim d ON a.k = d.k")
+      .startsWith("SELECT /*+ BROADCAST(d) */"))
   }
 
   test("GraftSession.sql one-call facade") {

@@ -139,6 +139,34 @@ object AggQueries extends QueryGroup {
       ORDER BY n_regionkey"""
     )),
 
+    // ---- covariance + linear regression aggregates (KnuthVar family
+    // companions; Spark and DuckDB share the exact two-pass-free
+    // formulations, so rounded values match). Scaled before rounding so
+    // fp merge-order drift can't move the rounded digit.
+    Q.Def("q_agg_covar", (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(covar_samp(col("o_totalprice"), col("o_custkey")) / 1e6, 4)
+            .as("cov_samp_m"),
+          round(covar_pop(col("o_totalprice"), col("o_custkey")) / 1e6, 4)
+            .as("cov_pop_m"),
+          round(expr("regr_slope(o_totalprice, o_custkey)"), 6).as("slope"),
+          round(expr("regr_intercept(o_totalprice, o_custkey)"), 2).as("icept"),
+          expr("regr_count(o_totalprice, o_custkey)").as("n_pairs"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus,
+             ROUND(COVAR_SAMP(o_totalprice, o_custkey) / 1e6, 4) AS cov_samp_m,
+             ROUND(COVAR_POP(o_totalprice, o_custkey) / 1e6, 4) AS cov_pop_m,
+             ROUND(REGR_SLOPE(o_totalprice, o_custkey), 6) AS slope,
+             ROUND(REGR_INTERCEPT(o_totalprice, o_custkey), 2) AS icept,
+             REGR_COUNT(o_totalprice, o_custkey) AS n_pairs
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""
+    )),
+
     // ---- group_concat(DISTINCT ...): resolves through the native
     // GroupConcat AggregateFunction + Catalyst's distinct rewrite; the
     // output set is order-unspecified, so both sides sort-normalize the

@@ -245,5 +245,40 @@ object EventsQueries extends QueryGroup {
       GROUP BY event_type
       ORDER BY event_type"""
     )),
+
+    // ---- dynamic partition overwrite (HdfsTableSink INSERT OVERWRITE
+    // PARTITION semantics, hdfs-table-sink.h:90): rewrite ONLY the
+    // partitions present in the incoming frame, leave the rest intact.
+    // Final state: 'click' rows doubled, all other partitions original.
+    Q.Def("q_write_dynpart", (s, dir) => {
+      val out = "/tmp/graft_dynpart_events"
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      ev.write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
+      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        ev.filter(col("event_type") === "click")
+          .withColumn("value", col("value") * 2)
+          .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(CASE WHEN event_type = 'click' THEN value * 2
+                                ELSE value END AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""
+    )),
   )
 }

@@ -261,5 +261,27 @@ object JoinQueries extends QueryGroup {
       GROUP BY n_name
       ORDER BY n_name"""
     )),
+
+    // ---- salted skew join (graft.operators.Skew): R-way salt split of a
+    // hot key against an R-fold replicated right side; must be
+    // result-identical to the plain equi join (the oracle is the plain
+    // join). This is the manual fix for broadcast-infeasible skewed
+    // joins that AQE's shuffle-skew splitting can't reach.
+    Q.Def("q_join_salted", (s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      graft.operators.Skew.saltedJoin(l, sup, "l_suppkey", "s_suppkey",
+          col("l_orderkey"), r = 4)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+        .orderBy(col("s_nationkey"))
+    }, Some("""
+      SELECT s_nationkey, COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey
+      ORDER BY s_nationkey"""
+    )),
   )
 }

@@ -36,16 +36,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
 
-    // JVM/codegen/catalog warmup outside the timed region.
+    // JVM/codegen/catalog warmup outside the timed region (lineitem for
+    // the TPC-H set, documents for the pipeline set — warms IO cache and
+    // the Generate/explode codegen paths).
     GraftSession.table(spark, sfDir, "lineitem").count()
+    GraftSession.table(spark, sfDir, "documents").count()
     SparkEntry.queries("q1_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
 
     // min over N runs: planning/JIT noise dominates at this scale, the
-    // min is the stable per-query cost (single-run wall time is ±3×)
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    // min is the stable per-query cost (single-run wall time is ±3×).
+    // GC before each query so one query's allocation debt (broadcast
+    // blowups, shuffle buffers) isn't billed to the next one's timings.
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
+        System.gc()
         val times = (0 until iters).map { _ =>
           val t0 = System.nanoTime()
           try {

@@ -247,14 +247,30 @@ object AggQueries extends QueryGroup {
     )),
 
     // ---- ndv / approx_count_distinct (HLL — estimates differ from
-    // DuckDB's approx_distinct, so no SQL oracle; rows-only + spec test
-    // asserts tolerance vs exact).
+    // DuckDB's approx_distinct, so the oracle gates the exact counts
+    // plus 10% error-bound booleans; Spark's HLL++ is deterministic, so
+    // the booleans cannot drift).
     Q.Def("q_ndv", (s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("ndv_part"),
-          approx_count_distinct(col("l_suppkey")).as("ndv_supp"))
+        .agg(approx_count_distinct(col("l_partkey")).as("__ndv_part"),
+          countDistinct(col("l_partkey")).as("exact_part"),
+          approx_count_distinct(col("l_suppkey")).as("__ndv_supp"),
+          countDistinct(col("l_suppkey")).as("exact_supp"))
+        .select(col("l_returnflag"), col("exact_part"), col("exact_supp"),
+          (abs(col("__ndv_part") - col("exact_part")) <=
+            col("exact_part") * 0.1).as("ndv_part_ok"),
+          (abs(col("__ndv_supp") - col("exact_supp")) <=
+            col("exact_supp") * 0.1).as("ndv_supp_ok"))
         .orderBy(col("l_returnflag"))
-    }, None),
+    }, Some("""
+      SELECT l_returnflag,
+             COUNT(DISTINCT l_partkey) AS exact_part,
+             COUNT(DISTINCT l_suppkey) AS exact_supp,
+             TRUE AS ndv_part_ok, TRUE AS ndv_supp_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag"""
+    )),
   )
 }

@@ -178,16 +178,23 @@ object CoreQueries extends QueryGroup {
     )),
 
     // ---- exchange semantics (krpc-data-stream-sender.cc HASH/RANDOM
-    // partitioning): repartitioning must be content-preserving.
+    // partitioning): repartitioning must be content-preserving (every
+    // row in exactly one partition), populate all 16 partitions, and
+    // spread keys (hottest partition ≤ 2× mean — deterministic for
+    // Spark's murmur hash partitioning).
     Q.Def("q_exchange_repartition", (s, dir) => {
       t(s, dir, "orders")
         .repartition(16, col("o_custkey"))
         .groupBy(spark_partition_id().as("pid"))
         .agg(count(lit(1)).as("n"))
         .agg(count(lit(1)).cast("int").as("n_partitions"),
-          sum(col("n")).as("total_rows"),
-          max(col("n")).as("max_part"))
-    }, None),
+          sum(col("n")).cast("long").as("total_rows"),
+          (max(col("n")) <= (sum(col("n")) / 16) * 2).as("balanced"))
+    }, Some("""
+      SELECT 16 AS n_partitions,
+             (SELECT COUNT(*) FROM orders) AS total_rows,
+             TRUE AS balanced"""
+    )),
 
     // ---- deterministic TABLESAMPLE analog (TableSampleClause.java:27-30):
     // hash-free modulus sample so Spark and the oracle agree exactly.

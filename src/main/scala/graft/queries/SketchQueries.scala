@@ -70,23 +70,31 @@ object SketchQueries extends QueryGroup {
     )),
 
     // ---- Impala-compat hashes: deterministic grouping key derivation
-    // (utility-functions-ir.cc fnv_hash/murmur_hash). No DuckDB analog →
-    // rows-only here; exact vectors in FunctionsSpec. The query shape is
-    // the scale-relevant one: hash-bucketing rows into N stable shards.
+    // (utility-functions-ir.cc fnv_hash/murmur_hash); exact vectors in
+    // FunctionsSpec. Oracle gates the scale-relevant invariants: all 16
+    // shards populated, every row lands in exactly one shard, and the
+    // FNV spread keeps the hottest shard under 2× the mean.
     Q.Def("q_fn_hash_shard", (s, dir) => {
-      t(s, dir, "customer")
+      val shards = t(s, dir, "customer")
         .withColumn("shard", pmod(call_function("fnv_hash", col("c_name")), lit(16)))
-        .withColumn("mshard", pmod(call_function("murmur_hash", col("c_name")), lit(16)))
-        .groupBy(col("shard")).agg(
-          count(lit(1)).as("n"),
-          countDistinct(col("mshard")).as("n_msh"))
-        .orderBy(col("shard"))
-    }, None),
+        .groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      shards.agg(
+        count(lit(1)).cast("int").as("n_shards"),
+        sum(col("n")).cast("long").as("total_rows"),
+        (max(col("n")) <= (sum(col("n")) / 16) * 2).as("balanced"))
+    }, Some("""
+      SELECT 16 AS n_shards,
+             (SELECT COUNT(*) FROM customer) AS total_rows,
+             TRUE AS balanced"""
+    )),
 
     // ---- ndv + HLL sketch family (aggregate-functions-ir.cc Hll*,
     // datasketches-functions-ir.cc): per-nation sketches unioned to a
     // global estimate — the two-level rollup pattern that makes HLL
     // useful at 100 TB (partial sketch per partition, tiny shuffle).
+    // Oracle: exact distinct total (DuckDB recomputes) + 10%% error
+    // bounds on both estimate paths (HLL p=10 → rsd ≈ 3.2%%; the seeded
+    // sketch is deterministic, so the booleans cannot drift).
     Q.Def("q_sketch_hll", (s, dir) => {
       val perNation = t(s, dir, "customer")
         .groupBy(col("c_nationkey"))
@@ -95,32 +103,74 @@ object SketchQueries extends QueryGroup {
           call_function("ds_hll_sketch", col("c_custkey")).as("sk"),
           countDistinct(col("c_custkey")).as("exact"))
       perNation.agg(
-        sum(col("exact")).as("exact_total"),
-        sum(col("ndv_cust")).as("ndv_sum"),
-        call_function("ds_hll_estimate",
-          call_function("ds_hll_union", col("sk"))).as("ndv_union"))
-    }, None),
+          sum(col("exact")).as("exact_total"),
+          sum(col("ndv_cust")).as("__ndv_sum"),
+          call_function("ds_hll_estimate",
+            call_function("ds_hll_union", col("sk"))).as("__ndv_union"))
+        .select(col("exact_total"),
+          (abs(col("__ndv_sum") - col("exact_total")) <=
+            col("exact_total") * 0.1).as("hll_sum_ok"),
+          (abs(col("__ndv_union") - col("exact_total")) <=
+            col("exact_total") * 0.1).as("hll_union_ok"))
+    }, Some("""
+      SELECT COUNT(DISTINCT c_custkey) AS exact_total,
+             TRUE AS hll_sum_ok, TRUE AS hll_union_ok
+      FROM customer"""
+    )),
 
-    // ---- KLL quantile family + histogram (BuiltinsDb.java:1001,1056-77).
+    // ---- KLL quantile family (BuiltinsDb.java:1056-77). Oracle: exact
+    // n and exact interpolated quantiles (DuckDB QUANTILE_CONT = Spark
+    // percentile, same p·(n-1) interpolation) + sketch rank-error bounds
+    // (|rank(q̂_p) − p| ≤ 0.1, vs the ~10%% compaction error asserted in
+    // PropertySpec; deterministic buffer → stable booleans).
     Q.Def("q_sketch_kll", (s, dir) => {
-      val sk = t(s, dir, "lineitem")
-        .agg(call_function("ds_kll_sketch", col("l_quantity")).as("sk"))
-      sk.select(
-        call_function("ds_kll_n", col("sk")).as("n"),
-        round(call_function("ds_kll_quantile", col("sk"), lit(0.5)), 2).as("p50"),
-        round(call_function("ds_kll_quantile", col("sk"), lit(0.95)), 2).as("p95"),
-        round(call_function("ds_kll_rank", col("sk"), lit(25.0d)), 2).as("rank25"))
-    }, None),
+      val agg = t(s, dir, "lineitem").agg(
+        call_function("ds_kll_sketch", col("l_quantity")).as("sk"),
+        count(col("l_quantity")).as("n"),
+        expr("percentile(l_quantity, 0.5D)").as("ex50"),
+        expr("percentile(l_quantity, 0.95D)").as("ex95"))
+      agg.select(col("n"),
+        round(col("ex50"), 2).as("p50_exact"),
+        round(col("ex95"), 2).as("p95_exact"),
+        (abs(call_function("ds_kll_rank", col("sk"), col("ex50")) - 0.5) <= 0.1)
+          .as("rank50_ok"),
+        (abs(call_function("ds_kll_rank", col("sk"), col("ex95")) - 0.95) <= 0.1)
+          .as("rank95_ok"))
+    }, Some("""
+      SELECT COUNT(l_quantity) AS n,
+             ROUND(QUANTILE_CONT(l_quantity, 0.5), 2) AS p50_exact,
+             ROUND(QUANTILE_CONT(l_quantity, 0.95), 2) AS p95_exact,
+             TRUE AS rank50_ok, TRUE AS rank95_ok
+      FROM lineitem"""
+    )),
 
-    // ---- histogram over a numeric column (rows-only; boundary values
-    // asserted in FunctionsSpec on exact small inputs).
+    // ---- histogram over a numeric column (Impala-style equi-height
+    // boundary string, aggregate-functions.h ReservoirSample→Histogram).
+    // Groups are < the 2048 buffer cap, so the sketch is exact and
+    // DuckDB reproduces the same rule: boundary i = smallest value with
+    // cumulative weight ≥ max(1, ceil(i/100·n)), integral values
+    // formatted without a decimal point.
     Q.Def("q_sketch_histogram", (s, dir) => {
       t(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
         .agg(call_function("histogram", col("s_acctbal")).as("hist"))
         .filter(length(col("hist")) > 0)
         .orderBy(col("s_nationkey"))
-    }, None),
+    }, Some("""
+      WITH g AS (
+        SELECT s_nationkey, LIST(s_acctbal ORDER BY s_acctbal) AS l,
+               COUNT(*) AS n
+        FROM supplier GROUP BY s_nationkey)
+      SELECT s_nationkey,
+        ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, 101), i ->
+          CASE WHEN l[CAST(GREATEST(1, CEIL(i * n / 100.0)) AS BIGINT)]
+                    = FLOOR(l[CAST(GREATEST(1, CEIL(i * n / 100.0)) AS BIGINT)])
+               THEN CAST(CAST(l[CAST(GREATEST(1, CEIL(i * n / 100.0)) AS BIGINT)] AS BIGINT) AS VARCHAR)
+               ELSE CAST(l[CAST(GREATEST(1, CEIL(i * n / 100.0)) AS BIGINT)] AS VARCHAR)
+          END), ', ') AS hist
+      FROM g
+      ORDER BY s_nationkey"""
+    )),
 
     // ---- Impala-dialect SQL through the shim (ImpalaDialect.sql):
     // plain ORDER BY must sort NULLS LAST ascending (the Impala default,

@@ -125,6 +125,58 @@ object EventsStream {
         })
   }
 
+  /** Streaming exact dedup on a content key: keep the first occurrence,
+    * drop re-deliveries arriving within the watermark horizon
+    * (`dropDuplicatesWithinWatermark` bounds the dedup state — the
+    * unbounded-history variant `dropDuplicates` would grow state forever
+    * on a 100 TB/day feed). The streaming tier of the batch
+    * `Dedup.exactDupGroups` pipeline: same normalization, same key.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "1 hour",
+      contentCols: Seq[String] = Seq("event_type", "value", "props")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .withColumn("__content_key",
+        md5(concat_ws("", contentCols.map(col): _*).cast("binary")))
+      .dropDuplicatesWithinWatermark("__content_key")
+      .drop("__content_key")
+
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same user within [0, maxDelay] after it. Watermarks
+    * on BOTH sides plus the time-range conjunct let the state store
+    * evict rows once they can no longer match (unbounded join state is
+    * the classic stream-join failure at scale).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "30 minutes", maxDelay: String = "15 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col("user_id").as("l_user"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+    l.join(r, col("l_user") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay") &&
+      col("l_type") =!= col("r_type"))
+  }
+
+  /** Stateless per-row MinHash signatures + LSH band buckets on a text
+    * stream — the streaming head of the near-dup pipeline: signatures
+    * and bucket ids are computed incrementally at ingest (no state, no
+    * shuffle), so downstream batch compaction joins only tiny
+    * (band, bucket, id) tuples instead of re-reading the corpus.
+    */
+  def minhashStream(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    val sig = call_function("minhash_signature",
+      call_function("shingle_hashes", col(textCol), lit(3)), lit(k), lit(42L))
+    docs.select(col(idCol).as("id"), sig.as("sig"))
+      .select(col("id"), col("sig"),
+        graft.operators.Dedup.lshBandBuckets(col("sig"), bands, k / bands)
+          .as("buckets"))
+  }
+
   /** Write a streaming result to partitioned parquet with checkpointing
     * (exactly-once file sink).
     */

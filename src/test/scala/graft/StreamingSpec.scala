@@ -15,6 +15,8 @@ import org.apache.spark.sql.streaming.OutputMode
   * Spark-native upgrade of its "fast incremental batch" story.
   */
 case class Ev(ts: Timestamp, event_type: String, value: Double)
+case class UEv(ts: Timestamp, user_id: Long, event_type: String, value: Double, props: String)
+case class SDoc(ts: Timestamp, doc_id: Long, text: String)
 
 class StreamingSpec extends SparkSpecBase {
   import spark.implicits._
@@ -82,6 +84,98 @@ class StreamingSpec extends SparkSpecBase {
       val rows = spark.table("ev_late").collect()
         .map(r => (r.getString(0), r.getLong(2))).toMap
       assert(rows.get("10:00").contains(1L)) // closed with 1 event, late one dropped
+    } finally q.stop()
+  }
+
+  test("streaming dedup drops within-watermark re-deliveries, keeps distinct content") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UEv]
+    val q = graft.streaming.EventsStream.dedupStream(stream.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("ev_dedup")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      val a = UEv(Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0, "p1")
+      val b = UEv(Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "view", 2.0, "p2")
+      stream.addData(a, b)
+      q.processAllAvailable()
+      // same content re-delivered (at-least-once source) → dropped
+      stream.addData(a.copy(ts = Timestamp.valueOf("2024-01-01 10:02:00")))
+      // genuinely new content → kept
+      stream.addData(UEv(Timestamp.valueOf("2024-01-01 10:03:00"), 2L, "click", 3.0, "p3"))
+      q.processAllAvailable()
+      val types = spark.table("ev_dedup").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Double]("value")))
+      assert(types.length == 3, types.toSeq)
+      assert(types.count(_ == ("click", 1.0)) == 1)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join == batch join on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      UEv(Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0, ""),
+      UEv(Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "purchase", 9.0, ""),
+      UEv(Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "purchase", 7.0, ""), // outside 15m of click
+      UEv(Timestamp.valueOf("2024-01-01 10:06:00"), 2L, "purchase", 5.0, ""), // other user, no click
+      UEv(Timestamp.valueOf("2024-01-01 11:00:00"), 9L, "click", 0.0, ""),    // watermark pusher
+    )
+    val clicks = events.filter(_.event_type == "click")
+    val purchases = events.filter(_.event_type == "purchase")
+
+    val batch = graft.streaming.EventsStream.intervalJoin(
+        clicks.toDF(), purchases.toDF())
+      .select($"l_user", $"l_value", $"r_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+
+    val ls = MemoryStream[UEv]
+    val rs = MemoryStream[UEv]
+    val q = graft.streaming.EventsStream.intervalJoin(ls.toDF(), rs.toDF())
+      .select($"l_user", $"l_value", $"r_value")
+      .writeStream.format("memory").queryName("ev_join")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      ls.addData(clicks)
+      rs.addData(purchases)
+      q.processAllAvailable()
+      val streamed = spark.table("ev_join").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch == Set((1L, 1.0, 9.0))) // only the within-15m same-user pair
+    } finally q.stop()
+  }
+
+  test("streaming minhash signatures == batch signatures (stateless ingest head)") {
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.registerAll(spark, sfDir) // minhash kernels on the registry
+    val docs = Seq(
+      SDoc(Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "the quick brown fox jumps over the lazy dog"),
+      SDoc(Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "the quick brown fox jumps over the lazy dog"),
+      SDoc(Timestamp.valueOf("2024-01-01 10:02:00"), 3L, "completely different text about astronomy and stars"),
+    )
+    val batch = graft.streaming.EventsStream.minhashStream(
+        docs.toDF(), "doc_id", "text")
+      .select($"id", $"buckets").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+
+    val stream = MemoryStream[SDoc]
+    val q = graft.streaming.EventsStream.minhashStream(stream.toDF(), "doc_id", "text")
+      .select($"id", $"buckets")
+      .writeStream.format("memory").queryName("doc_sigs")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      stream.addData(docs.take(2))
+      q.processAllAvailable()
+      stream.addData(docs.drop(2))
+      q.processAllAvailable()
+      val streamed = spark.table("doc_sigs").collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toMap
+      assert(streamed == batch)
+      // identical docs share every band bucket; the unrelated one shares none
+      assert(streamed(1L) == streamed(2L))
+      assert(!streamed(1L).toSet.exists(streamed(3L).toSet.contains))
     } finally q.stop()
   }
 }

@@ -49,7 +49,11 @@ object Bench {
     // GC before each query so one query's allocation debt (broadcast
     // blowups, shuffle buffers) isn't billed to the next one's timings.
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = headline.flatMap { name =>
+    // optional arg: comma-separated name filter (dev iteration; the
+    // driver invokes with no args → full headline set)
+    val keep: String => Boolean =
+      if (args.nonEmpty) args(0).split(",").toSet else (_ => true)
+    val results = headline.filter(keep).flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         System.gc()
         val times = (0 until iters).map { _ =>

@@ -64,6 +64,11 @@ object GraftFunctions {
     "simhash64" -> (a => SimHash64(a.head)),
     "simhash_text" -> (a => SimHashText(a.head)),
     // vector kernels (graft.operators.Similarity)
+    "lsh_signatures" -> (a => LshSignatures(a(0),
+      a(1).eval().asInstanceOf[Number].intValue,
+      a(2).eval().asInstanceOf[Number].intValue,
+      a(3).eval().asInstanceOf[Number].intValue,
+      a(4).eval().asInstanceOf[Number].longValue)),
     "vec_dot" -> (a => VecDot(a(0), a(1))),
     "vec_cosine" -> (a => VecCosine(a(0), a(1))),
     "vec_norm" -> (a => VecNorm(a.head)),

@@ -44,45 +44,78 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes (splitmix64 → [-1, 1)). */
-  def hyperplanes(m: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
-    var x = seed
-    def next(): Long = {
-      x += 0x9e3779b97f4a7c15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    Array.fill(m, dim)((next() >>> 11) * (2.0 / (1L << 53)) - 1.0)
-  }
+  def hyperplanes(m: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] =
+    graft.functions.LshImpl.hyperplanes(m, dim, seed)
 
-  /** m-bit signature: bit i = sign(plane_i · v), packed into an int
-    * (m ≤ 30 so the packing is overflow-free under ANSI).
+  /** All `tables` m-bit sign-projection signatures in one native kernel
+    * pass ([[graft.functions.LshSignatures]] — one JVM loop per row,
+    * stays inside whole-stage codegen; replaces the round-2
+    * aggregate∘zip_with∘transform HOF pipeline that evaluated
+    * O(tables·m) interpreted lambdas per row over the whole corpus).
     */
-  def lshSignature(vec: Column, planes: Array[Array[Double]]): Column = {
-    require(planes.length <= 30)
-    val pl = typedlit(planes.map(_.toSeq).toSeq)
-    val pows = typedlit((0 until planes.length).map(i => 1 << i))
-    aggregate(
-      zip_with(
-        transform(sequence(lit(0), lit(planes.length - 1)), i =>
-          when(dot(element_at(pl, i + 1), vec) >= 0, 1).otherwise(0)),
-        pows, (bit, p) => bit * p),
-      lit(0), (acc, v) => acc + v)
-  }
+  def lshSignatures(vec: Column, m: Int, dim: Int, tables: Int,
+      seed: Long = 7L): Column =
+    call_function("lsh_signatures", vec, lit(m), lit(dim), lit(tables), lit(seed))
 
   /** Corpus with one LSH bucket per hash table (`tables` independent
-    * plane sets — the standard L-table recall boost). At scale, write
-    * this bucketed/partitioned by `buckets[0]` so single-table probes
-    * prune to a handful of files.
+    * plane sets — the standard L-table recall boost). For the persisted
+    * scale path see [[signAndWriteCorpus]].
     */
   def bucketedCorpus(df: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, dim: Int = 64, tables: Int = 4,
-      seed: Long = 7L): DataFrame = {
-    val cols = (0 until tables).map { l =>
-      lshSignature(col(vecCol), hyperplanes(m, dim, seed + 1000L * l))
-    }
-    df.select(col(idCol), col(vecCol), array(cols: _*).as("buckets"))
+      seed: Long = 7L): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      lshSignatures(col(vecCol), m, dim, tables, seed).as("buckets"))
+
+  /** Sign the corpus once and persist it as the LSH index: one row per
+    * (table, bucket) posting, written `partitionBy(tbl, bucket)` so a
+    * probe's `tbl = l AND bucket IN (...)` predicate becomes partition
+    * pruning — a 100 TB corpus reads only the probed buckets
+    * (2^m·tables partitions; pick m so each bucket is a few files).
+    * Storage is ×tables — the standard L-table LSH trade; each table is
+    * its own inverted index.
+    */
+  def signAndWriteCorpus(df: DataFrame, path: String, idCol: String,
+      vecCol: String, m: Int = 8, dim: Int = 64, tables: Int = 4,
+      seed: Long = 7L): Unit =
+    bucketedCorpus(df, idCol, vecCol, m, dim, tables, seed)
+      .select(col(idCol), col(vecCol),
+        posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+
+  /** Multi-probe bucket set for one query vector: per table, the exact
+    * bucket plus all Hamming-distance-1 neighbors. Driver-side over one
+    * vector (tables·(m+1) ints — like fetching a point query's key).
+    */
+  def probeBuckets(qvec: Array[Double], m: Int, dim: Int, tables: Int,
+      seed: Long = 7L): Array[Array[Int]] = {
+    val sigs = graft.functions.LshImpl.signatures(
+      qvec, graft.functions.LshImpl.tablePlanes(m, dim, tables, seed), m, tables)
+    sigs.map(s => s +: Array.tabulate(m)(i => s ^ (1 << i)))
+  }
+
+  /** ANN top-k against the persisted index from [[signAndWriteCorpus]]:
+    * probe `tbl/bucket` partitions only (partition pruning does the file
+    * skipping — asserted in PlanSpec), dedupe candidate ids across
+    * tables, exact cosine re-rank. No corpus re-sign, no full scan.
+    */
+  def annTopKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String, vecCol: String, queryId: Long, k: Int, m: Int = 8,
+      dim: Int = 64, tables: Int = 4, seed: Long = 7L): DataFrame = {
+    val index = spark.read.parquet(path)
+    val qVecF = index.filter(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0).toArray
+    val probes = probeBuckets(qVecF.map(_.toDouble), m, dim, tables, seed)
+    val hit = probes.indices.map { l =>
+      col("tbl") === l && col("bucket").isin(probes(l).map(Int.box): _*)
+    }.reduce(_ || _)
+    index.filter(hit && col(idCol) =!= queryId)
+      .select(col(idCol), col(vecCol))
+      .dropDuplicates(idCol)
+      .select(col(idCol),
+        cosine(col(vecCol), typedlit(qVecF.toSeq)).as("cos_sim"))
+      .orderBy(desc_nulls_last("cos_sim"), col(idCol))
+      .limit(k)
   }
 
   /** IVF (inverted-file) index: k-means coarse quantizer over a sample,

@@ -87,6 +87,44 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("persisted ANN probe reads only probed (tbl, bucket) partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val path = java.nio.file.Files.createTempDirectory("graft_ann_plan").toString
+    val emb = GraftSession.table(spark, sfDir, "embeddings")
+    graft.operators.Similarity.signAndWriteCorpus(
+      emb, path, "vec_id", "embedding", m = 6, tables = 12)
+    val probe = graft.operators.Similarity.annTopKPersisted(
+      spark, path, "vec_id", "embedding", queryId = 0L, k = 10, m = 6, tables = 12)
+    // the probe predicate must reach the scan as a partition filter …
+    val p = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("tbl") &&
+      p.contains("bucket"), p)
+    probe.collect()
+    // … and actually skip files: ≤ tables·(m+1) = 84 of the up-to-768
+    // (tbl, bucket) partitions may be read.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    def allScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scan = allScans(probe.queryExecution.executedPlan).head
+    val totalFiles = {
+      val fs = new java.io.File(path)
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(fs)
+    }
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead > 0 && filesRead < totalFiles / 2,
+      s"filesRead=$filesRead totalFiles=$totalFiles")
+  }
+
   test("dedup bucket pipeline shuffles only compact key tuples") {
     val p = plan("q_dedup_minhash")
     // signature kernels evaluate inside project/codegen, not UDF nodes

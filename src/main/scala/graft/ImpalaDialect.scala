@@ -114,11 +114,56 @@ object ImpalaDialect {
       java.util.regex.Matcher.quoteReplacement(
         s"JOIN $table${m.group(4) match { case null => ""; case s => s }}")
     })
-    val noStraight = straightJoinRe.replaceAllIn(stripped, "SELECT")
+    // fallback: hints in positions the lift cannot target (before a
+    // derived table or quoted name) are still removed so the statement
+    // parses — hint lost, semantics kept (hints are advisory)
+    val bareStripped = bareHintRe.replaceAllIn(stripped, "")
+    val noStraight = straightJoinRe.replaceAllIn(bareStripped, "SELECT")
     if (hints.isEmpty) noStraight
-    else noStraight.replaceFirst("(?i)\\bSELECT\\b",
-      java.util.regex.Matcher.quoteReplacement(
-        s"SELECT /*+ ${hints.mkString(", ")} */"))
+    else {
+      val at = outerSelectOffset(noStraight)
+      if (at < 0) noStraight
+      else noStraight.patch(at + "SELECT".length,
+        s" /*+ ${hints.mkString(", ")} */", 0)
+    }
+  }
+
+  /** Leftover Impala-form hints with no Spark meaning: `[BROADCAST]`
+    * brackets anywhere (Impala SQL has no other bracket syntax) and the
+    * paren-less comment forms — Spark's own `BROADCAST(t)` hints have
+    * parens and are untouched.
+    */
+  private val bareHintRe =
+    ("""(?i)(?:\[\s*(?:BROADCAST|SHUFFLE|NOSHUFFLE)\s*\]""" +
+      """|/\*\s*\+\s*(?:BROADCAST|SHUFFLE|NOSHUFFLE)\s*\*/)""").r
+
+  /** Offset of the statement's outer query block's SELECT: the first
+    * SELECT token at paren depth 0 outside string literals — skips past
+    * a leading `WITH x AS (SELECT …)` prefix, where an injected hint
+    * would reference relations out of scope and be silently dropped.
+    */
+  private[graft] def outerSelectOffset(sql: String): Int = {
+    var depth = 0
+    var inStr = false
+    var i = 0
+    def isWord(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'S' | 's' if depth == 0 &&
+            sql.regionMatches(true, i, "SELECT", 0, 6) &&
+            (i == 0 || !isWord(sql.charAt(i - 1))) &&
+            (i + 6 >= sql.length || !isWord(sql.charAt(i + 6))) =>
+          return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
   }
 
   /** Back-compat name: round-1 callers knew this as a pure strip. */

@@ -37,6 +37,20 @@ case class GroupConcat(
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
+  // the reference requires a constant separator (BuiltinsDb.java
+  // group_concat signatures); a non-foldable one would silently
+  // evaluate against no input row below
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (!right.foldable)
+      TypeCheckFailure("group_concat separator must be a constant")
+    else if (right.dataType != StringType &&
+        right.dataType != org.apache.spark.sql.types.NullType)
+      TypeCheckFailure(
+        s"group_concat separator must be STRING, got ${right.dataType.sql}")
+    else TypeCheckSuccess
+  }
+
   private lazy val sep: UTF8String = right.eval() match {
     case null => UTF8String.fromString(", ")
     case s: UTF8String => s

@@ -225,7 +225,10 @@ object EventsQueries extends QueryGroup {
     // back and aggregate — the oracle computes the same from the source,
     // proving the round trip is lossless.
     Q.Def("q_write_ctas", (s, dir) => {
-      val out = s"/tmp/graft_ctas_events"
+      // per-run temp dir: concurrent verify/bench runs must not share
+      // (and race on) a fixed output path
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_ctas_events").toString
       t(s, dir, "events")
         .withColumn("day", date_format(date_trunc("day", col("ts")), "yyyy-MM-dd"))
         .write.mode(SaveMode.Overwrite)
@@ -251,22 +254,18 @@ object EventsQueries extends QueryGroup {
     // partitions present in the incoming frame, leave the rest intact.
     // Final state: 'click' rows doubled, all other partitions original.
     Q.Def("q_write_dynpart", (s, dir) => {
-      val out = "/tmp/graft_dynpart_events"
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_dynpart_events").toString
       val ev = t(s, dir, "events")
         .select(col("event_id"), col("event_type"), col("value"))
       ev.write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
-      val prev = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try {
-        ev.filter(col("event_type") === "click")
-          .withColumn("value", col("value") * 2)
-          .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(out)
-      } finally {
-        prev match {
-          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
-      }
+      // writer-level option, not a session-wide conf mutation — a
+      // concurrent query in the same session keeps its own semantics
+      ev.filter(col("event_type") === "click")
+        .withColumn("value", col("value") * 2)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type").parquet(out)
       s.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),

@@ -53,6 +53,53 @@ object WindowQueries extends QueryGroup {
       ORDER BY c_mktsegment, rn"""
     )),
 
+    // ---- top-k per partition: the rank predicate must become a
+    // WindowGroupLimit (Spark's InferWindowGroupLimit — the analog of
+    // the reference's limit pushdown into the analytic sort,
+    // PlannerTest/limit-pushdown-analytic.test): each partition keeps a
+    // k-row heap instead of fully sorting 100 TB per group. Plan shape
+    // asserted in PlanSpec.
+    Q.Def("q_window_topk", (s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(desc_nulls_last("l_extendedprice"),
+          asc_nulls_last("l_orderkey"), asc_nulls_last("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("l_returnflag"), col("rn"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                 ORDER BY l_extendedprice DESC NULLS LAST,
+                          l_orderkey ASC NULLS LAST,
+                          l_linenumber ASC NULLS LAST) AS rn
+        FROM lineitem) x
+      WHERE rn <= 3
+      ORDER BY l_returnflag, rn"""
+    )),
+
+    // ---- LIMIT through an un-partitioned analytic
+    // (LimitPushDownThroughWindow): the limit reaches the sort below the
+    // window, so the rank computes over k rows, not the full table.
+    Q.Def("q_window_limit_push", (s, dir) => {
+      val w = Window.orderBy(desc_nulls_last("o_totalprice"),
+        asc_nulls_last("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .limit(10)
+        .orderBy(col("rn"))
+    }, Some("""
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC NULLS LAST,
+                                o_orderkey ASC NULLS LAST) AS rn
+      FROM orders
+      ORDER BY rn
+      LIMIT 10"""
+    )),
+
     // ---- running aggregates over a ROWS frame with unique ordering.
     Q.Def("q_window_running", (s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))

@@ -84,9 +84,11 @@ object EventsStream {
     * below session_window — for session logic the built-in window can't
     * express, e.g. value-dependent gaps or mid-session emission).
     *
-    * State per user = (session start, last ts, count, sum); a processing
-    * -time timeout closes idle sessions. Runs on a stream (Update mode)
-    * or, as used by the spec, on a KeyValueGroupedDataset in batch.
+    * BATCH-CONTRACT tier: each group's full history arrives in one call
+    * (KeyValueGroupedDataset over a bounded input), is sorted once, and
+    * every session — including the trailing open one — is emitted. On an
+    * unbounded stream this shape never closes state; use
+    * [[sessionizeStream]] (incremental state + event-time timeout) there.
     */
   final case class SessionState(startMs: Long, lastMs: Long, n: Long, sum: Double)
   final case class ClosedSession(user_id: Long, start_ms: Long, end_ms: Long,
@@ -125,19 +127,90 @@ object EventsStream {
         })
   }
 
+  /** Disjoint in-progress session fragment for [[sessionizeStream]]
+    * (out-of-order arrivals within the watermark can open fragments that
+    * later merge when a bridging event lands between them).
+    */
+  final case class SessionFrag(startMs: Long, lastMs: Long, n: Long, sum: Double)
+  final case class SessionsState(frags: List[SessionFrag])
+
+  /** Merge one event into a fragment list: absorb every fragment within
+    * `gapMs` of the event (an event can bridge two fragments into one).
+    */
+  private[streaming] def mergeEvent(frags: List[SessionFrag], t: Long,
+      v: Double, gapMs: Long): List[SessionFrag] = {
+    val (touch, rest) = frags.partition(f =>
+      t >= f.startMs - gapMs && t <= f.lastMs + gapMs)
+    SessionFrag((t :: touch.map(_.startMs)).min, (t :: touch.map(_.lastMs)).max,
+      touch.map(_.n).sum + 1, touch.map(_.sum).sum + v) :: rest
+  }
+
+  /** TRUE-stream sessionization: incremental per-event state with an
+    * EVENT-TIME timeout — state is bounded, unlike [[sessionize]]'s
+    * batch contract (which materializes each group's history and never
+    * closes state on a stream).
+    *
+    * Per user the state holds only the open session fragments (not the
+    * event history). A fragment closes — and is emitted and evicted —
+    * once the watermark passes `lastMs + gap`: no later event can extend
+    * it, because any such event would itself be behind the watermark and
+    * dropped. The registered event-time timeout makes emission happen
+    * even when the user never sends another event — the failure mode
+    * that leaves state resident forever.
+    */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "30 minutes"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    events
+      .withWatermark("ts", watermark)
+      // no cast on ts: re-casting would strip the watermark tag
+      .select(col("user_id").cast("long"), col("ts"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OM.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[SessionsState]) => {
+          var frags = state.getOption.map(_.frags).getOrElse(Nil)
+          rows.foreach { case (_, ts, v) =>
+            frags = mergeEvent(frags, ts.getTime, v, gapMs)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, open) = frags.partition(_.lastMs + gapMs < wm)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            // wake this key again when its earliest fragment can close
+            state.setTimeoutTimestamp(open.map(_.lastMs).min + gapMs + 1)
+          }
+          closed.sortBy(_.startMs)
+            .map(f => ClosedSession(user, f.startMs, f.lastMs, f.n, f.sum))
+            .iterator
+        })
+  }
+
   /** Streaming exact dedup on a content key: keep the first occurrence,
     * drop re-deliveries arriving within the watermark horizon
     * (`dropDuplicatesWithinWatermark` bounds the dedup state — the
     * unbounded-history variant `dropDuplicates` would grow state forever
-    * on a 100 TB/day feed). The streaming tier of the batch
-    * `Dedup.exactDupGroups` pipeline: same normalization, same key.
+    * on a 100 TB/day feed). The streaming tier of exact dedup;
+    * the batch tier (`Dedup.exactDupGroups`) keys on normalized document
+    * text, this one keys on the full content tuple.
+    *
+    * The key is an md5 of the field-named JSON encoding of the content
+    * struct (nulls kept explicit): unlike separator concatenation, field
+    * boundaries and NULL-vs-empty are unambiguous, so distinct events
+    * can never collide into one key.
     */
   def dedupStream(events: DataFrame, watermark: String = "1 hour",
       contentCols: Seq[String] = Seq("event_type", "value", "props")): DataFrame =
     events
       .withWatermark("ts", watermark)
       .withColumn("__content_key",
-        md5(concat_ws("", contentCols.map(col): _*).cast("binary")))
+        md5(to_json(struct(contentCols.map(col): _*),
+          Map("ignoreNullFields" -> "false")).cast("binary")))
       .dropDuplicatesWithinWatermark("__content_key")
       .drop("__content_key")
 

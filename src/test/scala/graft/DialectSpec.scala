@@ -70,6 +70,42 @@ class DialectSpec extends SparkSpecBase {
       .startsWith("SELECT /*+ BROADCAST(d) */"))
   }
 
+  test("hints on derived tables strip (fallback), CTE hints land on the outer block") {
+    GraftSession.registerAll(spark, sfDir)
+    // Impala-legal hint before a derived table: the lift can't target
+    // it, but the leftover bracket must not reach Spark's parser
+    val dv = ImpalaDialect.sql(spark,
+      """SELECT COUNT(*) FROM nation n JOIN [BROADCAST]
+         (SELECT r_regionkey FROM region) v
+         ON n.n_regionkey = v.r_regionkey""")
+    assert(dv.head().getLong(0) == 25)
+    // leading CTE: the lifted hint must attach to the OUTER select,
+    // where the hinted relation is in scope — not the CTE body's
+    val rewritten = ImpalaDialect.rewriteHints(
+      """WITH x AS (SELECT n_nationkey, n_regionkey FROM nation)
+         SELECT COUNT(*) FROM x JOIN [BROADCAST] region r
+         ON x.n_regionkey = r.r_regionkey""")
+    assert(!rewritten.contains("["), rewritten)
+    val outer = rewritten.indexOf("SELECT COUNT")
+    assert(rewritten.indexOf("/*+ BROADCAST(r) */") > outer, rewritten)
+    val cte = ImpalaDialect.sql(spark,
+      """WITH x AS (SELECT n_nationkey, n_regionkey FROM nation)
+         SELECT COUNT(*) FROM x JOIN [BROADCAST] region r
+         ON x.n_regionkey = r.r_regionkey""")
+    assert(cte.head().getLong(0) == 25)
+    assert(cte.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+  }
+
+  test("group_concat rejects a non-constant separator") {
+    GraftSession.registerAll(spark, sfDir)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT group_concat(r_name, r_name) FROM region GROUP BY r_regionkey")
+        .collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("constant"), e.getMessage)
+  }
+
   test("GraftSession.sql one-call facade") {
     val r = GraftSession.sql(spark, sfDir,
       "SELECT ndv(c_custkey) AS n FROM customer").head().getLong(0)

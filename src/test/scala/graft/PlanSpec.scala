@@ -87,6 +87,18 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("rank predicate becomes WindowGroupLimit; limit pushes through analytic") {
+    // Impala pins these shapes in PlannerTest/limit-pushdown-analytic.test:
+    // a full per-partition (or global) sort here is a scale bug.
+    val topk = plan("q_window_topk")
+    assert(topk.contains("WindowGroupLimit"), topk)
+    val push = plan("q_window_limit_push")
+    // LimitPushDownThroughWindow rewrites Limit+Window(empty partition)
+    // so the take-ordered happens below the window
+    assert(push.contains("TakeOrderedAndProject") ||
+      push.contains("WindowGroupLimit"), push)
+  }
+
   test("persisted ANN probe reads only probed (tbl, bucket) partitions") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

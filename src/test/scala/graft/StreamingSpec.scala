@@ -146,6 +146,41 @@ class StreamingSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming sessionize: event-time timeout closes sessions, state evicted") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[UEv]
+    val q = graft.streaming.EventsStream.sessionizeStream(spark,
+        stream.toDF(), gapMs = 30L * 60 * 1000, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("ev_sess_stream")
+      .outputMode(OutputMode.Append())
+      .start()
+    def ev(t: String, u: Long, v: Double) =
+      UEv(Timestamp.valueOf(t), u, "click", v, "")
+    try {
+      // batch 1: user 1 has a 2-event session; user 2 a 1-event session;
+      // the second user-1 event arrives out of order (fragment merge)
+      stream.addData(ev("2024-01-01 10:10:00", 1L, 2.0),
+        ev("2024-01-01 10:00:00", 1L, 1.0), ev("2024-01-01 10:05:00", 2L, 5.0))
+      q.processAllAvailable()
+      assert(spark.table("ev_sess_stream").count() == 0) // nothing closed yet
+      // batch 2 advances max event time to 12:00 (watermark lags a batch)
+      stream.addData(ev("2024-01-01 12:00:00", 9L, 0.0))
+      q.processAllAvailable()
+      // batch 3 runs with watermark 11:50 → timeouts fire for users 1, 2
+      // even though they sent no further events
+      stream.addData(ev("2024-01-01 12:01:00", 9L, 0.0))
+      q.processAllAvailable()
+      val sessions = spark.table("ev_sess_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("value_sum"))).toSet
+      assert(sessions == Set((1L, 2L, 3.0), (2L, 1L, 5.0)), sessions)
+      // closed keys are evicted: only user 9's open session remains
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal)
+      assert(stateRows.contains(1L), s"state rows: $stateRows")
+    } finally q.stop()
+  }
+
   test("streaming minhash signatures == batch signatures (stateless ingest head)") {
     implicit val sqlCtx = spark.sqlContext
     GraftSession.registerAll(spark, sfDir) // minhash kernels on the registry

@@ -56,24 +56,74 @@ object ImpalaDialect {
     sb.toString
   }
 
-  private val castFormatRe =
-    """(?is)CAST\s*\(\s*(.+?)\s+AS\s+(TIMESTAMP|DATE|STRING|VARCHAR)\s+FORMAT\s+'([^']*)'\s*\)""".r
-
-  /** String-level rewrite of the FORMAT-clause CAST (Spark has no such
-    * grammar); the target type picks the direction (parse vs print).
+  /** `<expr> AS <type> FORMAT '<fmt>'` tail of a CAST body; the format
+    * literal may be single- or double-quoted, the target may carry a
+    * length (CHAR(19), VARCHAR(38)).
     */
-  def rewriteCastFormat(sql: String): String =
-    castFormatRe.replaceAllIn(sql, m => {
-      val expr = m.group(1)
-      val target = m.group(2).toUpperCase
-      val fmt = translateFormat(m.group(3)).replace("'", "''")
-      val repl = target match {
-        case "TIMESTAMP" => s"to_timestamp($expr, '$fmt')"
-        case "DATE" => s"to_date($expr, '$fmt')"
-        case _ => s"date_format($expr, '$fmt')"
+  private val castBodyRe =
+    ("""(?is)^(.*\S)\s+AS\s+(TIMESTAMP|DATE|STRING|CHAR\s*\(\s*\d+\s*\)""" +
+      """|VARCHAR(?:\s*\(\s*\d+\s*\))?)\s+FORMAT\s+(?:'([^']*)'|"([^"]*)")\s*$""").r
+
+  private def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
+
+  /** Index of the ')' matching the '(' at `open`, honoring quoted
+    * strings; -1 when unbalanced.
+    */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0
+    var i = open
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
       }
-      java.util.regex.Matcher.quoteReplacement(repl)
-    })
+      i += 1
+    }
+    -1
+  }
+
+  /** Rewrite every FORMAT-clause CAST (Spark has no such grammar); the
+    * target type picks the direction (parse vs print). A balanced-paren
+    * scan, innermost-first, so nested `CAST(CAST(x AS STRING FORMAT …)
+    * AS TIMESTAMP FORMAT …)` round-trips correctly.
+    */
+  def rewriteCastFormat(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      if (sql.regionMatches(true, i, "CAST", 0, 4) &&
+          (i == 0 || !isWordChar(sql.charAt(i - 1)))) {
+        var j = i + 4
+        while (j < sql.length && Character.isWhitespace(sql.charAt(j))) j += 1
+        val close = if (j < sql.length && sql.charAt(j) == '(')
+          matchingParen(sql, j) else -1
+        if (close > 0) {
+          val inner = rewriteCastFormat(sql.substring(j + 1, close))
+          castBodyRe.findFirstMatchIn(inner) match {
+            case Some(m) =>
+              val expr = m.group(1)
+              val target = m.group(2).toUpperCase.takeWhile(Character.isLetter)
+              val fmt = translateFormat(
+                Option(m.group(3)).getOrElse(m.group(4))).replace("'", "''")
+              out.append(target match {
+                case "TIMESTAMP" => s"to_timestamp($expr, '$fmt')"
+                case "DATE" => s"to_date($expr, '$fmt')"
+                case _ => s"date_format($expr, '$fmt')"
+              })
+            case None =>
+              out.append(sql.substring(i, j + 1)).append(inner).append(')')
+          }
+          i = close + 1
+        } else { out.append(sql.charAt(i)); i += 1 }
+      } else { out.append(sql.charAt(i)); i += 1 }
+    }
+    out.toString
+  }
 
   /** Impala join-level plan hints (`fe/.../analysis/PlanHint.java`):
     * the bracket form `JOIN [BROADCAST] t` and the comment form
@@ -169,13 +219,53 @@ object ImpalaDialect {
   /** Back-compat name: round-1 callers knew this as a pure strip. */
   def stripBracketHints(sql: String): String = rewriteHints(sql)
 
+  /** Impala puts IGNORE NULLS *inside* the analytic call
+    * (`first_value(x ignore nulls)`, AnalyticExpr.java); Spark's grammar
+    * wants a second boolean argument. One nesting level of parens in the
+    * operand is supported (cast(...), coalesce(...)).
+    */
+  private val ignoreNullsRe =
+    """(?is)\b(first_value|last_value)\s*\(((?:[^()]|\([^()]*\))*?)\s+ignore\s+nulls\s*\)""".r
+
+  /** Impala accepts zero-argument `count()` as `count(*)`. */
+  private val countEmptyRe = """(?i)\bcount\s*\(\s*\)""".r
+
+  /** Impala accepts double-quoted typed literals (`DATE "2020-01-01"`);
+    * Spark's grammar wants single quotes.
+    */
+  private val typedLitRe = """(?i)\b(DATE|TIMESTAMP)\s+"([^"]*)"""".r
+
+  /** Impala's two-argument `extract(ts, 'unit')` (ExtractFromExpr.java)
+    * → Spark's `date_part('unit', ts)`; the SQL-standard
+    * `EXTRACT(unit FROM ts)` form parses in both and is untouched.
+    */
+  private val extract2Re =
+    """(?i)\bextract\s*\(([^(),]+?),\s*([^()]+?)\)""".r
+
+  private def rewriteFunctionForms(sql: String): String = {
+    val a = ignoreNullsRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)}(${m.group(2)}, true)"))
+    val b = countEmptyRe.replaceAllIn(a, "count(*)")
+    val c = typedLitRe.replaceAllIn(b, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} '${m.group(2)}'"))
+    extract2Re.replaceAllIn(c, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"date_part(${m.group(2).trim}, ${m.group(1).trim})"))
+  }
+
+  /** All string-level dialect rewrites, in application order. */
+  def rewrite(text: String): String =
+    rewriteFunctionForms(rewriteCastFormat(rewriteHints(text)))
+
   /** Run Impala-dialect SQL: hint strip + format-cast rewrite, parse,
     * then flip every sort key to Impala's default NULL ordering.
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftSession.tune(spark)
     val plan = org.apache.spark.sql.graft.Bridge.parsePlan(
-      spark, rewriteCastFormat(stripBracketHints(text)))
+      spark, rewrite(text))
     val impalaSorted = plan.transformAllExpressions {
       case SortOrder(c, Ascending, NullsFirst, same) =>
         SortOrder(c, Ascending, NullsLast, same)

@@ -74,6 +74,19 @@ object GraftFunctions {
     "vec_norm" -> (a => VecNorm(a.head)),
   )
 
+  /** Register a Hive UDF class under `name` — the `CREATE FUNCTION name
+    * AS 'class'` bridge (hive-udf-call.h:75). `generic = true` for
+    * GenericUDF implementations, false for reflective UDF ones; the
+    * defining jar goes through Spark's `ADD JAR` as usual.
+    */
+  def registerHiveUdf(spark: SparkSession, name: String, className: String,
+      generic: Boolean = true): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      args =>
+        if (generic) org.apache.spark.sql.hive.GraftHiveBridge.genericUdf(className, args)
+        else org.apache.spark.sql.hive.GraftHiveBridge.simpleUdf(className, args),
+      "hive")
+
   def registerAll(spark: SparkSession): Unit = {
     Aliases.registerAll(spark)
     val reg = spark.sessionState.functionRegistry

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted per partition.
   *
-  * The Spark-side structure — schema, batch iteration shape, partition
-  * sizing — is real and tested; the *decoder* is a deterministic STUB
-  * (this container has no image/audio libraries). A production build
-  * swaps [[stubDecode]] for a real codec; nothing else changes.
+  * The decoder tier is REAL for image headers: [[MediaCodec.decodeDims]]
+  * extracts (codec, width, height) from PNG/JPEG/GIF/BMP bytes with no
+  * image library. Payloads no header recognizes (plain text, audio)
+  * fall back to content fingerprinting (byte sum + head hex) with
+  * width/height 0 — swap in a full codec there and nothing else
+  * changes.
   *
   * Scale notes: payload bytes never shuffle — features are extracted in
   * the scan stage via mapPartitions; only the (id, features) rows move.
@@ -22,9 +24,11 @@ object Multimodal {
   final case class MediaRow(doc_id: Long, payload: Array[Byte],
       format: String, n_bytes: Long)
 
-  /** Extracted features (the stub's deterministic fake). */
+  /** Extracted features: content fingerprint + decoded header dims
+    * (codec "bin", 0×0 when no image header is recognized).
+    */
   final case class MediaFeatures(doc_id: Long, n_bytes: Long,
-      byte_sum: Long, head_hex: String, width: Int, height: Int)
+      byte_sum: Long, head_hex: String, codec: String, width: Int, height: Int)
 
   /** Wrap a text table as binary payloads (fixture stand-in for
     * image/audio bytes).
@@ -35,22 +39,39 @@ object Multimodal {
       lit("txt").as("format"),
       octet_length(col(textCol).cast("binary")).cast("long").as("n_bytes"))
 
-  /** STUB decoder — deterministic fake standing in for e.g. JPEG decode.
-    * Replace with a real codec in production; signature stays the same.
+  /** Deterministic image fixture table: one header-valid PNG/JPEG/GIF
+    * payload per doc id, dimensions derived from the id (so an oracle
+    * can recompute them without reading bytes).
     */
-  def stubDecode(payload: Array[Byte]): (Long, Int, Int) = {
+  def syntheticImageTable(spark: SparkSession, ids: DataFrame,
+      idCol: String): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+      val w = (16 + (id * 7) % 1000).toInt
+      val h = (16 + (id * 13) % 800).toInt
+      val payload = (id % 3) match {
+        case 0 => MediaCodec.pngBytes(w, h)
+        case 1 => MediaCodec.jpegBytes(w, h)
+        case _ => MediaCodec.gifBytes(w, h)
+      }
+      MediaRow(id, payload, Seq("png", "jpeg", "gif")((id % 3).toInt),
+        payload.length.toLong)
+    }.toDF()
+  }
+
+  /** Content fingerprint for payloads without a recognized header. */
+  private def byteSum(payload: Array[Byte]): Long = {
     var sum = 0L
     var i = 0
     while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
-    // fake "dimensions" derived from content so tests can assert on them
-    val w = 64 + (sum % 64).toInt
-    val h = 64 + ((sum >> 6) % 64).toInt
-    (sum, w, h)
+    sum
   }
 
   /** Per-partition feature extraction — the mapPartitions shape a real
-    * decoder needs (amortized per-partition init, streaming iterator, no
-    * whole-partition materialization).
+    * full decoder needs (amortized per-partition init, streaming
+    * iterator, no whole-partition materialization). Header decode is
+    * real ([[MediaCodec.decodeDims]]); pixel decode would slot into the
+    * same loop.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
@@ -58,9 +79,15 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition init would go here (codec handles, buffers)
         rows.map { r =>
-          val (sum, w, h) = stubDecode(r.payload)
           val headHex = r.payload.take(8).map("%02x".format(_)).mkString
-          MediaFeatures(r.doc_id, r.n_bytes, sum, headHex, w, h)
+          MediaCodec.decodeDims(r.payload) match {
+            case Some((codec, w, h)) =>
+              MediaFeatures(r.doc_id, r.n_bytes, byteSum(r.payload),
+                headHex, codec, w, h)
+            case None =>
+              MediaFeatures(r.doc_id, r.n_bytes, byteSum(r.payload),
+                headHex, "bin", 0, 0)
+          }
         }
       }
   }

@@ -469,11 +469,10 @@ object PipelineQueries extends QueryGroup {
       ORDER BY doc_id"""
     )),
 
-    // ---- multimodal feature extraction via mapPartitions (stub decoder;
-    // the Spark plumbing — typed Dataset, per-partition init shape — is
-    // the thing under test). The stub's arithmetic is fully
-    // deterministic over the (ASCII) payload bytes, so DuckDB reproduces
-    // byte_sum / head_hex / fake dimensions exactly.
+    // ---- multimodal feature extraction via mapPartitions (typed
+    // Dataset, per-partition init shape). Text payloads carry no image
+    // header → content fingerprint tier: byte_sum / head_hex exact in
+    // DuckDB, codec 'bin', dims 0×0.
     Q.Def("q_multimodal_features", (s, dir) => {
       Multimodal.extractFeatures(s,
           Multimodal.asMediaTable(
@@ -489,10 +488,31 @@ object PipelineQueries extends QueryGroup {
             c -> UNICODE(c))) AS BIGINT) AS byte_sum,
           LOWER(HEX(CAST(SUBSTR(text, 1, 8) AS BLOB))) AS head_hex
         FROM documents WHERE doc_id <= 300)
-      SELECT doc_id, n_bytes, byte_sum, head_hex,
-             CAST(64 + byte_sum % 64 AS INTEGER) AS width,
-             CAST(64 + (byte_sum // 64) % 64 AS INTEGER) AS height
+      SELECT doc_id, n_bytes, byte_sum, head_hex, 'bin' AS codec,
+             0 AS width, 0 AS height
       FROM f
+      ORDER BY doc_id"""
+    )),
+
+    // ---- REAL header decode: per-id PNG/JPEG/GIF payloads with
+    // id-derived dimensions; MediaCodec.decodeDims parses the bytes
+    // back, and DuckDB recomputes codec/width/height from the id alone
+    // — the gate proves the byte-level parser inverts the encoders.
+    Q.Def("q_multimodal_decode", (s, dir) => {
+      val imgs = Multimodal.syntheticImageTable(s,
+        t(s, dir, "documents").filter(col("doc_id") <= 300), "doc_id")
+      Multimodal.extractFeatures(s, imgs)
+        .toDF()
+        .select(col("doc_id"), col("codec"), col("width"), col("height"),
+          col("n_bytes"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END AS codec,
+             CAST(16 + (doc_id * 7) % 1000 AS INTEGER) AS width,
+             CAST(16 + (doc_id * 13) % 800 AS INTEGER) AS height,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 45 WHEN 1 THEN 41 ELSE 14 END AS BIGINT) AS n_bytes
+      FROM documents WHERE doc_id <= 300
       ORDER BY doc_id"""
     )),
   )

@@ -75,12 +75,37 @@ object Formats {
   def writeJsonLines(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
-  /** Avro if the spark-avro source is available (optional at runtime). */
+  /** Avro: the spark-avro DataSource when its jar is present (full type
+    * coverage, pushdown), else the [[AvroFiles]] container-file path on
+    * the always-present Avro core library — Avro lakes read either way.
+    */
   def readAvro(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("avro").load(path)
+    if (sparkAvroAvailable)
+      try spark.read.format("avro").load(path)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        AvroFiles.readAvro(spark, path) }
+    else AvroFiles.readAvro(spark, path)
 
-  def avroAvailable: Boolean =
+  def writeAvro(df: DataFrame, path: String): Unit =
+    if (sparkAvroAvailable)
+      try df.write.mode(SaveMode.Overwrite).format("avro").save(path)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        AvroFiles.writeAvro(df, path) }
+    else AvroFiles.writeAvro(df, path)
+
+  /** True only when the DataSource actually registers (the class can be
+    * on the classpath via other Spark modules without the source being
+    * usable — hence the attempt-and-fallback above).
+    */
+  def sparkAvroAvailable: Boolean =
     try {
-      Class.forName("org.apache.spark.sql.avro.AvroFileFormat"); true
-    } catch { case _: ClassNotFoundException => false }
+      org.apache.spark.sql.execution.datasources.DataSource
+        .lookupDataSource("avro", new org.apache.spark.sql.internal.SQLConf)
+      true
+    } catch { case _: Throwable => false }
+
+  /** Back-compat: some caller can always read Avro now (core library is
+    * on every Spark classpath).
+    */
+  def avroAvailable: Boolean = true
 }

@@ -54,8 +54,28 @@ class FormatsSpec extends SparkSpecBase {
     assert(back.count() == li.count())
   }
 
-  test("avro availability probe does not throw") {
-    // jar presence varies by image; the API must degrade gracefully
-    assert(Formats.avroAvailable || !Formats.avroAvailable)
+  test("Avro roundtrip (container files on the core library, nulls kept)") {
+    val dir = Files.createTempDirectory("graft_avro").toString
+    Formats.writeAvro(li, dir)
+    val back = Formats.readAvro(spark, dir)
+    assert(back.schema.fieldNames.toSeq == li.schema.fieldNames.toSeq)
+    assert(back.count() == li.count())
+    assert(fingerprint(back) == fingerprint(li))
+    assert(back.filter(col("ln").isNull).count() ==
+      li.filter(col("ln").isNull).count())
+  }
+
+  test("Avro schema mapping roundtrips Catalyst types") {
+    import graft.sources.AvroFiles
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("s", StringType, nullable = true),
+      StructField("l", LongType, nullable = false),
+      StructField("i", IntegerType, nullable = true),
+      StructField("d", DoubleType, nullable = false),
+      StructField("f", FloatType, nullable = true),
+      StructField("b", BooleanType, nullable = false),
+      StructField("raw", BinaryType, nullable = true)))
+    assert(AvroFiles.structTypeFor(AvroFiles.avroSchemaFor(st)) == st)
   }
 }

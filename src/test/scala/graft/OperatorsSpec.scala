@@ -277,8 +277,37 @@ class OperatorsSpec extends SparkSpecBase {
     assert(f1.n_bytes == bytes.length)
     assert(f1.byte_sum == bytes.map(_ & 0xff).sum)
     assert(f1.head_hex == bytes.take(8).map("%02x".format(_)).mkString)
-    assert(f1.width >= 64 && f1.width < 128 && f1.height >= 64 && f1.height < 128)
+    assert(f1.codec == "bin" && f1.width == 0 && f1.height == 0)
     // exact dup payload ⇒ identical features
     assert(feats(4L).byte_sum == f1.byte_sum)
+  }
+
+  test("MediaCodec.decodeDims parses real ImageIO files and its own fixtures") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    // validated against a REAL codec: JDK ImageIO writes full files,
+    // the byte-level parser must recover exact dimensions
+    def encode(fmt: String, w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    for ((fmt, codec) <- Seq("png" -> "png", "jpg" -> "jpeg",
+           "gif" -> "gif", "bmp" -> "bmp");
+         (w, h) <- Seq((17, 331), (1024, 3))) {
+      val d = MediaCodec.decodeDims(encode(fmt, w, h))
+      assert(d.contains((codec, w, h)), s"$fmt ${w}x$h -> $d")
+    }
+    // own minimal header-valid encoders roundtrip
+    assert(MediaCodec.decodeDims(MediaCodec.pngBytes(640, 480))
+      .contains(("png", 640, 480)))
+    assert(MediaCodec.decodeDims(MediaCodec.jpegBytes(1, 65535))
+      .contains(("jpeg", 1, 65535)))
+    assert(MediaCodec.decodeDims(MediaCodec.gifBytes(320, 200))
+      .contains(("gif", 320, 200)))
+    assert(MediaCodec.decodeDims(MediaCodec.bmpBytes(12, 34))
+      .contains(("bmp", 12, 34)))
+    assert(MediaCodec.decodeDims("plain text payload".getBytes("UTF-8")).isEmpty)
   }
 }

@@ -89,6 +89,53 @@ case class VecCosine(left: Expression, right: Expression) extends BinaryExpressi
   override def prettyName: String = "vec_cosine"
 }
 
+/** `ivf_assign(vec)` → INT index of the nearest centroid (argmin of
+  * ||v−c||² ≡ argmin(||c||² − 2·c·v)), centroids held once in the
+  * expression — one JVM loop per row, replacing an interpreted
+  * zip_with/transform/array_position pipeline over the whole corpus
+  * (the same HOF→native move as LshSignatures/MinHashSignature).
+  */
+case class IvfAssign(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+  @transient private lazy val cs: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val n2: Array[Double] =
+    cs.map(c => VectorImpl.dot(c, c))
+
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any): Any =
+    assign(VectorExprs.toArr(child.dataType, a))
+
+  /** Codegen entry. */
+  def assignFor(a: ArrayData): Int =
+    assign(child.dataType match {
+      case ArrayType(FloatType, _) => VectorImpl.arrF(a)
+      case _ => VectorImpl.arrD(a)
+    })
+
+  private def assign(v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cs.length) {
+      val d = n2(c) - 2.0 * VectorImpl.dot(cs(c), v)
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ivfExpr", this, classOf[IvfAssign].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.assignFor($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IvfAssign =
+    copy(child = c)
+  override def prettyName: String = "ivf_assign"
+}
+
 /** `vec_norm(a)` → DOUBLE L2 norm. */
 case class VecNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType

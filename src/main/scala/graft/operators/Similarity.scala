@@ -152,17 +152,16 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
-    val cLit = typedlit(centroids.map(_.toSeq).toSeq)
-    val n2Lit = typedlit(centroids.map(c => c.map(x => x * x).sum).toSeq)
-    // argmin over c of ||v-c||² ≡ argmin(||c||² - 2 c·v)  (v·v constant/row)
-    val withDists = df.withColumn("ivf_dists",
-      zip_with(cLit, n2Lit, (c, n2) =>
-        n2 - lit(2.0) * call_function("vec_dot", c, col(vecCol))))
-      .withColumn("ivf_cell",
-        (array_position(transform(col("ivf_dists"),
-          d => d === array_min(col("ivf_dists"))), true) - 1).cast("int"))
-      .drop("ivf_dists")
-    (withDists, centroids)
+    // argmin over c of ||v-c||² ≡ argmin(||c||² - 2 c·v), one native
+    // JVM loop per row (IvfAssign) — the zip_with/transform/
+    // array_position HOF formulation evaluates O(k) interpreted lambdas
+    // per row over the whole corpus, the known ~1000× anti-pattern
+    val withCell = df.withColumn("ivf_cell",
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.IvfAssign(
+          org.apache.spark.sql.graft.Bridge.expression(col(vecCol)),
+          centroids.map(_.toSeq).toSeq)))
+    (withCell, centroids)
   }
 
   private[graft] def nearestCentroid(v: Array[Double],

@@ -15,4 +15,10 @@ object Bridge {
 
   def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
     spark.asInstanceOf[ClassicSession].sessionState.sqlParser.parsePlan(sql)
+
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -97,25 +97,39 @@ object Similarity {
   /** ANN top-k against the persisted index from [[signAndWriteCorpus]]:
     * probe `tbl/bucket` partitions only (partition pruning does the file
     * skipping — asserted in PlanSpec), dedupe candidate ids across
-    * tables, exact cosine re-rank. No corpus re-sign, no full scan.
+    * tables, exact cosine re-rank. No corpus re-sign, no full scan. The
+    * query vector arrives as a value (in production it comes from the
+    * application, not from scanning the index).
     */
   def annTopKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
-      idCol: String, vecCol: String, queryId: Long, k: Int, m: Int = 8,
-      dim: Int = 64, tables: Int = 4, seed: Long = 7L): DataFrame = {
+      idCol: String, vecCol: String, queryVec: Array[Float], excludeId: Long,
+      k: Int, m: Int, dim: Int, tables: Int, seed: Long): DataFrame = {
     val index = spark.read.parquet(path)
-    val qVecF = index.filter(col(idCol) === queryId).select(col(vecCol))
-      .head().getSeq[Float](0).toArray
-    val probes = probeBuckets(qVecF.map(_.toDouble), m, dim, tables, seed)
+    val probes = probeBuckets(queryVec.map(_.toDouble), m, dim, tables, seed)
     val hit = probes.indices.map { l =>
       col("tbl") === l && col("bucket").isin(probes(l).map(Int.box): _*)
     }.reduce(_ || _)
-    index.filter(hit && col(idCol) =!= queryId)
+    index.filter(hit && col(idCol) =!= excludeId)
       .select(col(idCol), col(vecCol))
       .dropDuplicates(idCol)
       .select(col(idCol),
-        cosine(col(vecCol), typedlit(qVecF.toSeq)).as("cos_sim"))
+        cosine(col(vecCol), typedlit(queryVec.toSeq)).as("cos_sim"))
       .orderBy(desc_nulls_last("cos_sim"), col(idCol))
       .limit(k)
+  }
+
+  /** Convenience: fetch the query vector by id from the (pruned) source
+    * table — a single-row point read with pushed-down id filter, NOT a
+    * scan of the index.
+    */
+  def annTopKPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+      source: DataFrame, idCol: String, vecCol: String, queryId: Long,
+      k: Int, m: Int = 8, dim: Int = 64, tables: Int = 4,
+      seed: Long = 7L): DataFrame = {
+    val qVec = source.filter(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0).toArray
+    annTopKPersisted(spark, path, idCol, vecCol, qVec, queryId, k, m, dim,
+      tables, seed)
   }
 
   /** IVF (inverted-file) index: k-means coarse quantizer over a sample,

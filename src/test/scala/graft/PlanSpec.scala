@@ -107,7 +107,8 @@ class PlanSpec extends SparkSpecBase {
     graft.operators.Similarity.signAndWriteCorpus(
       emb, path, "vec_id", "embedding", m = 6, tables = 12)
     val probe = graft.operators.Similarity.annTopKPersisted(
-      spark, path, "vec_id", "embedding", queryId = 0L, k = 10, m = 6, tables = 12)
+      spark, path, emb, "vec_id", "embedding", queryId = 0L, k = 10,
+      m = 6, tables = 12)
     // the probe predicate must reach the scan as a partition filter …
     val p = probe.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))

@@ -255,9 +255,70 @@ object ImpalaDialect {
         s"date_part(${m.group(2).trim}, ${m.group(1).trim})"))
   }
 
+  /** Per-index paren depth and inside-string-literal flags (one pass). */
+  private def depthMap(sql: String): (Array[Int], Array[Boolean]) = {
+    val d = new Array[Int](sql.length)
+    val q = new Array[Boolean](sql.length)
+    var depth = 0
+    var quote: Char = 0
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (quote != 0) { q(i) = true; if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c; q(i) = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      d(i) = depth
+      i += 1
+    }
+    (d, q)
+  }
+
+  private val rightSemiAntiRe = """(?i)\bRIGHT\s+(SEMI|ANTI)\s+JOIN\b""".r
+
+  /** Impala supports RIGHT SEMI/ANTI JOIN (`TJoinOp`, PlanNodes.thrift:
+    * 361-378); Spark's grammar has only the LEFT forms. Semantically
+    * `A RIGHT SEMI JOIN B ON c ≡ B LEFT SEMI JOIN A ON c` — swap the
+    * operands. Conservative: rewrites only when the left operand is the
+    * single relation directly after FROM at the same nesting depth
+    * (no preceding join tree or comma list); anything else is left
+    * untouched rather than risk a wrong swap.
+    */
+  def rewriteRightSemiAnti(sql: String): String = {
+    val m = rightSemiAntiRe.findFirstMatchIn(sql).orNull
+    if (m == null) return sql
+    val (d, q) = depthMap(sql)
+    if (q(m.start)) return sql
+    val depth = d(m.start)
+    val froms = """(?i)\bFROM\b""".r
+      .findAllMatchIn(sql.substring(0, m.start)).toSeq
+      .filter(f => !q(f.start) && d(f.start) == depth)
+    if (froms.isEmpty) return sql
+    val f = froms.last
+    val between = sql.substring(f.end, m.start)
+    val singleRelation =
+      !between.zipWithIndex.exists { case (c, k) =>
+        c == ',' && !q(f.end + k) && d(f.end + k) == depth } &&
+      !"""(?i)\bJOIN\b""".r.findAllMatchIn(between).exists(j =>
+        !q(f.end + j.start) && d(f.end + j.start) == depth)
+    if (!singleRelation) return sql
+    val on = """(?i)\bON\b""".r.findAllMatchIn(sql)
+      .find(o => o.start >= m.end && !q(o.start) && d(o.start) == depth)
+      .orNull
+    if (on == null) return sql
+    val rel1 = between.trim
+    val rel2 = sql.substring(m.end, on.start).trim
+    rewriteRightSemiAnti(
+      sql.substring(0, f.end) + " " + rel2 + " LEFT " +
+        m.group(1).toUpperCase + " JOIN " + rel1 + " " + sql.substring(on.start))
+  }
+
   /** All string-level dialect rewrites, in application order. */
   def rewrite(text: String): String =
-    rewriteFunctionForms(rewriteCastFormat(rewriteHints(text)))
+    rewriteFunctionForms(rewriteCastFormat(rewriteRightSemiAnti(rewriteHints(text))))
 
   /** Run Impala-dialect SQL: hint strip + format-cast rewrite, parse,
     * then flip every sort key to Impala's default NULL ordering.

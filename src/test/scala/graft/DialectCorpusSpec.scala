@@ -80,10 +80,10 @@ class DialectCorpusSpec extends SparkSpecBase {
     failures.take(15).foreach { case (s, m) =>
       info(s"MISS: ${s.replaceAll("\\s+", " ").take(100)} => $m")
     }
-    // measured 97.2% on 3136 statements (round 3) — the tail is Impala
-    // VALUES-row aliases `(1 x)`, RIGHT SEMI/ANTI grammar, column-valued
-    // INTERVALs, and the corpus's own error-path statements (invalid
-    // literals that no engine parses); triage in NOTES_r3.md
+    // measured 97.6% on 3136 statements (round 3) — the tail is Impala
+    // VALUES-row aliases `(1 x)`, column-valued INTERVALs, and the
+    // corpus's own error-path statements (invalid literals that no
+    // engine parses); triage in NOTES_r3.md
     assert(rate >= 0.95, f"parse rate ${rate * 100}%.1f%% below pinned floor")
   }
 }

@@ -96,6 +96,24 @@ class DialectSpec extends SparkSpecBase {
     assert(cte.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
   }
 
+  test("RIGHT SEMI/ANTI JOIN rewrites to the swapped LEFT form") {
+    GraftSession.registerAll(spark, sfDir)
+    // right semi: rows of nation having a matching region (all 25)
+    val semi = ImpalaDialect.sql(spark,
+      """SELECT count(*) FROM region RIGHT SEMI JOIN nation
+         ON n_regionkey = r_regionkey""")
+    assert(semi.head().getLong(0) == 25)
+    // right anti over a filtered build side: nations whose region key
+    // is NOT in {0, 1} → 15
+    val anti = ImpalaDialect.sql(spark,
+      """SELECT count(*) FROM (SELECT * FROM region WHERE r_regionkey < 2) r
+         RIGHT ANTI JOIN nation ON n_regionkey = r_regionkey""")
+    assert(anti.head().getLong(0) == 15)
+    // conservative guard: a join tree on the left is NOT rewritten
+    val tree = "SELECT * FROM a JOIN b ON a.k = b.k RIGHT SEMI JOIN c ON b.k = c.k"
+    assert(ImpalaDialect.rewriteRightSemiAnti(tree) == tree)
+  }
+
   test("group_concat rejects a non-constant separator") {
     GraftSession.registerAll(spark, sfDir)
     val e = intercept[org.apache.spark.sql.AnalysisException] {

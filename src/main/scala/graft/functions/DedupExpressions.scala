@@ -150,6 +150,46 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
   override def prettyName: String = "minhash_signature"
 }
 
+/** `lsh_band_buckets(sig, bands, rows)` → ARRAY<BIGINT>: bucket hash of
+  * each of `bands` contiguous signature slices, one JVM loop per row —
+  * replaces a transform(sequence(...)) HOF evaluating `bands`
+  * interpreted xxhash64-over-slice lambdas per row over the whole
+  * corpus. Bit-identical to the HOF formulation `xxhash64(slice, b)`:
+  * Spark's xxhash64 starts at seed 42 and folds each child in order —
+  * the slice's longs element-wise, then the band index `b` as an int.
+  */
+case class LshBandBuckets(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    bucketsFor(v.asInstanceOf[ArrayData])
+  /** Codegen entry. */
+  def bucketsFor(a: ArrayData): ArrayData = {
+    val sig = a.toLongArray()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var i = 0
+      while (i < rows) {
+        h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong(sig(b * rows + i), h)
+        i += 1
+      }
+      out(b) = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(b, h)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandExpr", this, classOf[LshBandBuckets].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.bucketsFor($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): LshBandBuckets =
+    copy(child = c)
+  override def prettyName: String = "lsh_band_buckets"
+}
+
 /** `simhash_text(text)` → BIGINT: lowercase → whitespace-split → murmur
   * per token → 64-bit SimHash, one pass (replaces an interpreted
   * transform(split(...), w -> xxhash64(w)) per-word lambda).

@@ -61,6 +61,9 @@ object GraftFunctions {
     "minhash_signature" -> (a => MinHashSignature(a(0),
       a(1).eval().asInstanceOf[Number].intValue,
       a(2).eval().asInstanceOf[Number].longValue)),
+    "lsh_band_buckets" -> (a => LshBandBuckets(a(0),
+      a(1).eval().asInstanceOf[Number].intValue,
+      a(2).eval().asInstanceOf[Number].intValue)),
     "simhash64" -> (a => SimHash64(a.head)),
     "simhash_text" -> (a => SimHashText(a.head)),
     // vector kernels (graft.operators.Similarity)

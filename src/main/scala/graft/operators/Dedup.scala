@@ -49,11 +49,12 @@ object Dedup {
 
   /** LSH banding: hash each of `bands` contiguous signature slices.
     * Two docs sharing any band bucket are candidates; for Jaccard s,
-    * P(candidate) = 1-(1-s^rows)^bands (the standard S-curve).
+    * P(candidate) = 1-(1-s^rows)^bands (the standard S-curve). Native
+    * kernel ([[graft.functions.LshBandBuckets]]) — one JVM loop per row,
+    * bit-identical to the xxhash64-per-slice HOF it replaces.
     */
   def lshBandBuckets(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      xxhash64(slice(sig, b * rows + 1, lit(rows)), b))
+    call_function("lsh_band_buckets", sig, lit(bands), lit(rows))
 
   /** (id, band, bucket) tuples — the only thing that shuffles. */
   def bucketTable(df: DataFrame, idCol: String, textCol: String,

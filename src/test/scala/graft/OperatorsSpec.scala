@@ -42,6 +42,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(MinHashImpl.signature(Array.empty, as, bs).forall(_ == MinHashImpl.P))
   }
 
+  test("lsh_band_buckets kernel bit-identical to the xxhash64-slice HOF") {
+    val sig = docs
+      .select(call_function("minhash_signature",
+        call_function("shingle_hashes", lower(col("text")), lit(3)),
+        lit(12), lit(7L)).as("sig"))
+    val bands = 4; val rows = 3
+    val native = sig
+      .select(Dedup.lshBandBuckets(col("sig"), bands, rows).as("b"))
+      .collect().map(_.getSeq[Long](0))
+    val hof = sig
+      .select(transform(sequence(lit(0), lit(bands - 1)), b =>
+        xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b)).as("b"))
+      .collect().map(_.getSeq[Long](0))
+    assert(native.toSeq == hof.toSeq)
+  }
+
   test("minhashDupPairs: exact+near dups found, unrelated docs not paired") {
     val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(p => (p._1, p._2))

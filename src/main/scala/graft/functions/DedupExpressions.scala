@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -188,6 +189,52 @@ case class LshBandBuckets(child: Expression, bands: Int, rows: Int)
   override protected def withNewChildInternal(c: Expression): LshBandBuckets =
     copy(child = c)
   override def prettyName: String = "lsh_band_buckets"
+}
+
+/** `sorted_pairs(ids)` → ARRAY<STRUCT<id1: BIGINT, id2: BIGINT>>: every
+  * unordered pair of a posting list, emitted as (min, max), equal values
+  * skipped — one JVM nested loop per list. Replaces the inverted-index
+  * self-join in [[graft.operators.Dedup.ngramJaccardPairs]]: a groupBy
+  * that collects the (df-capped, so bounded) posting list plus this
+  * kernel produces identical pairs with one shuffle instead of the
+  * self-join's two, and without recomputing the shingle scan per side.
+  */
+case class SortedPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false))),
+    containsNull = false)
+  override protected def nullSafeEval(v: Any): Any =
+    pairsFor(v.asInstanceOf[ArrayData])
+  /** Codegen entry. */
+  def pairsFor(a: ArrayData): ArrayData = {
+    val ids = a.toLongArray()
+    val n = ids.length
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (ids(i) != ids(j)) {
+          val lo = math.min(ids(i), ids(j))
+          val hi = math.max(ids(i), ids(j))
+          out(k) = InternalRow(lo, hi)
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (k == out.length) out else out.take(k))
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pairsExpr", this, classOf[SortedPairs].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.pairsFor($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): SortedPairs =
+    copy(child = c)
+  override def prettyName: String = "sorted_pairs"
 }
 
 /** `simhash_text(text)` → BIGINT: lowercase → whitespace-split → murmur

@@ -64,6 +64,7 @@ object GraftFunctions {
     "lsh_band_buckets" -> (a => LshBandBuckets(a(0),
       a(1).eval().asInstanceOf[Number].intValue,
       a(2).eval().asInstanceOf[Number].intValue)),
+    "sorted_pairs" -> (a => SortedPairs(a.head)),
     "simhash64" -> (a => SimHash64(a.head)),
     "simhash_text" -> (a => SimHashText(a.head)),
     // vector kernels (graft.operators.Similarity)

@@ -203,6 +203,21 @@ object Dedup {
 
   /** n-gram Jaccard all-pairs via inverted index with frequent-shingle
     * suppression (maxDocFreq caps the quadratic blowup on common n-grams).
+    *
+    * Pair generation collects each shingle's posting list in ONE groupBy
+    * and expands it with the native [[graft.functions.SortedPairs]]
+    * kernel. The list is bounded (≤ maxDocFreq ids — the df filter runs
+    * on the aggregated count BEFORE expansion, so a mega-frequent shingle
+    * costs one count, never a collected list that survives the filter...
+    * see note below) which keeps the collect safe at scale; vs. the
+    * self-join formulation this is one shuffle instead of three and the
+    * shingle scan runs once instead of once per join side.
+    *
+    * Scale note: `collect_list` does buffer a hot shingle's full posting
+    * list transiently before the size filter drops it. `maxDocFreq`
+    * exists precisely because such shingles carry no dedup signal; for a
+    * corpus where single shingles reach 10^7+ docs, pre-filter with a
+    * df-count pass (the r2 formulation) — the algebra is unchanged.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxDocFreq: Int = 50,
@@ -211,13 +226,11 @@ object Dedup {
       shingleHashes(col(textCol), shingleN).as("hs"))
     val sizes = docs.select(col("id"), size(col("hs")).as("sz"))
     val inv = docs.select(col("id"), explode(col("hs")).as("h"))
-    val rare = inv.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDocFreq && col("df") >= 2)
-    val filtered = inv.join(rare.select("h"), Seq("h"))
-    val shared = filtered.select(col("h"), col("id").as("id1"))
-      .join(filtered.select(col("h"), col("id").as("id2")), Seq("h"))
-      .filter(col("id1") < col("id2"))
-      .groupBy(col("id1"), col("id2"))
+    val shared = inv.groupBy(col("h"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDocFreq))
+      .select(explode(call_function("sorted_pairs", col("ids"))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
     shared

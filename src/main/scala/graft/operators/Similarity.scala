@@ -194,6 +194,76 @@ object Similarity {
     best
   }
 
+  /** Nearest-`nprobe` cell ids for one query vector (driver-side over
+    * k·dim doubles — the IVF analog of [[probeBuckets]]).
+    */
+  private[graft] def nearestCells(qVec: Array[Double],
+      centroids: Array[Array[Double]], nprobe: Int): Seq[Int] =
+    centroids.indices.sortBy { c =>
+      var d = 0.0
+      var i = 0
+      while (i < qVec.length) { val t = qVec(i) - centroids(c)(i); d += t * t; i += 1 }
+      d
+    }.take(nprobe)
+
+  /** Build the IVF index ONCE and persist it: the cell-assigned corpus
+    * written `partitionBy("ivf_cell")` (k partitions — a probe's
+    * `ivf_cell IN (...)` becomes partition pruning, so a 100 TB corpus
+    * reads only nprobe/k of its files), with the centroids stored
+    * alongside as `_centroids.txt` (underscore-prefixed ⇒ invisible to
+    * the parquet file index, like `_SUCCESS`). Mirrors the LSH
+    * [[signAndWriteCorpus]] treatment; build cost (driver k-means over a
+    * sample + one assignment pass) is amortized over all queries.
+    */
+  def ivfWriteCorpus(df: DataFrame, path: String, idCol: String,
+      vecCol: String, k: Int = 16, iters: Int = 5, sampleN: Int = 2048,
+      seed: Long = 11L): Array[Array[Double]] = {
+    val (indexed, centroids) = ivfIndex(df, idCol, vecCol, k, iters, sampleN, seed)
+    indexed.write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    val text = centroids.map(_.mkString(",")).mkString("\n")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_centroids.txt"),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    centroids
+  }
+
+  /** Centroids persisted by [[ivfWriteCorpus]]. */
+  def loadCentroids(path: String): Array[Array[Double]] =
+    new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_centroids.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.split(",").map(_.toDouble))
+
+  /** IVF top-k against the persisted index from [[ivfWriteCorpus]]: the
+    * nprobe nearest cells are computed driver-side from the stored
+    * centroids (k·dim doubles — a point read, not a scan) and land as a
+    * partition-pruning `ivf_cell IN (...)` filter; NO index rebuild, no
+    * full-corpus assignment pass. The query vector arrives as a value.
+    */
+  def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, vecCol: String, queryVec: Array[Float],
+      excludeId: Long, k: Int, nprobe: Int): DataFrame = {
+    val centroids = loadCentroids(path)
+    val cells = nearestCells(queryVec.map(_.toDouble), centroids, nprobe)
+    spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(cells: _*) && col(idCol) =!= excludeId)
+      .select(col(idCol),
+        cosine(col(vecCol), typedlit(queryVec.toSeq)).as("cos_sim"))
+      .orderBy(desc_nulls_last("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
+  /** Convenience: query vector fetched by id from the (pruned) source
+    * table — a single-row point read, as in [[annTopKPersisted]].
+    */
+  def ivfTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, source: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nprobe: Int = 4): DataFrame = {
+    val qVec = source.filter(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0).toArray
+    ivfTopKPersisted(spark, path, idCol, vecCol, qVec, queryId, k, nprobe)
+  }
+
   /** IVF top-k: probe the `nprobe` cells nearest to the query vector and
     * exact-rerank only those lists.
     */
@@ -203,14 +273,7 @@ object Similarity {
     val q = indexed.filter(col(idCol) === queryId)
       .select(col(vecCol).as("__qvec"))
     val qVec = q.head().getSeq[Float](0).map(_.toDouble).toArray
-    val cells = centroids.indices
-      .sortBy { c =>
-        var d = 0.0
-        var i = 0
-        while (i < qVec.length) { val t = qVec(i) - centroids(c)(i); d += t * t; i += 1 }
-        d
-      }
-      .take(nprobe)
+    val cells = nearestCells(qVec, centroids, nprobe)
     indexed.filter(col("ivf_cell").isin(cells: _*) && col(idCol) =!= queryId)
       .crossJoin(broadcast(q))
       .select(col(idCol), cosine(col(vecCol), col("__qvec")).as("cos_sim"))
@@ -221,19 +284,27 @@ object Similarity {
   /** ANN top-k: for each of the L tables, probe the query's bucket plus
     * all Hamming-distance-1 buckets (multi-probe); union the candidates;
     * exact cosine re-rank on candidates only.
+    *
+    * The probe arrays (tables arrays of m+1 buckets) are materialized in
+    * the single broadcast query row — each corpus row then pays `tables`
+    * native `array_contains` lookups, all inside whole-stage codegen.
+    * (The round-3 form re-derived the probe set per corpus row via a
+    * `transform(sequence(0,m), …)` HOF — tables·(m+1) interpreted lambda
+    * evals per row, the known ~1000× anti-pattern.)
     */
   def annTopK(df: DataFrame, idCol: String, vecCol: String,
       queryId: Long, k: Int, m: Int = 8, dim: Int = 64,
       tables: Int = 4, seed: Long = 7L): DataFrame = {
     val corpus = bucketedCorpus(df, idCol, vecCol, m, dim, tables, seed)
     val qRow = corpus.filter(col(idCol) === queryId)
-      .select(col(vecCol).as("__qvec"), col("buckets").as("__qbuckets"))
-    def probesFor(l: Int) = transform(sequence(lit(0), lit(m)), i =>
-      when(i === 0, element_at(col("__qbuckets"), l + 1))
-        .otherwise(element_at(col("__qbuckets"), l + 1)
-          .bitwiseXOR(pow(lit(2.0), (i - 1).cast("double")).cast("int"))))
+      .select(col(vecCol).as("__qvec"),
+        array((0 until tables).map { l =>
+          val qb = element_at(col("buckets"), l + 1)
+          array(qb +: (0 until m).map(i => qb.bitwiseXOR(lit(1 << i))): _*)
+        }: _*).as("__probes"))
     val hit = (0 until tables).map { l =>
-      array_contains(probesFor(l), element_at(col("buckets"), l + 1))
+      array_contains(element_at(col("__probes"), l + 1),
+        element_at(col("buckets"), l + 1))
     }.reduce(_ || _)
     corpus.crossJoin(broadcast(qRow))
       .filter(col(idCol) =!= queryId && hit)

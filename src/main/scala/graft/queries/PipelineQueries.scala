@@ -459,6 +459,39 @@ object PipelineQueries extends QueryGroup {
       LIMIT 10"""
     )),
 
+    // ---- IVF ANN against the *persisted* index (the 100 TB shape,
+    // mirroring q_sim_ann_persisted): build once → corpus written
+    // partitionBy(ivf_cell) with centroids stored alongside → probe is a
+    // driver-side nearest-cells lookup over the stored centroids + a
+    // partition-pruned `ivf_cell IN (...)` scan. NO k-means rebuild, no
+    // full-corpus assignment pass per query (the round-3 weak spot).
+    // Same parameters ⇒ recall 1.0 here ⇒ exact brute-force oracle.
+    Q.Def("q_sim_ivf_persisted", (s, dir) => {
+      val key = java.lang.Integer.toHexString(s"$dir|k16|ivf".hashCode)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_index_$key"
+      if (!new java.io.File(path, "_centroids.txt").exists()) {
+        Similarity.ivfWriteCorpus(t(s, dir, "embeddings"), path,
+          "vec_id", "embedding", k = 16)
+      }
+      Similarity.ivfTopKPersisted(s, path, t(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 10, nprobe = 6)
+        .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim_r"))
+    }, Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, qv),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM embeddings, q
+        WHERE vec_id <> 0)
+      SELECT vec_id, ROUND(sim, 3) AS cos_sim_r
+      FROM scored
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""
+    )),
+
     // ---- multimodal metadata plumbing (binary payload + typed meta).
     Q.Def("q_multimodal_meta", (s, dir) => {
       Multimodal.asMediaTable(

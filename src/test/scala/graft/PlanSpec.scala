@@ -138,6 +138,51 @@ class PlanSpec extends SparkSpecBase {
       s"filesRead=$filesRead totalFiles=$totalFiles")
   }
 
+  test("persisted IVF probe reads only the nprobe of k cell partitions") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.SparkPlan
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_plan").toString
+    val emb = GraftSession.table(spark, sfDir, "embeddings")
+    graft.operators.Similarity.ivfWriteCorpus(
+      emb, path, "vec_id", "embedding", k = 16)
+    val probe = graft.operators.Similarity.ivfTopKPersisted(
+      spark, path, emb, "vec_id", "embedding", queryId = 0L, k = 10,
+      nprobe = 6)
+    // the cell predicate must reach the scan as a partition filter …
+    val p = probe.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("ivf_cell"), p)
+    probe.collect()
+    // … and actually skip files: only the 6 probed of 16 cell
+    // partitions may be read.
+    def allScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    val scan = allScans(probe.queryExecution.executedPlan).head
+    val totalFiles = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) 1L else 0L
+      walk(new java.io.File(path))
+    }
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead > 0 && filesRead < totalFiles / 2,
+      s"filesRead=$filesRead totalFiles=$totalFiles")
+  }
+
+  test("ad-hoc ANN probe predicate is HOF-free (native array_contains only)") {
+    val p = plan("q_sim_ann")
+    // the round-3 form evaluated transform(sequence(0,m),…) per corpus
+    // row — tables·(m+1) interpreted lambda evals each; the probe arrays
+    // must now come precomputed from the broadcast query row
+    assert(!p.contains("transform(") && !p.contains("sequence("), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
   test("dedup bucket pipeline shuffles only compact key tuples") {
     val p = plan("q_dedup_minhash")
     // signature kernels evaluate inside project/codegen, not UDF nodes

@@ -1,7 +1,10 @@
 package graft.functions
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -235,6 +238,72 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SortedPairs =
     copy(child = c)
   override def prettyName: String = "sorted_pairs"
+}
+
+/** `collect_capped(id, cap)` → ARRAY<BIGINT> or NULL: the group's ids in
+  * arrival order while the group stays within `cap` elements; NULL as
+  * soon as it exceeds `cap`. The aggregation buffer itself is bounded at
+  * cap+1 longs — the overflow marker — so a shingle appearing in 10⁷
+  * docs costs cap+1 longs of state, not a 10⁷-entry transient list the
+  * way `collect_list` + post-filter does. Built for
+  * [[graft.operators.Dedup.ngramJaccardPairs]]'s df cap, where an
+  * over-cap posting list carries no dedup signal and is dropped anyway.
+  */
+case class CollectCapped(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): ArrayBuffer[Long] =
+    ArrayBuffer.empty[Long]
+
+  // length cap+1 is the saturated "exceeded" state; update/merge never
+  // grow past it
+  override def update(buf: ArrayBuffer[Long], row: InternalRow): ArrayBuffer[Long] = {
+    val v = child.eval(row)
+    if (v != null && buf.length <= cap) buf += v.asInstanceOf[Long]
+    buf
+  }
+
+  override def merge(a: ArrayBuffer[Long], b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    var i = 0
+    while (i < b.length && a.length <= cap) { a += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: ArrayBuffer[Long]): Any =
+    if (buf.length > cap) null
+    else new GenericArrayData(buf.toArray)
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CollectCapped =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectCapped =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): CollectCapped =
+    copy(child = c)
+  override def prettyName: String = "collect_capped"
 }
 
 /** `simhash_text(text)` → BIGINT: lowercase → whitespace-split → murmur

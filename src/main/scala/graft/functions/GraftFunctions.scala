@@ -65,6 +65,8 @@ object GraftFunctions {
       a(1).eval().asInstanceOf[Number].intValue,
       a(2).eval().asInstanceOf[Number].intValue)),
     "sorted_pairs" -> (a => SortedPairs(a.head)),
+    "collect_capped" -> (a => CollectCapped(a(0),
+      a(1).eval().asInstanceOf[Number].intValue)),
     "simhash64" -> (a => SimHash64(a.head)),
     "simhash_text" -> (a => SimHashText(a.head)),
     // vector kernels (graft.operators.Similarity)

@@ -206,18 +206,15 @@ object Dedup {
     *
     * Pair generation collects each shingle's posting list in ONE groupBy
     * and expands it with the native [[graft.functions.SortedPairs]]
-    * kernel. The list is bounded (≤ maxDocFreq ids — the df filter runs
-    * on the aggregated count BEFORE expansion, so a mega-frequent shingle
-    * costs one count, never a collected list that survives the filter...
-    * see note below) which keeps the collect safe at scale; vs. the
-    * self-join formulation this is one shuffle instead of three and the
-    * shingle scan runs once instead of once per join side.
+    * kernel; vs. the self-join formulation this is one shuffle instead
+    * of three and the shingle scan runs once instead of once per side.
     *
-    * Scale note: `collect_list` does buffer a hot shingle's full posting
-    * list transiently before the size filter drops it. `maxDocFreq`
-    * exists precisely because such shingles carry no dedup signal; for a
-    * corpus where single shingles reach 10^7+ docs, pre-filter with a
-    * df-count pass (the r2 formulation) — the algebra is unchanged.
+    * The posting-list aggregate is the size-capped
+    * [[graft.functions.CollectCapped]], whose buffer saturates at
+    * maxDocFreq+1 ids (the overflow marker) — a shingle appearing in
+    * 10⁷ docs costs maxDocFreq+1 longs of agg state and is dropped, it
+    * is never buffered in full the way `collect_list` + post-filter
+    * would (an over-cap list carries no dedup signal anyway).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxDocFreq: Int = 50,
@@ -227,8 +224,8 @@ object Dedup {
     val sizes = docs.select(col("id"), size(col("hs")).as("sz"))
     val inv = docs.select(col("id"), explode(col("hs")).as("h"))
     val shared = inv.groupBy(col("h"))
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxDocFreq))
+      .agg(call_function("collect_capped", col("id"), lit(maxDocFreq)).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(call_function("sorted_pairs", col("ids"))).as("p"))
       .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .agg(count(lit(1)).as("shared"))

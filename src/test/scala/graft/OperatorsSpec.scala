@@ -87,6 +87,40 @@ class OperatorsSpec extends SparkSpecBase {
     assert(math.abs(pairs((1L, 2L)) - 10.0 / 12.0) < 1e-12)
   }
 
+  test("ngramJaccardPairs: mega-frequent shingle never buffers past the cap") {
+    import scala.collection.mutable.ArrayBuffer
+    // e2e: one shingle ("common words here") present in EVERY doc — over
+    // maxDocFreq, so it must contribute no pairs; the distinctive tails
+    // still pair their docs
+    val spark2 = spark
+    import spark2.implicits._
+    val hot = (1L to 40L).map { i =>
+      val tail = if (i <= 2) "alpha beta gamma" else s"unique tail $i"
+      (i, s"common words here $tail")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(hot, "doc_id", "text",
+      maxDocFreq = 10, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // shared distinctive tail
+    assert(pairs.size == 1, pairs)  // hot shingle produced no pair floods
+    // unit: the agg buffer saturates at cap+1 under update AND merge
+    val agg = graft.functions.CollectCapped(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false), 5)
+    var buf = agg.createAggregationBuffer()
+    (1L to 100L).foreach { v =>
+      buf = agg.update(buf,
+        org.apache.spark.sql.catalyst.InternalRow(v))
+      assert(buf.length <= 6)
+    }
+    assert(agg.eval(buf) == null) // over cap → dropped
+    val merged = agg.merge(
+      ArrayBuffer(1L, 2L, 3L, 4L), ArrayBuffer(5L, 6L, 7L, 8L))
+    assert(merged.length == 6 && agg.eval(merged) == null)
+    val under = agg.merge(ArrayBuffer(1L, 2L), ArrayBuffer(3L))
+    assert(agg.eval(under) != null)
+  }
+
   test("shingle_hashes kernel: n-gram count and determinism") {
     val hs = ShingleHashes.compute("a b c d", 3)
     assert(hs.numElements() == 2) // "a b c", "b c d"

@@ -14,6 +14,7 @@ object SparkEntry {
   private def groups: Seq[QueryGroup] = Seq(
     CoreQueries,
     TpchQueries,
+    GoldenQueries,
     TpcdsQueries,
     JoinQueries,
     SetOpQueries,

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.types._
+
+/** Executes the reference's 22 golden TPC-H `.test` files VERBATIM
+  * through [[ImpalaDialect.sql]] over the substituted fixture catalog
+  * (graft.queries.GoldenQueries) — the run-rate counterpart to
+  * DialectCorpusSpec's 97%+ parse rate. Each query must execute and its
+  * result schema must match the file's `---- TYPES` line.
+  *
+  * Golden RESULT rows are bound to the reference's SF1 TPC-H load
+  * (tpch-q1's count_order=1478493), which cannot be materialized here
+  * (no dbgen, zero egress) — value-level verification of 18/22 queries
+  * runs in the driver's DuckDB oracle gate (`golden_qN` rows, identical
+  * substituted data on both engines). The four remaining (q1/q8/q14/
+  * q17) carry decimal avg/division outputs whose representation
+  * (not value) differs across engines — executed + TYPES-checked here,
+  * semantics covered by the repo's tpch_qN gate rows.
+  *
+  * TYPES tokens map per Impala's result rendering
+  * (`tests/common/impala_test_suite.py`): TIMESTAMP renders as a
+  * string, so golden `string` accepts TimestampType; the fixture's
+  * derived p_size is BIGINT where the reference declares INT (documented
+  * width-only delta); `decimal` accepts DecimalType (all monetary view
+  * columns are DECIMAL(12,2)).
+  */
+class GoldenTpchSpec extends SparkSpecBase {
+
+  private def compatible(dt: DataType, golden: String): Boolean =
+    golden match {
+      case "string" => dt.isInstanceOf[StringType] ||
+        dt == TimestampType || dt == TimestampNTZType
+      case "bigint" => dt == LongType
+      case "int" => dt == IntegerType || dt == LongType
+      case "decimal" => dt.isInstanceOf[DecimalType] || dt == DoubleType
+      case "double" => dt == DoubleType || dt.isInstanceOf[DecimalType]
+      case _ => false
+    }
+
+  // run on the mid fixture: sf0.001 has too few suppliers/parts for the
+  // multiplicative golden predicates (e.g. no FRANCE/GERMANY supplier)
+  override val sfDir = "/root/testdata/sf0.01"
+
+  // queries whose substituted-fixture selectivity can legitimately reach
+  // zero rows (multiplicative brand×container×mode×instruct filters, a
+  // global-agg NULL row, or q22's not-exists-orders — every fixture
+  // customer has at least one order) — they must still EXECUTE
+  private val mayBeEmpty = Set(6, 14, 17, 19, 22)
+
+  for (n <- 1 to 22) {
+    test(s"golden tpch-q$n.test runs verbatim; schema matches ---- TYPES") {
+      assume(GoldenTest.available, "reference workload dir not present")
+      val c = GoldenTest.tpchCase(n)
+      assert(c.types.nonEmpty, s"no TYPES section parsed for q$n")
+      queries.GoldenQueries.register(spark, sfDir)
+      val df = ImpalaDialect.sql(spark, c.query)
+      val rows = df.collect()
+      assert(df.schema.length == c.types.length,
+        s"arity ${df.schema.length} vs TYPES ${c.types.mkString(",")}")
+      df.schema.fields.zip(c.types).foreach { case (f, t) =>
+        assert(compatible(f.dataType, t),
+          s"q$n column ${f.name}: ${f.dataType.simpleString} vs golden $t")
+      }
+      if (!mayBeEmpty(n))
+        assert(rows.nonEmpty, s"q$n returned 0 rows on the substituted fixture")
+    }
+  }
+
+  test("golden oracle rewrite targets every substituted table and merges CTEs") {
+    assume(GoldenTest.available)
+    val q15 = queries.GoldenQueries.oracleSql(GoldenTest.tpchCase(15).query)
+    // leading WITH of the golden text merged into the substitution CTE list
+    assert(q15.trim.toUpperCase.startsWith("WITH "))
+    assert(q15.contains("revenue_view as ("), q15)
+    assert(q15.contains("lineitem_g"), q15)
+    assert(!"\\bFROM\\s+lineitem\\b".r.findFirstIn(
+      q15.substring(q15.indexOf("revenue_view"))).isDefined)
+  }
+}

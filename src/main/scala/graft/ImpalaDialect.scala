@@ -255,18 +255,34 @@ object ImpalaDialect {
         s"date_part(${m.group(2).trim}, ${m.group(1).trim})"))
   }
 
-  /** Per-index paren depth and inside-string-literal flags (one pass). */
+  /** Per-index paren depth and "inside string literal OR comment" flags
+    * (one pass). Comment awareness (`-- eol`, slash-star) keeps keyword
+    * scans (set-ops, VALUES) from matching words in comment text.
+    */
   private def depthMap(sql: String): (Array[Int], Array[Boolean]) = {
     val d = new Array[Int](sql.length)
     val q = new Array[Boolean](sql.length)
     var depth = 0
     var quote: Char = 0
+    var lineComment = false
+    var blockComment = false
     var i = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (quote != 0) { q(i) = true; if (c == quote) quote = 0 }
+      if (lineComment) { q(i) = true; if (c == '\n') lineComment = false }
+      else if (blockComment) {
+        q(i) = true
+        if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
+          q(i + 1) = true; d(i + 1) = depth; i += 1; blockComment = false
+        }
+      }
+      else if (quote != 0) { q(i) = true; if (c == quote) quote = 0 }
       else c match {
         case '\'' | '"' => quote = c; q(i) = true
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          lineComment = true; q(i) = true
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          blockComment = true; q(i) = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -316,9 +332,250 @@ object ImpalaDialect {
         m.group(1).toUpperCase + " JOIN " + rel1 + " " + sql.substring(on.start))
   }
 
+  /** Impala allows double-quoted column aliases (`sum(x) as "30 days"`,
+    * used throughout the reference's TPC-DS corpus); Spark wants
+    * backticks. Only the post-AS position is rewritten — double-quoted
+    * STRING literals elsewhere (`cast("0" as float)`) are untouched.
+    */
+  private val quotedAliasRe = """(?i)\bAS\s+"([^"]*)"""".r
+
+  /** Impala accepts `&&` / `!` as AND / factorial
+    * (`fe/src/main/cup/sql-parser.cup` expr rules; factorial
+    * `be/src/exprs/math-functions`). `!=` stays untouched.
+    */
+  private val andAmpRe = """&&""".r
+  private val factorialRe = """\b([A-Za-z_]\w*|\d+)\s*!(?![=\w])""".r
+
+  /** Column-valued INTERVAL operand (`ts + INTERVAL smallint_col DAYS`,
+    * sql-parser.cup timestamp arithmetic) — Spark's grammar wants a
+    * literal, but multiplies an interval by an integral column, so
+    * `INTERVAL <col> <unit>` → `(<col> * INTERVAL 1 <unit>)`. Literal
+    * operands (INTERVAL 3 DAYS) parse natively and are not touched.
+    */
+  private val columnIntervalRe =
+    ("""(?i)\bINTERVAL\s+([A-Za-z_][\w]*(?:\.[A-Za-z_]\w*)*)\s+""" +
+      """(YEARS?|MONTHS?|WEEKS?|DAYS?|HOURS?|MINUTES?|SECONDS?|MILLISECONDS?|MICROSECONDS?)\b""").r
+
+  /** Impala's INSERT puts the column list BEFORE the PARTITION clause;
+    * Spark wants PARTITION first.
+    */
+  private val insertColsPartitionRe =
+    ("""(?i)\b(INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?[\w.]+)\s*""" +
+      """\(([^()]*)\)\s*PARTITION\s*\(([^()]*)\)""").r
+
+  private def rewriteMiscForms(sql: String): String = {
+    val a = quotedAliasRe.replaceAllIn(sql, m =>
+      java.util.regex.Matcher.quoteReplacement("AS `" + m.group(1) + "`"))
+    val b = andAmpRe.replaceAllIn(a, " AND ")
+    val c = factorialRe.replaceAllIn(b, m =>
+      java.util.regex.Matcher.quoteReplacement(s"factorial(${m.group(1)})"))
+    val e = columnIntervalRe.replaceAllIn(c, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"(${m.group(1)} * INTERVAL 1 ${m.group(2)})"))
+    insertColsPartitionRe.replaceAllIn(e, m =>
+      java.util.regex.Matcher.quoteReplacement(
+        s"${m.group(1)} PARTITION (${m.group(3)}) (${m.group(2)})"))
+  }
+
+  /** Comma-split a fragment at paren depth 0, quote-aware. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var quote: Char = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private val itemAliasRe = """(?is)^(.+?)\s+(?:as\s+)?([A-Za-z_]\w*)\s*$""".r
+
+  private val aliasGuard = Set("null", "true", "false", "and", "or", "not",
+    "then", "else", "end", "as", "when", "in", "is", "between", "like",
+    "from", "where", "on", "group", "order", "limit", "join", "union",
+    "intersect", "except", "select", "values", "interval")
+
+  private def balanced(s: String): Boolean = {
+    var depth = 0
+    var quote: Char = 0
+    s.foreach { ch =>
+      if (quote != 0) { if (ch == quote) quote = 0 }
+      else ch match {
+        case '\'' | '"' => quote = ch
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth < 0) return false
+        case _ =>
+      }
+    }
+    depth == 0 && quote == 0
+  }
+
+  /** Impala names inline-view VALUES columns by aliasing the FIRST row's
+    * exprs — `(VALUES((1 x), (2), (3))) T`, `(values ('a' as s), ('b'))
+    * v` (sql-parser.cup values_operand_list); Spark's grammar has no row
+    * aliases, it wants a column list on the table alias: `(VALUES (1),
+    * (2), (3)) T(x)`. This strips first-row aliases, appends the alias
+    * column list, and unwraps Impala's optional extra paren around the
+    * row list (which Spark would read as one wide row).
+    */
+  private[graft] def rewriteValuesAliases(sql: String): String = {
+    var s = sql
+    var guard = 0
+    var changed = true
+    while (changed && guard < 24) {
+      changed = false
+      guard += 1
+      val (d, q) = depthMap(s)
+      val hit = """(?i)\bVALUES\b""".r.findAllMatchIn(s)
+        .filter(m => !q(m.start)).flatMap { m =>
+          rewriteOneValues(s, m.start, m.end)
+        }.toSeq.headOption
+      hit.foreach { next => s = next; changed = true }
+    }
+    s
+  }
+
+  /** Rewrite the VALUES occurrence at [vs, ve) if its first row carries
+    * aliases; None when there is nothing to do.
+    */
+  private def rewriteOneValues(s: String, vs: Int, ve: Int): Option[String] = {
+    // enclosing subquery paren directly before VALUES
+    var p = vs - 1
+    while (p >= 0 && Character.isWhitespace(s.charAt(p))) p -= 1
+    if (p < 0 || s.charAt(p) != '(') return None
+    val open = p
+    val close = matchingParen(s, open)
+    if (close < 0) return None
+    // table alias after the subquery (no existing column list)
+    val aliasRe = """\G\s*(?:[Aa][Ss]\s+)?([A-Za-z_]\w*)""".r
+    val am = aliasRe.findFirstMatchIn(s.substring(close + 1)) match {
+      case Some(m) if m.start == 0 => m
+      case _ => return None
+    }
+    if (sqlKeywords.contains(am.group(1).toUpperCase)) return None
+    val aliasEnd = close + 1 + am.end
+    var after = aliasEnd
+    while (after < s.length && Character.isWhitespace(s.charAt(after))) after += 1
+    if (after < s.length && s.charAt(after) == '(') return None // has col list
+    // first paren group after VALUES
+    var r0 = ve
+    while (r0 < close && s.charAt(r0) != '(') {
+      if (!Character.isWhitespace(s.charAt(r0))) return None
+      r0 += 1
+    }
+    if (r0 >= close) return None
+    val c0 = matchingParen(s, r0)
+    if (c0 < 0 || c0 > close) return None
+    val inner = s.substring(r0 + 1, c0)
+    val wrapped = inner.trim.startsWith("(") &&
+      s.substring(c0 + 1, close).trim.isEmpty
+    val (rowsFrom, rowsTo) =
+      if (wrapped) (r0 + 1, c0) else (ve, close)
+    val rows = splitTopLevel(s.substring(rowsFrom, rowsTo))
+    val first = rows.head.trim
+    if (!(first.startsWith("(") && first.endsWith(")"))) return None
+    val items = splitTopLevel(first.substring(1, first.length - 1)).map(_.trim)
+    val parsed = items.zipWithIndex.map { case (item, i) =>
+      itemAliasRe.findFirstMatchIn(item) match {
+        case Some(m) if balanced(m.group(1)) &&
+            !aliasGuard.contains(m.group(2).toLowerCase) =>
+          (m.group(1).trim, Some(m.group(2)))
+        case _ => (item, None)
+      }
+    }
+    if (!parsed.exists(_._2.isDefined)) return None
+    val names = parsed.zipWithIndex
+      .map { case ((_, a), i) => a.getOrElse(s"c$i") }
+    val newFirst = parsed.map(_._1).mkString("(", ", ", ")")
+    val newRows = (newFirst +: rows.tail.map(_.trim)).mkString(", ")
+    // apply right-to-left: column list after the alias, then the rows
+    val withCols = s.patch(aliasEnd, s"(${names.mkString(", ")})", 0)
+    val withRows =
+      if (wrapped) // drop the wrapping paren: Spark reads it as one row
+        withCols.patch(r0, newRows, c0 - r0 + 1)
+      else
+        withCols.patch(rowsFrom, " " + newRows, rowsTo - rowsFrom)
+    Some(withRows)
+  }
+
+  /** Impala lets a union/intersect/except branch carry its own ORDER BY
+    * / LIMIT without parentheses (sql-parser.cup union_operand); Spark
+    * requires the branch parenthesized. Wraps every non-final top-level
+    * branch that contains a depth-0 ORDER BY or LIMIT; a trailing
+    * ORDER BY/LIMIT on the final branch stays outside (it applies to
+    * the whole set-op result, as in Impala). A leading WITH prefix on
+    * the first branch stays outside the parens so its CTEs remain in
+    * scope for the other branches.
+    */
+  private[graft] def rewriteSetOpBranches(sql: String): String = {
+    // recurse into parenthesized subregions first (nested inline views
+    // carry the same Impala branch grammar)
+    val (d0, q0) = depthMap(sql)
+    val sb0 = new StringBuilder
+    var i0 = 0
+    var emitted = 0
+    while (i0 < sql.length) {
+      if (sql.charAt(i0) == '(' && !q0(i0) && d0(i0) == 1) {
+        val close = matchingParen(sql, i0)
+        if (close > i0 + 1) {
+          sb0.append(sql.substring(emitted, i0 + 1))
+            .append(rewriteSetOpBranches(sql.substring(i0 + 1, close)))
+          emitted = close
+          i0 = close
+        } else i0 += 1
+      } else i0 += 1
+    }
+    sb0.append(sql.substring(emitted))
+    val rec = sb0.toString
+    val (d, q) = depthMap(rec)
+    val ops = """(?i)\b(?:UNION|INTERSECT|EXCEPT)(?:\s+(?:ALL|DISTINCT))?\b""".r
+      .findAllMatchIn(rec).filter(m => d(m.start) == 0 && !q(m.start)).toSeq
+    if (ops.isEmpty) return rec
+    val starts = 0 +: ops.map(_.end)
+    val ends = ops.map(_.start) :+ rec.length
+    def needsParens(from: Int, to: Int): Boolean =
+      """(?i)\b(?:ORDER\s+BY|LIMIT)\b""".r
+        .findAllMatchIn(rec.substring(from, to))
+        .exists(m => d(from + m.start) == 0 && !q(from + m.start))
+    val sb = new StringBuilder
+    starts.indices.foreach { i =>
+      val branch = rec.substring(starts(i), ends(i))
+      val isLast = i == starts.length - 1
+      val t = branch.trim
+      if (!isLast && needsParens(starts(i), ends(i)) &&
+          (t.toLowerCase.startsWith("select") || t.toLowerCase.startsWith("with"))) {
+        if (t.toLowerCase.startsWith("with")) {
+          val off = outerSelectOffset(branch)
+          if (off > 0)
+            sb.append(branch.substring(0, off))
+              .append('(').append(branch.substring(off).trim).append(") ")
+          else sb.append(branch)
+        } else sb.append(" (").append(t).append(") ")
+      } else sb.append(branch)
+      if (!isLast) sb.append(rec.substring(ends(i), starts(i + 1)))
+    }
+    sb.toString
+  }
+
   /** All string-level dialect rewrites, in application order. */
   def rewrite(text: String): String =
-    rewriteFunctionForms(rewriteCastFormat(rewriteRightSemiAnti(rewriteHints(text))))
+    rewriteSetOpBranches(
+      rewriteValuesAliases(
+        rewriteMiscForms(
+          rewriteFunctionForms(
+            rewriteCastFormat(rewriteRightSemiAnti(rewriteHints(text)))))))
 
   /** Run Impala-dialect SQL: hint strip + format-cast rewrite, parse,
     * then flip every sort key to Impala's default NULL ordering.

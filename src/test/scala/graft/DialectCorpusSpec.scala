@@ -80,10 +80,12 @@ class DialectCorpusSpec extends SparkSpecBase {
     failures.take(15).foreach { case (s, m) =>
       info(s"MISS: ${s.replaceAll("\\s+", " ").take(100)} => $m")
     }
-    // measured 97.6% on 3136 statements (round 3) — the tail is Impala
-    // VALUES-row aliases `(1 x)`, column-valued INTERVALs, and the
-    // corpus's own error-path statements (invalid literals that no
-    // engine parses); triage in NOTES_r3.md
-    assert(rate >= 0.95, f"parse rate ${rate * 100}%.1f%% below pinned floor")
+    // measured 99.7% on 3136 statements (round 4; was 97.6% in r3 before
+    // the VALUES-row-alias / quoted-alias / column-INTERVAL / set-op-
+    // branch rewrites). The 8-statement tail is: 4 error-path statements
+    // (varchar(-1), DATE "not a date" — Impala errors on these too) and
+    // 4 nanosecond/overflow INTERVALs (Spark's timestamp is µs — the
+    // documented SURVEY §7.4 precision delta).
+    assert(rate >= 0.985, f"parse rate ${rate * 100}%.1f%% below pinned floor")
   }
 }

@@ -130,6 +130,51 @@ class DialectSpec extends SparkSpecBase {
     assert(r > 0)
   }
 
+  test("VALUES first-row aliases become a table-alias column list") {
+    // direct rows with AS / bare aliases, mixed-arity forms
+    val r1 = ImpalaDialect.sql(spark,
+      "select max(str) m from (values ('aaa' as str), ('zz'), ('123')) as tmp")
+      .head().getString(0)
+    assert(r1 == "zz")
+    // Impala's extra wrapping paren unwraps (Spark would read one wide row)
+    val r2 = ImpalaDialect.sql(spark,
+      "select x, count(*) n from (VALUES((1 x), (2), (3))) T group by x")
+      .collect()
+    assert(r2.length == 3)
+    // multi-column first row
+    val r3 = ImpalaDialect.sql(spark,
+      "select id, int_col from (values((1 as id, 10 as int_col),(2,20))) e " +
+        "order by id").collect()
+    assert(r3.map(_.getInt(1)).toSeq == Seq(10, 20))
+  }
+
+  test("double-quoted aliases, &&, factorial, column INTERVAL rewrite") {
+    val r = ImpalaDialect.sql(spark,
+      """select count(*) as "row count", 3! as f from (values (1 x), (2)) t
+         where x > 0 && x < 10""").head()
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6)
+    val ts = ImpalaDialect.sql(spark,
+      "select cast('1970-01-01' as timestamp) + interval n days as d " +
+        "from (values (3 as n)) t").head().getTimestamp(0)
+    assert(ts.toString.startsWith("1970-01-04"))
+  }
+
+  test("set-op branches with ORDER BY/LIMIT parenthesize; trailing stays global") {
+    GraftSession.registerAll(spark, sfDir)
+    val r = ImpalaDialect.sql(spark,
+      """select r_regionkey from region order by r_regionkey limit 2
+         union all
+         select r_regionkey from region order by r_regionkey desc limit 1""")
+      .collect().map(_.getInt(0)).toSeq
+    // first branch bounded to 2 rows; trailing order+limit applies to the
+    // whole union (Impala semantics) — 1 row total
+    assert(r.length == 1, r)
+    // comment text containing set-op keywords is not a branch boundary
+    val c = ImpalaDialect.sql(spark,
+      "select count(*) n -- not a union of anything\nfrom region").head()
+    assert(c.getLong(0) == 5)
+  }
+
   test("Impala grammar Spark already accepts passes through") {
     GraftSession.registerAll(spark, sfDir)
     val r = ImpalaDialect.sql(spark,

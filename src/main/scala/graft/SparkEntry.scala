@@ -15,6 +15,7 @@ object SparkEntry {
     CoreQueries,
     TpchQueries,
     GoldenQueries,
+    TpcdsGoldenQueries,
     TpcdsQueries,
     JoinQueries,
     SetOpQueries,

@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.{GoldenTest, GraftSession, ImpalaDialect}
+import graft.GoldenTest
 import org.apache.spark.sql.SparkSession
 
 /** The reference's golden TPC-H `.test` queries executed VERBATIM
@@ -141,37 +141,16 @@ object GoldenQueries extends QueryGroup {
         |GROUP BY l_partkey, l_suppkey""".stripMargin,
   )
 
-  /** Register the substituted catalog as Spark temp views under the
-    * standard TPC-H names. All substitution frames are resolved against
-    * the RAW views first (DataFrames hold resolved plans), then the
-    * views are replaced — so substitutions never see each other.
+  /** Shared dual-engine catalog (`region` is served raw — its fixture
+    * values are already the spec names).
     */
-  def register(spark: SparkSession, dir: String): Unit = {
-    GraftSession.registerAll(spark, dir)
-    val frames = substitutions.map { case (n, sql) => n -> spark.sql(sql) }
-    frames.foreach { case (n, df) => df.createOrReplaceTempView(n) }
-  }
+  val catalog = new SubstitutionCatalog(
+    substitutions.map { case (n, sql) => Sub(n, sql) })
 
-  private val tableToken =
-    "\\b(partsupp|lineitem|orders|customer|supplier|part|nation)\\b".r
+  def register(spark: SparkSession, dir: String): Unit =
+    catalog.register(spark, dir)
 
-  /** DuckDB oracle for a golden query: substituted tables become `_g`
-    * CTEs over the raw parquet views, and the golden text's table
-    * tokens are rewritten to the CTE names (`region` is served raw —
-    * its fixture values are already the spec names).
-    */
-  def oracleSql(goldenQuery: String): String = {
-    val ctes = substitutions
-      .map { case (n, sql) =>
-        s"${n}_g AS (${sql.replace("\n", " ")})" }
-      .mkString(",\n")
-    val body = tableToken.replaceAllIn(goldenQuery, m => m.group(1) + "_g")
-    val trimmed = body.trim
-    if (trimmed.toLowerCase.startsWith("with"))
-      s"WITH $ctes,\n${trimmed.drop(4).trim}"
-    else
-      s"WITH $ctes\n$trimmed"
-  }
+  def oracleSql(goldenQuery: String): String = catalog.oracleSql(goldenQuery)
 
   /** Golden queries in the driver oracle gate: every tpch-qN whose
     * output is hash-stable across engines (see class doc for the four
@@ -180,39 +159,9 @@ object GoldenQueries extends QueryGroup {
   val oracleGated: Seq[Int] =
     Seq(2, 3, 4, 5, 6, 7, 9, 10, 11, 12, 13, 15, 16, 18, 19, 20, 21, 22)
 
-  /** Both engines render results through the same positional
-    * type-normalizing projection (c0..cK, cast per the golden `----
-    * TYPES` line) — the analog of `impala_test_suite.py`'s stringified
-    * row compare. Necessary because the two engines surface identical
-    * VALUES under different wire types: DuckDB's client renders DECIMAL
-    * sums as float64 and integer SUMs as HUGEIT→float, while Spark
-    * keeps exact DECIMAL/BIGINT; the inner golden text still executes
-    * verbatim, with its exact-decimal arithmetic intact.
-    */
-  private def normTypes(types: Seq[String]): Seq[String] = types.map {
-    case "decimal" | "double" => "double"
-    case "bigint" | "int" => "bigint"
-    case _ => "string"
-  }
-
   def defs: Seq[Q.Def] =
     if (!GoldenTest.available) Seq.empty
     else oracleGated.map { n =>
-      val c = GoldenTest.tpchCase(n)
-      val norm = normTypes(c.types)
-      val aliases = norm.indices.map("c" + _)
-      val duckCasts = norm.zipWithIndex.map { case (t, i) =>
-        val d = if (t == "string") "VARCHAR" else t.toUpperCase
-        s"CAST(c$i AS $d) AS c$i"
-      }.mkString(", ")
-      val oracle =
-        s"SELECT $duckCasts FROM (\n${oracleSql(c.query)}\n) g(${aliases.mkString(", ")})"
-      Q.Def(s"golden_q$n", (s, dir) => {
-        register(s, dir)
-        val df = ImpalaDialect.sql(s, c.query)
-        df.select(norm.zipWithIndex.map { case (t, i) =>
-          org.apache.spark.sql.functions.col(df.columns(i)).cast(t).as(s"c$i")
-        }: _*)
-      }, Some(oracle))
+      catalog.goldenDef(s"golden_q$n", GoldenTest.tpchCase(n))
     }
 }

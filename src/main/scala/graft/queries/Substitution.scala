@@ -1,0 +1,93 @@
+package graft.queries
+
+import graft.GraftSession
+import org.apache.spark.sql.SparkSession
+
+/** One substituted catalog table: a derivation SELECT over the raw
+  * fixture tables. `sparkSql`/`duckSql` are usually the same ANSI text;
+  * they differ only where the engines name a function differently
+  * (e.g. day-name rendering).
+  */
+final case class Sub(table: String, sparkSql: String, duckSql: String)
+
+object Sub {
+  def apply(table: String, sql: String): Sub = Sub(table, sql, sql)
+}
+
+/** A deterministic substituted catalog shared by BOTH engines: Spark
+  * sees it as temp views under the target names (so reference SQL runs
+  * verbatim), DuckDB sees it as `_g` CTEs spliced around the same query
+  * text — identical data on both sides, which is what lets the driver's
+  * oracle gate value-verify verbatim reference SQL (GoldenQueries,
+  * TpcdsGoldenQueries).
+  */
+final class SubstitutionCatalog(val subs: Seq[Sub]) {
+
+  /** Register as Spark temp views. All derivation frames are resolved
+    * against the RAW fixture views first (DataFrames hold resolved
+    * plans), then the views are replaced — substitutions never see each
+    * other.
+    */
+  def register(spark: SparkSession, dir: String): Unit = {
+    GraftSession.registerAll(spark, dir)
+    val frames = subs.map { s => s.table -> spark.sql(s.sparkSql) }
+    frames.foreach { case (n, df) => df.createOrReplaceTempView(n) }
+  }
+
+  // longest-first so e.g. `partsupp` wins over `part`
+  private val token =
+    ("\\b(" + subs.map(_.table).sortBy(t => -t.length).mkString("|") + ")\\b").r
+
+  /** DuckDB oracle for a verbatim reference query: substituted tables
+    * become `_g` CTEs over the raw parquet views and the query's table
+    * tokens are rewritten to the CTE names; a leading WITH in the query
+    * merges into the CTE list.
+    */
+  def oracleSql(query: String): String = {
+    val ctes = subs
+      .map(s => s"${s.table}_g AS (${s.duckSql.replace("\n", " ")})")
+      .mkString(",\n")
+    val body = token.replaceAllIn(query, m => m.group(1) + "_g")
+    val trimmed = body.trim
+    if (trimmed.toLowerCase.startsWith("with"))
+      s"WITH $ctes,\n${trimmed.drop(4).trim}"
+    else
+      s"WITH $ctes\n$trimmed"
+  }
+
+  /** Rendering-normalization shared by the golden-query gate rows: both
+    * engines project positionally-renamed columns (c0..cK) cast per the
+    * golden `---- TYPES` line — the analog of the reference harness's
+    * stringified row compare (impala_test_suite.py). Needed because the
+    * engines surface identical VALUES under different wire types
+    * (DuckDB client: DECIMAL→float64, integer SUM→HUGEINT→float).
+    */
+  def normTypes(types: Seq[String]): Seq[String] = types.map {
+    case "decimal" | "double" | "float" => "double"
+    case "bigint" | "int" | "smallint" | "tinyint" => "bigint"
+    case _ => "string"
+  }
+
+  /** Build one oracle-gated Q.Def from a golden case: Spark runs the
+    * text verbatim through the dialect over the substituted views;
+    * DuckDB runs the rewritten text; both normalize through c0..cK.
+    */
+  def goldenDef(name: String, c: graft.GoldenTest.Case): Q.Def = {
+    val norm = normTypes(c.types)
+    val aliases = norm.indices.map("c" + _)
+    val duckCasts = norm.zipWithIndex.map { case (t, i) =>
+      val d = if (t == "string") "VARCHAR" else t.toUpperCase
+      s"CAST(c$i AS $d) AS c$i"
+    }.mkString(", ")
+    val query = c.query.stripSuffix(";")
+    val oracle =
+      s"SELECT $duckCasts FROM (\n${oracleSql(query)}\n) g(${aliases.mkString(", ")})"
+    Q.Def(name, (s, dir) => {
+      register(s, dir)
+      val df = graft.ImpalaDialect.sql(s, query)
+      df.select(norm.zipWithIndex.map { case (t, i) =>
+        org.apache.spark.sql.functions.col(df.columns(i)).cast(t).as(s"c$i")
+      }: _*)
+    }, Some(oracle))
+  }
+}

@@ -64,6 +64,16 @@ object ImpalaDialect {
     ("""(?is)^(.*\S)\s+AS\s+(TIMESTAMP|DATE|STRING|CHAR\s*\(\s*\d+\s*\)""" +
       """|VARCHAR(?:\s*\(\s*\d+\s*\))?)\s+FORMAT\s+(?:'([^']*)'|"([^"]*)")\s*$""").r
 
+  /** `<expr> AS CHAR(n)` / `<expr> AS VARCHAR(n)` cast body (no FORMAT):
+    * Impala's length semantics are truncate-to-n, and CHAR pads to n
+    * (`fe/.../catalog/ScalarType.java:39`, CHAR/VARCHAR length
+    * enforcement); Spark's expression-tier cast to these types is a
+    * plain string cast with no length enforcement, so dialect mode
+    * rewrites to substring/rpad.
+    */
+  private val charCastRe =
+    """(?is)^(.*\S)\s+AS\s+(CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)\s*$""".r
+
   private def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
 
   /** Index of the ')' matching the '(' at `open`, honoring quoted
@@ -115,8 +125,17 @@ object ImpalaDialect {
                 case "DATE" => s"to_date($expr, '$fmt')"
                 case _ => s"date_format($expr, '$fmt')"
               })
-            case None =>
-              out.append(sql.substring(i, j + 1)).append(inner).append(')')
+            case None => charCastRe.findFirstMatchIn(inner) match {
+              case Some(c) =>
+                val expr = c.group(1)
+                val n = c.group(3).toInt
+                if (c.group(2).equalsIgnoreCase("CHAR"))
+                  out.append(s"rpad(substring(CAST($expr AS STRING), 1, $n), $n, ' ')")
+                else
+                  out.append(s"substring(CAST($expr AS STRING), 1, $n)")
+              case None =>
+                out.append(sql.substring(i, j + 1)).append(inner).append(')')
+            }
           }
           i = close + 1
         } else { out.append(sql.charAt(i)); i += 1 }

@@ -111,6 +111,44 @@ class SemanticsSpec extends SparkSpecBase {
     assert(spark.sql("SELECT COUNT(*) FROM big_orders2").head().getLong(0) <= n)
   }
 
+  test("CHAR(n)/VARCHAR(n) semantics parity (catalog/ScalarType.java:39)") {
+    // --- expression tier, dialect mode: Impala truncates to n and pads
+    // CHAR to n (cast-expr length enforcement); Spark's own cast to
+    // these types is a no-op string cast, so ImpalaDialect rewrites.
+    def one(q: String) = ImpalaDialect.sql(spark, q).head().getString(0)
+    assert(one("SELECT CAST('hello' AS CHAR(3))") == "hel")     // truncate
+    assert(one("SELECT CAST('hi' AS CHAR(5))") == "hi   ")     // pad to 5
+    assert(one("SELECT CAST('hello' AS VARCHAR(3))") == "hel") // truncate
+    assert(one("SELECT CAST('hi' AS VARCHAR(5))") == "hi")     // no pad
+    assert(ImpalaDialect.sql(spark,
+      "SELECT length(CAST('hi' AS CHAR(5)))").head().getInt(0) == 5)
+
+    // --- table-schema tier: Spark natively matches Impala — CHAR
+    // columns read back space-padded to n, and comparisons against both
+    // padded and unpadded literals succeed (padding-insensitive
+    // comparison, the CHAR comparison rule both engines share)
+    spark.sql("DROP TABLE IF EXISTS graft_chr_t")
+    spark.sql("CREATE TABLE graft_chr_t (c CHAR(5), v VARCHAR(5)) USING parquet")
+    spark.sql("INSERT INTO graft_chr_t VALUES ('hi', 'hi')")
+    val r = spark.sql(
+      """SELECT c, length(c), v, length(v), c = 'hi', c = 'hi   '
+         FROM graft_chr_t""").head()
+    assert(r.getString(0) == "hi   " && r.getInt(1) == 5)
+    assert(r.getString(2) == "hi" && r.getInt(3) == 2)
+    assert(r.getBoolean(4) && r.getBoolean(5))
+
+    // --- DOCUMENTED DELTA: over-length INSERT. Impala silently
+    // truncates a too-long value on write (CHAR/VARCHAR length
+    // enforcement in the sink); Spark raises EXCEED_LIMIT_LENGTH
+    // (ANSI-stricter). Pinned so a behavior change is noticed.
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft_chr_t VALUES ('toolongvalue', 'x')")
+    }
+    assert(e.getMessage.contains("EXCEED_LIMIT_LENGTH") ||
+      e.getMessage.toLowerCase.contains("length"), e.getMessage)
+    spark.sql("DROP TABLE graft_chr_t")
+  }
+
   test("INSERT INTO / INSERT OVERWRITE partitioned table (HdfsTableSink)") {
     val loc = java.nio.file.Files.createTempDirectory("graft_ins").toString
     spark.sql("DROP TABLE IF EXISTS graft_ins_t")

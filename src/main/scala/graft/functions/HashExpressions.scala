@@ -88,20 +88,46 @@ object HashImpls {
 
   def fnvAny(v: Any): Long = fnv(toBytes(v))
   def murmurAny(v: Any): Long = murmur(toBytes(v))
+
+  /** The reference hashes TIMESTAMPs as the 12-byte TimestampValue
+    * image (`utility-functions-ir.cc:39-44,88-92`): 8-byte
+    * nanoseconds-of-day (boost time_duration ticks) followed by the
+    * 4-byte boost gregorian day_number (Julian day), little-endian.
+    * Catalyst hands us epoch micros (session tz UTC = Impala's
+    * timezone-naive wall time).
+    */
+  def timestampBytes(micros: Long): Array[Byte] = {
+    val days = Math.floorDiv(micros, 86400000000L)
+    val nanos = Math.floorMod(micros, 86400000000L) * 1000L
+    val julian = days + 2440588L
+    val b = new Array[Byte](12)
+    var i = 0
+    while (i < 8) { b(i) = ((nanos >>> (8 * i)) & 0xff).toByte; i += 1 }
+    while (i < 12) { b(i) = ((julian >>> (8 * (i - 8))) & 0xff).toByte; i += 1 }
+    b
+  }
+
+  def fnvTs(micros: Long): Long = fnv(timestampBytes(micros))
+  def murmurTs(micros: Long): Long = murmur(timestampBytes(micros))
 }
 
 abstract class HashExpr extends UnaryExpression {
   override def dataType: DataType = LongType
   protected def fnName: String
+  private def isTs = child.dataType == TimestampType
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.HashImpls.${fnName}Any($c)")
+      c => if (isTs) s"graft.functions.HashImpls.${fnName}Ts($c)"
+           else s"graft.functions.HashImpls.${fnName}Any($c)")
+  protected def hashValue(v: Any, any: Any => Long, ts: Long => Long): Long =
+    if (isTs) ts(v.asInstanceOf[Long]) else any(v)
 }
 
 /** `fnv_hash(x)` — reference `utility-functions-ir.cc` FnvHash. */
 case class FnvHash(child: Expression) extends HashExpr {
   override protected def fnName: String = "fnv"
-  override protected def nullSafeEval(v: Any): Any = HashImpls.fnvAny(v)
+  override protected def nullSafeEval(v: Any): Any =
+    hashValue(v, HashImpls.fnvAny, HashImpls.fnvTs)
   override protected def withNewChildInternal(c: Expression): FnvHash = copy(c)
   override def prettyName: String = "fnv_hash"
 }
@@ -109,7 +135,8 @@ case class FnvHash(child: Expression) extends HashExpr {
 /** `murmur_hash(x)` — reference `utility-functions-ir.cc` MurmurHash. */
 case class MurmurHash64(child: Expression) extends HashExpr {
   override protected def fnName: String = "murmur"
-  override protected def nullSafeEval(v: Any): Any = HashImpls.murmurAny(v)
+  override protected def nullSafeEval(v: Any): Any =
+    hashValue(v, HashImpls.murmurAny, HashImpls.murmurTs)
   override protected def withNewChildInternal(c: Expression): MurmurHash64 = copy(c)
   override def prettyName: String = "murmur_hash"
 }

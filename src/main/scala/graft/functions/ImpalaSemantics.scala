@@ -1,0 +1,232 @@
+package graft.functions
+
+import java.time.LocalDateTime
+import java.time.temporal.ChronoUnit
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.{CalendarInterval, UTF8String}
+
+/** Impala expression semantics that differ from Spark's and cannot be
+  * expressed as name aliases ([[Aliases]]) — each pinned by the
+  * reference's own golden `.test` rows (FunctionalGoldenSpec).
+  */
+object ImpalaSemantics {
+
+  /** Impala's valid TIMESTAMP range (`be/src/runtime/timestamp-value.h`:
+    * 1400-01-01 .. 9999-12-31 23:59:59.999999999); values outside
+    * convert to NULL rather than erroring or wrapping.
+    */
+  val MinTsMicros: Long = LocalDateTime.of(1400, 1, 1, 0, 0, 0)
+    .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+  val MaxTsMicros: Long = LocalDateTime.of(9999, 12, 31, 23, 59, 59)
+    .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 999999L
+
+  def tsInRange(micros: Long): Boolean =
+    micros >= MinTsMicros && micros <= MaxTsMicros
+
+  /** C `printf("%.<sig>g")` — also C++ `ostream <<` default when
+    * sig = 6 — correctly rounded from the binary double: round to `sig`
+    * significant digits, strip trailing fraction zeros, scientific form
+    * `e±XX` when the exponent is < -4 or >= sig. NaN prints "nan"
+    * (cast-functions-ir.cc special-cases -nan), infinities "inf".
+    */
+  def cFormatG(v: Double, sig: Int): String = {
+    if (java.lang.Double.isNaN(v)) return "nan"
+    if (java.lang.Double.isInfinite(v)) return if (v > 0) "inf" else "-inf"
+    if (v == 0.0d) return if (1 / v < 0) "-0" else "0"
+    val bd = new java.math.BigDecimal(v)
+      .round(new java.math.MathContext(sig, java.math.RoundingMode.HALF_EVEN))
+    val exp = bd.precision - bd.scale - 1
+    if (exp < -4 || exp >= sig) {
+      val mant = bd.movePointLeft(exp).stripTrailingZeros.toPlainString
+      f"${mant}e${if (exp < 0) "-" else "+"}${math.abs(exp)}%02d"
+    } else {
+      val s = bd.stripTrailingZeros.toPlainString
+      s
+    }
+  }
+}
+
+/** Nullify a TIMESTAMP outside Impala's [1400, 10000) validity range —
+  * Impala returns NULL where Spark happily represents year 43571
+  * (`timestamp-value.h` IsValidDate).
+  */
+case class ImpalaTsValid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val micros = v.asInstanceOf[Long]
+    if (ImpalaSemantics.tsInRange(micros)) micros else null
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      if (graft.functions.ImpalaSemantics.tsInRange($c)) {
+        ${ev.value} = $c;
+      } else {
+        ${ev.isNull} = true;
+      }""")
+  override protected def withNewChildInternal(c: Expression): ImpalaTsValid =
+    copy(child = c)
+  override def prettyName: String = "impala_ts_valid"
+}
+
+/** `CAST(DOUBLE/FLOAT AS STRING)` with Impala's formatting
+  * (`cast-functions-ir.cc` CAST_FLOAT_TO_STRING: `%.17g` for double,
+  * `%.9g` for float, NaN → "nan") — Spark prints `1.0`/`1.0E7`.
+  */
+case class ImpalaFloatToString(child: Expression) extends UnaryExpression
+    with codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = child.dataType match {
+      case FloatType => ImpalaSemantics.cFormatG(v.asInstanceOf[Float].toDouble, 9)
+      case _ => ImpalaSemantics.cFormatG(v.asInstanceOf[Double], 17)
+    }
+    UTF8String.fromString(s)
+  }
+  override protected def withNewChildInternal(c: Expression): ImpalaFloatToString =
+    copy(child = c)
+  override def prettyName: String = "impala_float_to_string"
+}
+
+/** Impala `date_add`/`date_sub`/`adddate`/`subdate`/`add_months`:
+  * TIMESTAMP-preserving calendar arithmetic
+  * (`timestamp-functions-ir.cc` TimestampArithmetic via
+  * `impala_functions.py` date_add → DATE_ADD(TIMESTAMP, ...)). Spark's
+  * builtins of the same names return DATE, dropping the time-of-day.
+  * A DATE first argument stays DATE (Impala's DATE overloads); a
+  * STRING argument implicit-casts to TIMESTAMP, as in Impala. The
+  * amount may be an integer (days/months) or an INTERVAL literal.
+  * Out-of-range results are NULL (TimestampValue validity).
+  */
+case class ImpalaDateShift(start: Expression, amount: Expression,
+    unit: String, neg: Boolean) extends BinaryExpression
+    with codegen.CodegenFallback {
+  override def left: Expression = start
+  override def right: Expression = amount
+
+  private lazy val dateIn = start.dataType == DateType
+  override def dataType: DataType =
+    if (dateIn && (unit == "DAY" || unit == "WEEK" || unit == "MONTH" ||
+        unit == "YEAR")) DateType
+    else TimestampType
+  override def nullable: Boolean = true
+
+  private val MicrosPerDay = 86400000000L
+
+  private def toMicros(v: Any): Option[Long] = start.dataType match {
+    case TimestampType => Some(v.asInstanceOf[Long])
+    case DateType => Some(v.asInstanceOf[Int].toLong * MicrosPerDay)
+    case _: StringType =>
+      DateTimeUtils.stringToTimestamp(v.asInstanceOf[UTF8String],
+        java.time.ZoneOffset.UTC).map(l => l)
+    case _ => None
+  }
+
+  private def shift(ldt: LocalDateTime, n: Long): LocalDateTime = unit match {
+    case "YEAR" => ldt.plusYears(n)
+    case "MONTH" => ldt.plusMonths(n)
+    case "WEEK" => ldt.plusWeeks(n)
+    case "DAY" => ldt.plusDays(n)
+    case "HOUR" => ldt.plusHours(n)
+    case "MINUTE" => ldt.plusMinutes(n)
+    case "SECOND" => ldt.plusSeconds(n)
+    case "MILLISECOND" => ldt.plus(n, ChronoUnit.MILLIS)
+    case "MICROSECOND" => ldt.plus(n, ChronoUnit.MICROS)
+    case other => throw new IllegalArgumentException(other)
+  }
+
+  override protected def nullSafeEval(v: Any, amt: Any): Any = {
+    val base = toMicros(v) match {
+      case Some(m) => m
+      case None => return null
+    }
+    var ldt = LocalDateTime.ofEpochSecond(Math.floorDiv(base, 1000000L),
+      (Math.floorMod(base, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    val s = if (neg) -1L else 1L
+    amount.dataType match {
+      case CalendarIntervalType =>
+        val i = amt.asInstanceOf[CalendarInterval]
+        ldt = ldt.plusMonths(s * i.months).plusDays(s * i.days)
+          .plus(s * i.microseconds, ChronoUnit.MICROS)
+      case _: YearMonthIntervalType =>
+        ldt = ldt.plusMonths(s * amt.asInstanceOf[Int])
+      case _: DayTimeIntervalType =>
+        ldt = ldt.plus(s * amt.asInstanceOf[Long], ChronoUnit.MICROS)
+      case _ => amt match {
+        case n: Number => ldt = shift(ldt, s * n.longValue)
+        case _ => return null
+      }
+    }
+    if (ldt.getYear < 1400 || ldt.getYear > 9999) return null
+    val micros = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+      ldt.getNano / 1000L
+    if (dataType == DateType)
+      Math.floorDiv(micros, MicrosPerDay).toInt
+    else micros
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(start = l, amount = r)
+  override def prettyName: String = if (neg) "date_sub" else "date_add"
+}
+
+/** Impala 2-arg `log(base, x)`: raw C `log(x)/log(base)` — yields
+  * ±Infinity/NaN where Spark's null-guarded Logarithm returns NULL
+  * (`math-functions-ir.cc` Log).
+  */
+case class ImpalaLog(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(b: Any, x: Any): Any =
+    math.log(x.asInstanceOf[Double]) / math.log(b.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (b, x) =>
+      s"java.lang.Math.log($x) / java.lang.Math.log($b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "log"
+}
+
+/** Impala `base64decode`: strict RFC-4648 — malformed input (length not
+  * a multiple of 4, characters outside the alphabet) returns NULL,
+  * where Spark's `unbase64` decodes leniently
+  * (`string-functions-ir.cc` Base64Decode).
+  */
+case class ImpalaBase64Decode(child: Expression) extends UnaryExpression
+    with codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.toString
+    if (s.length % 4 != 0) return null
+    try UTF8String.fromBytes(java.util.Base64.getDecoder.decode(s))
+    catch { case _: IllegalArgumentException => null }
+  }
+  override protected def withNewChildInternal(c: Expression): ImpalaBase64Decode =
+    copy(child = c)
+  override def prettyName: String = "base64decode"
+}
+
+/** Impala 1-or-2-arg `round`/`dround` over floating input: FLOAT
+  * promotes to DOUBLE before rounding (`impala_functions.py:351` — the
+  * only float overloads are DOUBLE/DECIMAL), so `round(float_col, 3)`
+  * is `1.1`, not float-repr `1.100000023841858`. Non-float inputs
+  * delegate to Spark's builtin unchanged.
+  */
+case class ImpalaRound(child: Expression, scale: Expression)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = child.dataType match {
+    case FloatType => Round(Cast(child, DoubleType), scale)
+    case _ => Round(child, scale)
+  }
+  override def children: Seq[Expression] = Seq(child, scale)
+  override def prettyName: String = "round"
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(child = c(0), scale = c(1))
+}

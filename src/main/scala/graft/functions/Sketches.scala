@@ -255,16 +255,6 @@ object Quantiles {
     b
   }
 
-  /** Impala-style histogram: comma-separated equi-height bucket
-    * boundaries (`aggregate-functions.h` ReservoirSample→Histogram).
-    */
-  def histogram(b: Buf, buckets: Int): String = {
-    if (b.isEmpty) return ""
-    (1 to buckets).map(i => quantile(b, i.toDouble / buckets))
-      .map(v => if (v == math.floor(v) && !v.isInfinite) v.toLong.toString
-                else v.toString)
-      .mkString(", ")
-  }
 }
 
 abstract class QuantileAggBase extends TypedImperativeAggregate[Quantiles.Buf]
@@ -328,19 +318,72 @@ case class DsKllUnion(
   override def prettyName: String = "ds_kll_union"
 }
 
-/** `histogram(x)` → STRING of 100 equi-height bucket boundaries. */
+/** `histogram(x)` → STRING, replicating the reference's
+  * ReservoirSample histogram exactly (`aggregate-functions-ir.cc`
+  * HistogramFinalize): sort the sampled values, then print
+  * `min(n, 100)` bucket samples at index `(b+1)·max(n/100, 1) − 1`,
+  * ", "-separated, each formatted per input type via PrintSample —
+  * integers bare, float/double with C++ ostream default precision
+  * (6 significant digits), DECIMAL as the raw unscaled value, strings
+  * truncated to 10 bytes, timestamps as TimestampValue::ToString.
+  * Exact (all values retained) up to the reference's 20 000-sample
+  * reservoir; above that the reference keeps a random reservoir where
+  * this keeps a deterministic prefix — both are samples, ours is
+  * reproducible.
+  */
 case class HistogramAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0) extends QuantileAggBase {
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[Any]]
+    with UnaryLike[Expression] {
+
+  import HistogramAgg._
+
   override def dataType: DataType = StringType
-  override def update(b: Quantiles.Buf, row: InternalRow): Quantiles.Buf = {
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): ArrayBuffer[Any] = ArrayBuffer.empty
+
+  override def update(b: ArrayBuffer[Any], row: InternalRow): ArrayBuffer[Any] = {
     val v = child.eval(row)
-    if (v != null) Quantiles.insert(b, numericValue(v))
+    if (v != null && b.length < MaxSamples) b += normalize(v, child.dataType)
     b
   }
-  override def eval(b: Quantiles.Buf): Any =
-    UTF8String.fromString(Quantiles.histogram(b, 100))
+
+  override def merge(a: ArrayBuffer[Any], b: ArrayBuffer[Any]): ArrayBuffer[Any] = {
+    val take = math.min(b.length, MaxSamples - a.length)
+    if (take > 0) a ++= b.take(take)
+    a
+  }
+
+  override def eval(b: ArrayBuffer[Any]): Any = {
+    if (b.isEmpty) return null
+    val sorted = b.sortWith((x, y) => less(x, y, child.dataType))
+    val n = sorted.length
+    val numBuckets = math.min(n, NumBuckets)
+    val perBucket = math.max(n / NumBuckets, 1)
+    val out = new StringBuilder
+    var i = 0
+    while (i < numBuckets) {
+      if (i > 0) out.append(", ")
+      out.append(printSample(sorted((i + 1) * perBucket - 1), child.dataType))
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  override def serialize(b: ArrayBuffer[Any]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(b.toArray)
+    oos.flush()
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Any] = {
+    val ois = new java.io.ObjectInputStream(new ByteArrayInputStream(bytes))
+    ArrayBuffer.from(ois.readObject().asInstanceOf[Array[Any]])
+  }
+
   override def withNewMutableAggBufferOffset(o: Int): HistogramAgg =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): HistogramAgg =
@@ -348,6 +391,68 @@ case class HistogramAgg(
   override protected def withNewChildInternal(c: Expression): HistogramAgg =
     copy(child = c)
   override def prettyName: String = "histogram"
+}
+
+object HistogramAgg {
+  /** NUM_BUCKETS / NUM_BUCKETS·NUM_SAMPLES_PER_BUCKET
+    * (aggregate-functions-ir.cc:1008-1009).
+    */
+  val NumBuckets = 100
+  val MaxSamples = 20000
+  private val MaxStringLen = 10 // MAX_STRING_SAMPLE_LEN
+
+  /** Catalyst value → serializable buffer entry. */
+  private def normalize(v: Any, t: DataType): Any = (v, t) match {
+    case (s: UTF8String, _) =>
+      val b = s.getBytes
+      if (b.length <= MaxStringLen) b else b.take(MaxStringLen)
+    case (d: Decimal, _) => d.toJavaBigDecimal
+    case (n: Byte, _) => n.toLong
+    case (n: Short, _) => n.toLong
+    case (n: Int, _) => n.toLong
+    case (other, _) => other
+  }
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  private def less(x: Any, y: Any, t: DataType): Boolean = (x, y) match {
+    case (a: Long, b: Long) => a < b
+    case (a: Float, b: Float) => a < b
+    case (a: Double, b: Double) => a < b
+    case (a: Boolean, b: Boolean) => !a && b
+    case (a: Array[Byte], b: Array[Byte]) => cmpBytes(a, b) < 0
+    case (a: java.math.BigDecimal, b: java.math.BigDecimal) => a.compareTo(b) < 0
+    case _ => false
+  }
+
+  private def printSample(v: Any, t: DataType): String = (v, t) match {
+    case (micros: Long, TimestampType) =>
+      val ldt = java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(micros, 1000000L),
+        (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+      val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+        f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+        f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+      if (ldt.getNano == 0) base else base + f".${ldt.getNano}%09d"
+    case (days: Long, DateType) => // normalized Int → Long
+      java.time.LocalDate.ofEpochDay(days).toString
+    case (b: Boolean, _) => if (b) "1" else "0"
+    case (f: Float, _) => ImpalaSemantics.cFormatG(f.toDouble, 6)
+    case (d: Double, _) => ImpalaSemantics.cFormatG(d, 6)
+    case (b: Array[Byte], _) => new String(b, java.nio.charset.StandardCharsets.UTF_8)
+    case (d: java.math.BigDecimal, _) => d.unscaledValue.toString
+    case (other, _) => other.toString
+  }
 }
 
 /** `ds_kll_quantile(sketch, q)` → DOUBLE. */

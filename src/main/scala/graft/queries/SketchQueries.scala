@@ -144,30 +144,33 @@ object SketchQueries extends QueryGroup {
       FROM lineitem"""
     )),
 
-    // ---- histogram over a numeric column (Impala-style equi-height
-    // boundary string, aggregate-functions.h ReservoirSample→Histogram).
-    // Groups are < the 2048 buffer cap, so the sketch is exact and
-    // DuckDB reproduces the same rule: boundary i = smallest value with
-    // cumulative weight ≥ max(1, ceil(i/100·n)), integral values
-    // formatted without a decimal point.
+    // ---- histogram over a numeric column (aggregate-functions-ir.cc
+    // ReservoirSample→HistogramFinalize, semantics pinned verbatim by
+    // the reference's aggregation.test goldens in FunctionalGoldenSpec):
+    // sorted samples, min(n,100) buckets at index (b+1)·max(n/100,1)−1,
+    // DECIMAL input printed as the raw unscaled value (PrintSample
+    // <DecimalVal>). Groups are far below the 20 000-sample reservoir,
+    // so both engines are exact; DuckDB replicates the bucket formula
+    // over the same unscaled-bigint list.
     Q.Def("q_sketch_histogram", (s, dir) => {
       t(s, dir, "supplier")
         .groupBy(col("s_nationkey"))
-        .agg(call_function("histogram", col("s_acctbal")).as("hist"))
+        .agg(call_function("histogram",
+          col("s_acctbal").cast("decimal(12,2)")).as("hist"))
         .filter(length(col("hist")) > 0)
         .orderBy(col("s_nationkey"))
     }, Some("""
       WITH g AS (
-        SELECT s_nationkey, LIST(s_acctbal ORDER BY s_acctbal) AS l,
+        SELECT s_nationkey,
+               LIST(CAST(CAST(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)
+                    ORDER BY CAST(s_acctbal AS DECIMAL(12,2))) AS l,
                COUNT(*) AS n
         FROM supplier GROUP BY s_nationkey)
       SELECT s_nationkey,
-        ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(1, 101), i ->
-          CASE WHEN l[CAST(GREATEST(1, CEIL(i * n / 100.0)) AS BIGINT)]
-                    = FLOOR(l[CAST(GREATEST(1, CEIL(i * n / 100.0)) AS BIGINT)])
-               THEN CAST(CAST(l[CAST(GREATEST(1, CEIL(i * n / 100.0)) AS BIGINT)] AS BIGINT) AS VARCHAR)
-               ELSE CAST(l[CAST(GREATEST(1, CEIL(i * n / 100.0)) AS BIGINT)] AS VARCHAR)
-          END), ', ') AS hist
+        ARRAY_TO_STRING(LIST_TRANSFORM(
+          RANGE(1, CAST(LEAST(n, 100) + 1 AS BIGINT)), i ->
+            CAST(l[CAST(i * GREATEST(n // 100, 1) AS BIGINT)] AS VARCHAR)),
+          ', ') AS hist
       FROM g
       ORDER BY s_nationkey"""
     )),

@@ -159,16 +159,26 @@ class DialectSpec extends SparkSpecBase {
     assert(ts.toString.startsWith("1970-01-04"))
   }
 
-  test("set-op branches with ORDER BY/LIMIT parenthesize; trailing stays global") {
+  test("set-op branches with ORDER BY/LIMIT parenthesize; trailing binds to last operand") {
     GraftSession.registerAll(spark, sfDir)
     val r = ImpalaDialect.sql(spark,
       """select r_regionkey from region order by r_regionkey limit 2
          union all
          select r_regionkey from region order by r_regionkey desc limit 1""")
       .collect().map(_.getInt(0)).toSeq
-    // first branch bounded to 2 rows; trailing order+limit applies to the
-    // whole union (Impala semantics) — 1 row total
-    assert(r.length == 1, r)
+    // IMPALA-4741 (sql-parser.cup): each ORDER BY/LIMIT binds to its own
+    // bare select operand — 2 rows + 1 row; pinned by the reference's
+    // union.test goldens
+    assert(r.sorted == Seq(0, 1, 4), r)
+    // ...but a parenthesized last operand leaves the trailing clauses
+    // global (set_operation_with_order_by_or_limit)
+    val g = ImpalaDialect.sql(spark,
+      """select r_regionkey from region
+         union all
+         (select r_regionkey from region)
+         order by r_regionkey limit 3""")
+      .collect().map(_.getInt(0)).toSeq
+    assert(g == Seq(0, 0, 1), g)
     // comment text containing set-op keywords is not a branch boundary
     val c = ImpalaDialect.sql(spark,
       "select count(*) n -- not a union of anything\nfrom region").head()

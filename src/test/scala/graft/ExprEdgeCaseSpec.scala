@@ -95,7 +95,9 @@ class ExprEdgeCaseSpec extends SparkSpecBase {
          FROM (SELECT CAST(NULL AS INT) AS x WHERE false)""").head()
     assert(r.getLong(0) == 0L)
     assert(r.getLong(1) == 0L)
-    assert(r.getString(2) == "")
+    // Impala histogram() of zero rows is NULL (HistogramFinalize on a
+    // null intermediate)
+    assert(r.isNullAt(2))
     val one = spark.sql(
       "SELECT ndv_hll(x), ds_kll_quantile(ds_kll_sketch(x), CAST(0.5 AS DOUBLE)) FROM VALUES (42) t(x)")
       .head()

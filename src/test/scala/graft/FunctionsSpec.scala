@@ -158,11 +158,21 @@ class FunctionsSpec extends SparkSpecBase {
     assert(Quantiles.quantile(b2, 0.5) == p50)
   }
 
-  test("histogram: exact equi-height boundaries on small input") {
-    val b = Quantiles.create()
-    (1 to 100).foreach(i => Quantiles.insert(b, i.toDouble))
-    val h = Quantiles.histogram(b, 10)
-    assert(h == "10, 20, 30, 40, 50, 60, 70, 80, 90, 100")
+  test("histogram: reference ReservoirSample semantics") {
+    // n < 100 → all sorted samples (aggregation.test golden shape)
+    val h8 = spark.sql(
+      "SELECT histogram(x) FROM VALUES (1),(0),(1),(0),(1),(0),(1),(0) t(x)")
+      .head.getString(0)
+    assert(h8 == "0, 0, 0, 0, 1, 1, 1, 1")
+    // n = 250 → 100 buckets at (b+1)*2-1 → even sorted values 1..200
+    val h = spark.sql(
+      "SELECT histogram(id + 1) FROM range(250)").head.getString(0)
+    assert(h.split(", ").length == 100 && h.startsWith("2, 4, 6") &&
+      h.endsWith("198, 200"))
+    // float prints with C++ ostream default precision (6 significant)
+    val hf = spark.sql(
+      "SELECT histogram(CAST(1.1 AS FLOAT)) FROM range(2)").head.getString(0)
+    assert(hf == "1.1, 1.1")
   }
 
   test("ds_kll_cdf/pmf and ds_hll_stringify") {

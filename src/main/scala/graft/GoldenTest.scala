@@ -2,55 +2,70 @@ package graft
 
 import java.nio.file.{Files, Path, Paths}
 
-import scala.jdk.CollectionConverters._
-
 /** Runner for the reference's golden `.test` workload files
-  * (`testdata/workloads/tpch/queries/tpch-q*.test`, format per
-  * `tests/common/impala_test_suite.py:494-523`): `====`-delimited
-  * sections, each with a `---- QUERY[: name]` block of Impala SQL,
-  * a `---- RESULTS` block of golden rows and a `---- TYPES` line.
+  * (`testdata/workloads/...`, format per
+  * `tests/common/impala_test_suite.py`): `====`-delimited sections,
+  * each with a `---- QUERY[: name]` block of Impala SQL and further
+  * `---- <SECTION>` blocks (RESULTS, TYPES, CATCH, LABELS, …).
   *
   * The QUERY text is executed VERBATIM through [[ImpalaDialect.sql]] —
-  * this is the run-rate counterpart to DialectCorpusSpec's parse rate.
-  * The golden RESULTS rows are bound to the reference's TPC-H load (SF1
-  * — e.g. tpch-q1's count_order=1478493) which does not exist in this
-  * environment, so value verification runs against the DuckDB oracle
-  * over the same substituted fixture (driver correctness gate,
-  * `golden_qN` rows) and the RESULTS section is used only for its
-  * shape; the TYPES line is checked directly (GoldenTpchSpec).
+  * the run-rate counterpart to DialectCorpusSpec's parse rate. TPC-H/DS
+  * goldens are value-verified through the driver's DuckDB oracle over a
+  * substituted fixture (their RESULTS are bound to reference-scale
+  * loads that cannot be materialized here); functional-query goldens
+  * over the deterministic alltypes tables are verified DIRECTLY against
+  * their `---- RESULTS` rows ([[GoldenResult]],
+  * graft.sources.FunctionalTables).
   */
 object GoldenTest {
 
   /** One QUERY section of a `.test` file. */
-  final case class Case(name: String, query: String, types: Seq[String],
-      goldenRows: Int)
+  final case class Case(
+      name: String,
+      query: String,
+      types: Seq[String],
+      goldenRows: Int,
+      results: Seq[String] = Nil,
+      resultsTag: String = "",
+      sections: Map[String, Seq[String]] = Map.empty)
+
+  private val sectionRe = """^----\s*([A-Z_]+)\s*(.*)$""".r
 
   /** Parse the `.test` format. Comment lines (`#`) inside the QUERY
-    * block are dropped; RESULTS rows are counted, not interpreted.
+    * block are dropped; all `---- SECTION` blocks are captured.
     */
   def parse(text: String): Seq[Case] = {
     text.split("(?m)^====\\s*$").toSeq.flatMap { section =>
       val lines = section.linesIterator.toSeq
-      val qIdx = lines.indexWhere(_.trim.startsWith("---- QUERY"))
-      if (qIdx < 0) None
+      var cur: String = null
+      var curArg = ""
+      val order = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      val blocks = scala.collection.mutable.Map.empty[String, Vector[String]]
+      lines.foreach {
+        case sectionRe(name, arg) =>
+          cur = name; curArg = arg.stripPrefix(":").trim
+          order += ((name, curArg))
+          blocks.getOrElseUpdate(cur, Vector.empty)
+        case l if cur != null =>
+          blocks(cur) = blocks(cur) :+ l
+        case _ =>
+      }
+      if (!blocks.contains("QUERY")) None
       else {
-        val name = lines(qIdx).trim.stripPrefix("---- QUERY")
-          .stripPrefix(":").trim
-        val rest = lines.drop(qIdx + 1)
-        val rIdx = rest.indexWhere(_.trim.startsWith("---- RESULTS"))
-        val body = (if (rIdx < 0) rest else rest.take(rIdx))
-          .filterNot(_.trim.startsWith("#"))
-        val afterResults = if (rIdx < 0) Nil else rest.drop(rIdx + 1)
-        val tIdx = afterResults.indexWhere(_.trim.startsWith("---- TYPES"))
-        val golden = (if (tIdx < 0) afterResults else afterResults.take(tIdx))
-          .count(_.trim.nonEmpty)
-        val types =
-          if (tIdx < 0 || tIdx + 1 >= afterResults.length) Nil
-          else afterResults(tIdx + 1).split(",").toSeq
-            .map(_.trim.toLowerCase).filter(_.nonEmpty)
-        val query = body.mkString("\n").trim
+        val queryArg = order.collectFirst { case ("QUERY", a) => a }.getOrElse("")
+        val query = blocks("QUERY")
+          .filterNot(_.trim.startsWith("#")).mkString("\n").trim
+        val results = blocks.getOrElse("RESULTS", Vector.empty)
+          .filter(_.trim.nonEmpty)
+        val resultsTag =
+          order.collectFirst { case ("RESULTS", a) => a }.getOrElse("")
+        val types = blocks.getOrElse("TYPES", Vector.empty)
+          .headOption.map(_.split(",").toSeq
+            .map(_.trim.toLowerCase).filter(_.nonEmpty))
+          .getOrElse(Nil)
         if (query.isEmpty) None
-        else Some(Case(name, query, types, golden))
+        else Some(Case(queryArg, query, types, results.size, results,
+          resultsTag, blocks.toMap.map { case (k, v) => k -> v.toSeq }))
       }
     }
   }
@@ -71,4 +86,138 @@ object GoldenTest {
   /** First QUERY section of `tpch-qN.test`. */
   def tpchCase(n: Int): Case =
     load(tpchQueryDir.resolve(s"tpch-q$n.test")).head
+}
+
+/** Golden `---- RESULTS` comparator mirroring
+  * `tests/common/test_result_verifier.py`: rows tokenize on commas
+  * outside single quotes ('' escapes a quote); float/double columns
+  * compare with ABSOLUTE epsilon 1e-4 / 1e-9; booleans
+  * case-insensitively; everything else as exact strings with string
+  * values single-quoted; NULL is the bare token NULL. Multisets unless
+  * the query carries a top-level ORDER BY.
+  */
+object GoldenResult {
+
+  /** Tokenize one golden row (quotes kept, as in the reference). */
+  def tokenize(row: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQ = false
+    var i = 0
+    while (i < row.length) {
+      val c = row.charAt(i)
+      if (!inQ && c == ',') { out += cur.toString; cur.clear() }
+      else {
+        cur.append(c)
+        if (c == '\'') {
+          if (inQ && i + 1 < row.length && row.charAt(i + 1) == '\'') i += 1
+          else inQ = !inQ
+        }
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.toSeq
+  }
+
+  /** Render one Spark value in the verifier's format for its golden
+    * type token.
+    */
+  def render(v: Any, tpe: String): String = v match {
+    // the reference framework stringifies a NULL before quoting string
+    // columns, so string-typed NULLs appear quoted in goldens
+    case null if tpe == "string" || tpe == "char" || tpe == "varchar" => "'NULL'"
+    case null => "NULL"
+    case b: Boolean => b.toString
+    case t: java.sql.Timestamp =>
+      val ldt = t.toLocalDateTime
+      val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
+        f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
+        f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+      if (ldt.getNano == 0) base else base + f".${ldt.getNano}%09d"
+    case ldt: java.time.LocalDateTime =>
+      render(java.sql.Timestamp.valueOf(ldt), tpe)
+    case s: String if tpe == "string" || tpe == "char" || tpe == "varchar" =>
+      // non-printable bytes appear as \xNN escapes in the golden files
+      // (e.g. analytic-fns.test's 'a\x00b' nulltable row)
+      val esc = s.flatMap {
+        case c if c < 0x20 && c != '\n' && c != '\t' => f"\\x${c.toInt}%02x"
+        case c => c.toString
+      }
+      "'" + esc.replace("'", "''") + "'"
+    // DATE values print unquoted; a date under a STRING type token
+    // (Impala's to_date returns STRING) prints quoted like any string
+    case d: java.sql.Date =>
+      if (tpe == "string") "'" + d.toString + "'" else d.toString
+    case d: java.time.LocalDate =>
+      if (tpe == "string") "'" + d.toString + "'" else d.toString
+    case f: Float => f.toDouble.toString
+    case other => other.toString
+  }
+
+  /** Parse a float token leniently: the reference serializes NaN in
+    * several spellings ("NaN", "Nan", "nan", "-nan" — C++ ostream vs
+    * lexical_cast paths).
+    */
+  private def num(s: String): Option[Double] =
+    if (s.equalsIgnoreCase("nan") || s.equalsIgnoreCase("-nan"))
+      Some(Double.NaN)
+    else s.toDoubleOption
+
+  private def eqCol(exp: String, act: String, tpe: String): Boolean = {
+    if (exp == "NULL" || act == "NULL") return exp == act
+    tpe match {
+      case "float" =>
+        (num(exp), num(act)) match {
+          case (Some(a), Some(b)) => math.abs(a - b) <= 1e-4 ||
+            (a.isNaN && b.isNaN) || a == b
+          case _ => false
+        }
+      case "double" | "decimal" =>
+        (num(exp), num(act)) match {
+          case (Some(a), Some(b)) => math.abs(a - b) <= 1e-9 ||
+            (a.isNaN && b.isNaN) || a == b
+          case _ => false
+        }
+      case "boolean" => exp.equalsIgnoreCase(act)
+      case _ => exp == act
+    }
+  }
+
+  private def eqRow(exp: Seq[String], act: Seq[String],
+      types: Seq[String]): Boolean =
+    exp.length == act.length &&
+      exp.indices.forall(i => eqCol(exp(i), act(i),
+        types.lift(i).getOrElse("string")))
+
+  /** Compare rendered actual rows against golden lines; None on match,
+    * Some(message) on the first difference. `ordered` = positional;
+    * otherwise greedy multiset matching (mirrors the verifier's
+    * VERIFY_IS_EQUAL_SORTED path — approximate columns make exact
+    * set-hashing impossible).
+    */
+  def compare(goldenLines: Seq[String], actualRows: Seq[Seq[String]],
+      types: Seq[String], ordered: Boolean): Option[String] = {
+    val exp = goldenLines.map(tokenize)
+    if (exp.length != actualRows.length)
+      return Some(s"row count: golden ${exp.length} vs actual ${actualRows.length}")
+    if (ordered) {
+      exp.indices.foreach { i =>
+        if (!eqRow(exp(i), actualRows(i), types))
+          return Some(s"row $i: golden [${exp(i).mkString(",")}] vs " +
+            s"actual [${actualRows(i).mkString(",")}]")
+      }
+      None
+    } else {
+      val remaining = scala.collection.mutable.ArrayBuffer(actualRows: _*)
+      exp.foreach { e =>
+        val hit = remaining.indexWhere(a => eqRow(e, a, types))
+        if (hit < 0)
+          return Some(s"golden row not found: [${e.mkString(",")}]; " +
+            s"sample actual: [${remaining.headOption.map(_.mkString(",")).getOrElse("-")}]")
+        remaining.remove(hit)
+      }
+      None
+    }
+  }
 }

@@ -1,0 +1,284 @@
+package graft.sources
+
+import java.time.LocalDateTime
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Exact in-memory replica of the reference's deterministic functional
+  * test tables (`java/datagenerator/.../TestDataGenerator.java`,
+  * loaded per `testdata/datasets/functional/functional_schema_template
+  * .sql`): `alltypes` (7300 rows, 24 month partitions 2009-2010),
+  * `alltypessmall` (100 rows, 4×25), `alltypestiny` (8 rows, 4×2) and
+  * `alltypesagg` (11000 rows: 10×1000 day partitions of 2010-01 plus
+  * the day=NULL copy of the tinyint-NULL rows).
+  *
+  * Faithfulness notes (all verified against golden `---- RESULTS`
+  * rows in the reference's own `.test` files):
+  *   - the generator writes each row's timestamp with
+  *     `SimpleDateFormat("...ss.S")`, whose minimum-width millisecond
+  *     field REPARSES with trailing-zero padding: a 10 ms drift prints
+  *     ".10" and loads back as 100 ms (`00:02:00.100000000` in
+  *     except.test's alltypessmall dump). Replicated by right-padding
+  *     the raw millisecond field to 3 digits.
+  *   - per-day drift: each tuple advances the calendar 1 minute +
+  *     `bigint_col` (=10·int_col) ms, and the +1 DAY hop preserves the
+  *     accumulated wall offset, so day d starts at d·10 minutes +
+  *     d·450 raw ms past midnight.
+  *   - the generator runs in America/Los_Angeles: on 2010-03-14 the
+  *     day hop lands on the nonexistent 02:10 spring-forward wall time
+  *     and resolves +1 h, which then persists wall-preserved for the
+  *     rest of that month — replicated for (2010, March, day index
+  *     ≥ 13). 2009's transition (Mar 8, tuples at 01:1x) never hits
+  *     the gap; fall-back days print the same wall time either way.
+  */
+object FunctionalTables {
+
+  private val schema = StructType(Seq(
+    StructField("id", IntegerType, nullable = false),
+    StructField("bool_col", BooleanType, nullable = false),
+    StructField("tinyint_col", ByteType, nullable = true),
+    StructField("smallint_col", ShortType, nullable = true),
+    StructField("int_col", IntegerType, nullable = true),
+    StructField("bigint_col", LongType, nullable = true),
+    StructField("float_col", FloatType, nullable = true),
+    StructField("double_col", DoubleType, nullable = true),
+    StructField("date_string_col", StringType, nullable = false),
+    StructField("string_col", StringType, nullable = false),
+    StructField("timestamp_col", TimestampType, nullable = false),
+    StructField("year", IntegerType, nullable = false),
+    StructField("month", IntegerType, nullable = false)))
+
+  private val aggSchema = StructType(
+    schema.fields :+ StructField("day", IntegerType, nullable = true))
+
+  private def daysInMonth(y: Int, m: Int): Int =
+    java.time.YearMonth.of(y, m).lengthOfMonth()
+
+  /** SimpleDateFormat("S") prints the raw ms field with minimum width;
+    * reloading interprets it as a decimal fraction — i.e. right-padded
+    * to 3 digits.
+    */
+  private def padRight3(ms: Int): Int =
+    if (ms == 0) 0 else if (ms < 10) ms * 100 else if (ms < 100) ms * 10 else ms
+
+  /** Timestamp of tuple (d = 0-based day index, i = int_col) of an
+    * alltypes-family partition starting (y, m): real seconds carry from
+    * the accumulated drift, the final ms field gets the reparse pad.
+    */
+  private def tupleTs(y: Int, m: Int, d: Int, i: Int,
+      minutesBase: Int, rawMsBase: Int): java.sql.Timestamp = {
+    val raw = rawMsBase + 5 * i * (i - 1)
+    val totalMsReal = (minutesBase + i) * 60000L + raw
+    val secs = totalMsReal / 1000
+    val effMs = padRight3((totalMsReal % 1000).toInt)
+    // 2010-03 spring-forward resolution (see class doc)
+    val dstShift = if (y == 2010 && m == 3 && d >= 13) 3600L else 0L
+    val ldt = LocalDateTime.of(y, m, d + 1, 0, 0, 0)
+      .plusSeconds(secs + dstShift)
+      .plusNanos(effMs * 1000000L)
+    java.sql.Timestamp.valueOf(ldt)
+  }
+
+  private def dateString(y: Int, m: Int, d: Int): String =
+    f"$m%02d/${d + 1}%02d/${y % 100}%02d"
+
+  /** One alltypes-family partition (GenerateAllTypesPartition):
+    * `intsPerDay` tuples per day, capped at `maxTuples`; id continues
+    * from `idStart`. Returns the rows (without the agg `day` column).
+    */
+  private def partitionRows(y: Int, m: Int, idStart: Int, intsPerDay: Int,
+      maxTuples: Int, writeNulls: Boolean, singleDay: Int = -1): Seq[Row] = {
+    val days = if (singleDay >= 0) 1 else daysInMonth(y, m)
+    val n = math.min(days * intsPerDay, maxTuples)
+    (0 until n).map { r =>
+      val d = if (singleDay >= 0) singleDay else r / intsPerDay
+      val i = r % intsPerDay
+      val id = idStart + r
+      val nullInt = writeNulls && i == 0
+      val minutesBase = if (singleDay >= 0) 0 else d * 10
+      val rawMsBase = if (singleDay >= 0) 0 else d * 450
+      Row(
+        id,
+        id % 2 == 0,
+        if (writeNulls && i % 10 == 0) null else (i % 10).toByte,
+        if (writeNulls && i % 100 == 0) null else (i % 100).toShort,
+        if (nullInt) null else i,
+        if (nullInt) null else i.toLong * 10,
+        if (nullInt) null else (1.1 * i).toFloat, // (float)(1.1 * int_col)
+        if (nullInt) null else 10.1 * i,
+        dateString(y, m, d),
+        String.valueOf(i),
+        tupleTs(y, m, d, i, minutesBase, rawMsBase),
+        y, m)
+    }
+  }
+
+  /** alltypes / alltypessmall / alltypestiny (GenerateAllTypesData):
+    * sequential month partitions from (endYear − max(parts/12 − 1, 1)).
+    */
+  private def allTypesFamily(numPartitions: Int, maxTuples: Int): Seq[Row] = {
+    val startYear = 2010 - math.max(numPartitions / 12 - 1, 1)
+    var id = 0
+    (0 until numPartitions).flatMap { p =>
+      val y = startYear + (p / 12)
+      val m = p % 12 + 1
+      val rows = partitionRows(y, m, id, 10, maxTuples, writeNulls = false)
+      id += rows.size
+      rows
+    }
+  }
+
+  /** alltypesagg(nonulls): 10 single-day partitions of 1000 (2010-01);
+    * alltypesagg additionally carries the schema template's day=NULL
+    * partition — a copy of every tinyint-NULL row with day NULL
+    * (DEPENDENT_LOAD insert) — and nulls per the generator's
+    * writeNulls flag (TestDataGenerator GenerateAllTypesAggData).
+    */
+  private def allTypesAgg(writeNulls: Boolean, nullDayCopy: Boolean): Seq[Row] = {
+    var id = 0
+    val base = (0 until 10).flatMap { d =>
+      val rows = partitionRows(2010, 1, id, 1000, 1000, writeNulls,
+        singleDay = d)
+      id += rows.size
+      rows.map(r => Row.fromSeq(r.toSeq :+ Int.box(d + 1)))
+    }
+    if (!nullDayCopy) return base
+    val nullDay = base.filter(_.isNullAt(2)) // tinyint_col IS NULL
+      .map(r => Row.fromSeq(r.toSeq.init :+ null))
+    base ++ nullDay
+  }
+
+  /** The reference's hand-maintained CSV fixtures
+    * (`testdata/datasets/functional/functional_schema_template.sql`
+    * LOAD sections). Loaded with Hive LazySimpleSerDe text semantics:
+    * naive comma split (NO quote handling — the zipcode_incomes
+    * quoted-description fields keep their quotes, exactly as the
+    * reference's text tables do), `\N` as NULL, empty string
+    * non-null for STRING, unparseable numerics → NULL, whitespace
+    * preserved.
+    */
+  private val csvTables: Seq[(String, String, String)] = Seq(
+    ("liketbl", "LikeTbl/data.csv",
+      "str_col string, match_like_col string, no_match_like_col string, " +
+        "match_regex_col string, no_match_regex_col string"),
+    ("nulltable", "NullTable/data.csv",
+      "a string, b string, c string, d int, e double, f string, g string"),
+    ("nullrows", "NullRows/data.csv",
+      "id string, blank string, null_str string, null_int int, " +
+        "null_double double, group_str string, some_nulls string, " +
+        "bool_nulls boolean"),
+    ("jointbl", "JoinTbl/data.csv",
+      "test_id bigint, test_name string, test_zip int, alltypes_id int"),
+    ("dimtbl", "DimTbl/data.csv", "id bigint, name string, zip int"),
+    ("tinytable", "TinyTable/data.csv", "a string, b string"),
+    ("zipcode_incomes", "ImpalaDemoDataset/DEC_00_SF3_P077_with_ann_noheader.csv",
+      "id string, zip string, description1 string, description2 string, " +
+        "income int"))
+
+  /** Load a reference text fixture with Hive LazySimpleSerDe
+    * semantics: naive comma split (no quote handling), `\\N` → NULL,
+    * empty STRING fields stay empty strings (not NULL), unparseable
+    * numerics → NULL, whitespace and embedded NUL bytes preserved,
+    * missing trailing fields → NULL.
+    */
+  private def loadTextSerde(path: java.nio.file.Path, sch: StructType,
+      extra: Seq[Any] = Nil): Seq[Row] = {
+    val text = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val n = sch.fields.length - extra.length
+    text.split("\n", -1).toSeq.filter(_.nonEmpty).map { line =>
+      val fields = line.split(",", -1)
+      val vals = (0 until n).map { i =>
+        if (i >= fields.length) null
+        else convertField(fields(i), sch.fields(i).dataType)
+      }
+      Row.fromSeq(vals ++ extra)
+    }
+  }
+
+  private val dateRe = """(\d{1,4})-(\d{1,2})-(\d{1,2})""".r
+
+  private def convertField(raw: String, t: DataType): Any = {
+    if (raw == "\\N") return null
+    try t match {
+      case StringType => raw
+      case IntegerType => raw.trim.toInt
+      case LongType => raw.trim.toLong
+      case ShortType => raw.trim.toShort
+      case ByteType => raw.trim.toByte
+      case DoubleType => raw.trim.toDouble
+      case FloatType => raw.trim.toFloat
+      case BooleanType => raw.trim.toLowerCase match {
+        case "true" => true
+        case "false" => false
+        case _ => null
+      }
+      case d: DecimalType =>
+        new java.math.BigDecimal(raw.trim)
+          .setScale(d.scale, java.math.RoundingMode.HALF_UP)
+      case DateType => raw.trim match {
+        case dateRe(y, m, dd) =>
+          java.sql.Date.valueOf(java.time.LocalDate.of(y.toInt, m.toInt, dd.toInt))
+        case _ => null
+      }
+      case _ => raw
+    } catch { case _: Exception => null }
+  }
+
+  /** Register all functional tables as temp views. */
+  def register(spark: SparkSession): Unit = {
+    def mk(rows: Seq[Row], sch: StructType, name: String): Unit = {
+      val df: DataFrame = spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), sch)
+      df.createOrReplaceTempView(name)
+    }
+    mk(allTypesFamily(24, 310), schema, "alltypes")
+    mk(allTypesFamily(4, 25), schema, "alltypessmall")
+    mk(allTypesFamily(4, 2), schema, "alltypestiny")
+    mk(allTypesAgg(writeNulls = true, nullDayCopy = true), aggSchema,
+      "alltypesagg")
+    mk(allTypesAgg(writeNulls = false, nullDayCopy = false), aggSchema,
+      "alltypesaggnonulls")
+
+    val refRoot = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_REF_TESTDATA", "/root/reference/testdata"))
+    if (java.nio.file.Files.isDirectory(refRoot)) {
+      csvTables.foreach { case (name, rel, ddl) =>
+        val p = refRoot.resolve(rel)
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val sch = StructType.fromDDL(ddl)
+          mk(loadTextSerde(p, sch), sch, name)
+        }
+      }
+      // decimal_tbl (data/decimal_tbl.txt + constant partition d6=1)
+      val dec = refRoot.resolve("data/decimal_tbl.txt")
+      if (java.nio.file.Files.isRegularFile(dec)) {
+        val sch = StructType.fromDDL(
+          "d1 decimal(9,0), d2 decimal(10,0), d3 decimal(20,10), " +
+            "d4 decimal(38,38), d5 decimal(10,5), d6 decimal(9,0)")
+        mk(loadTextSerde(dec, sch,
+          extra = Seq(new java.math.BigDecimal(1))), sch, "decimal_tbl")
+      }
+      // date_tbl (one file per date_part partition)
+      val dateParts = Seq("0000.txt" -> "0001-01-01", "0001.txt" -> "1399-06-27",
+        "0002.txt" -> "2017-11-27", "0003.txt" -> "9999-12-31")
+      val dateDir = refRoot.resolve("data/date_tbl")
+      if (java.nio.file.Files.isDirectory(dateDir)) {
+        val sch = StructType.fromDDL("id_col int, date_col date, date_part date")
+        val rows = dateParts.flatMap { case (f, part) =>
+          val fp = dateDir.resolve(f)
+          if (!java.nio.file.Files.isRegularFile(fp)) Nil
+          else loadTextSerde(fp, sch,
+            extra = Seq(java.sql.Date.valueOf(part)))
+        }
+        if (rows.nonEmpty) mk(rows, sch, "date_tbl")
+      }
+    }
+    // emptytable: declared partitioned, never loaded
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType.fromDDL("field string, f2 int"))
+      .createOrReplaceTempView("emptytable")
+  }
+}

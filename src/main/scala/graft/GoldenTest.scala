@@ -138,13 +138,14 @@ object GoldenResult {
     case ldt: java.time.LocalDateTime =>
       render(java.sql.Timestamp.valueOf(ldt), tpe)
     case s: String if tpe == "string" || tpe == "char" || tpe == "varchar" =>
-      // non-printable bytes appear as \xNN escapes in the golden files
-      // (e.g. analytic-fns.test's 'a\x00b' nulltable row)
+      // the reference's goldens escape backslashes and non-printables
+      // ('\\%', 'a\x00b') but do NOT double inner quotes ('quote '')
       val esc = s.flatMap {
+        case '\\' => "\\\\"
         case c if c < 0x20 && c != '\n' && c != '\t' => f"\\x${c.toInt}%02x"
         case c => c.toString
       }
-      "'" + esc.replace("'", "''") + "'"
+      "'" + esc + "'"
     // DATE values print unquoted; a date under a STRING type token
     // (Impala's to_date returns STRING) prints quoted like any string
     case d: java.sql.Date =>

@@ -162,7 +162,8 @@ object ImpalaDialect {
 
   private val sqlKeywords = Set("ON", "USING", "WHERE", "GROUP", "ORDER",
     "HAVING", "LIMIT", "JOIN", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
-    "UNION", "INTERSECT", "EXCEPT", "AS")
+    "UNION", "INTERSECT", "EXCEPT", "AS", "SELECT", "FROM", "VALUES",
+    "WITH", "OFFSET", "WINDOW")
 
   private val straightJoinRe = """(?i)\bSELECT\s+STRAIGHT_JOIN\b""".r
 
@@ -509,17 +510,29 @@ object ImpalaDialect {
     val open = p
     val close = matchingParen(s, open)
     if (close < 0) return None
-    // table alias after the subquery (no existing column list)
+    // column-list insertion point: a table alias after the subquery
+    // (inline view `(values ...) v`) or the CTE name before it
+    // (`name AS (values ...)` → `name(cols) AS (...)`)
     val aliasRe = """\G\s*(?:[Aa][Ss]\s+)?([A-Za-z_]\w*)""".r
-    val am = aliasRe.findFirstMatchIn(s.substring(close + 1)) match {
-      case Some(m) if m.start == 0 => m
-      case _ => return None
+    val aliasEnd: Int = aliasRe.findFirstMatchIn(s.substring(close + 1)) match {
+      case Some(m) if m.start == 0 &&
+          !sqlKeywords.contains(m.group(1).toUpperCase) =>
+        val e = close + 1 + m.end
+        var after = e
+        while (after < s.length && Character.isWhitespace(s.charAt(after))) after += 1
+        if (after < s.length && s.charAt(after) == '(') return None // has col list
+        e
+      case _ =>
+        // CTE form: identifier AS ( VALUES ... )
+        var q2 = open - 1
+        while (q2 >= 0 && Character.isWhitespace(s.charAt(q2))) q2 -= 1
+        if (q2 < 1 || !s.regionMatches(true, q2 - 1, "as", 0, 2) ||
+            (q2 - 2 >= 0 && isWordChar(s.charAt(q2 - 2)))) return None
+        var n2 = q2 - 2
+        while (n2 >= 0 && Character.isWhitespace(s.charAt(n2))) n2 -= 1
+        if (n2 < 0 || !isWordChar(s.charAt(n2))) return None
+        n2 + 1
     }
-    if (sqlKeywords.contains(am.group(1).toUpperCase)) return None
-    val aliasEnd = close + 1 + am.end
-    var after = aliasEnd
-    while (after < s.length && Character.isWhitespace(s.charAt(after))) after += 1
-    if (after < s.length && s.charAt(after) == '(') return None // has col list
     // first paren group after VALUES
     var r0 = ve
     while (r0 < close && s.charAt(r0) != '(') {
@@ -551,14 +564,17 @@ object ImpalaDialect {
       .map { case ((_, a), i) => a.getOrElse(s"c$i") }
     val newFirst = parsed.map(_._1).mkString("(", ", ", ")")
     val newRows = (newFirst +: rows.tail.map(_.trim)).mkString(", ")
-    // apply right-to-left: column list after the alias, then the rows
-    val withCols = s.patch(aliasEnd, s"(${names.mkString(", ")})", 0)
-    val withRows =
+    // two patches at independent offsets (cols left of rows for the
+    // CTE form, right of them for an inline view) — apply the
+    // higher-offset one first so the other's offsets stay valid
+    val colsPatch = (aliasEnd, s"(${names.mkString(", ")})", 0)
+    val rowsPatch =
       if (wrapped) // drop the wrapping paren: Spark reads it as one row
-        withCols.patch(r0, newRows, c0 - r0 + 1)
-      else
-        withCols.patch(rowsFrom, " " + newRows, rowsTo - rowsFrom)
-    Some(withRows)
+        (r0, newRows, c0 - r0 + 1)
+      else (rowsFrom, " " + newRows, rowsTo - rowsFrom)
+    val out = Seq(colsPatch, rowsPatch).sortBy(-_._1)
+      .foldLeft(s) { case (acc, (at, txt, len)) => acc.patch(at, txt, len) }
+    Some(out)
   }
 
   /** Impala lets a union/intersect/except branch carry its own ORDER BY

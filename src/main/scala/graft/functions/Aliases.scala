@@ -125,13 +125,21 @@ object Aliases {
     "mask_show_first_n" -> (a => maskShowFirstN(a)),
     "mask_show_last_n" -> (a => maskShowLastN(a)),
     // ---- aggregates (fe/.../catalog/BuiltinsDb.java:913-1288)
-    "ndv" -> (a => call("approx_count_distinct", a.head)),
+    // ndv() IS the reference HLL (NdvHll replicates HllUpdate/
+    // HllFinalEstimate bit-for-bit at the default precision 10, pinned
+    // by distinct-estimate.test/date.test goldens); the scaled 2-arg
+    // form maps to Spark's HLL++ at estimate level
+    "ndv" -> (a =>
+      if (a.length == 1) NdvHll(a.head)
+      else call("approx_count_distinct", a.head)),
     // legacy probabilistic-counting names (aggregate-functions.h Pc*/Pcsa*)
     // and sampled_ndv (BuiltinsDb.java:1086) — all HLL-backed here
     "pc" -> (a => call("approx_count_distinct", a.head)),
     "pcsa" -> (a => call("approx_count_distinct", a.head)),
     "sampled_ndv" -> (a => call("approx_count_distinct", a.head)),
-    "appx_median" -> (a => call("percentile_approx", a.head, lit(0.5), lit(10000))),
+    // the reference's reservoir median, type-preserving (DATE in →
+    // DATE out) — percentile_approx can't express that
+    "appx_median" -> (a => AppxMedianAgg(a.head)),
     // group_concat lives in GraftFunctions as a true AggregateFunction
     // (alias composition can't see the DISTINCT flag)
   )

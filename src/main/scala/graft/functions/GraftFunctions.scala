@@ -26,6 +26,16 @@ object GraftFunctions {
     "adddate" -> (a => ImpalaDateShift(a(0), a(1), "DAY", neg = false)),
     "subdate" -> (a => ImpalaDateShift(a(0), a(1), "DAY", neg = true)),
     "add_months" -> (a => ImpalaDateShift(a(0), a(1), "MONTH", neg = false)),
+    "year" -> (a => ImpalaTimeFn(a.head, "year")),
+    "month" -> (a => ImpalaTimeFn(a.head, "month")),
+    "day" -> (a => ImpalaTimeFn(a.head, "day")),
+    "dayofmonth" -> (a => ImpalaTimeFn(a.head, "day")),
+    "hour" -> (a => ImpalaTimeFn(a.head, "hour")),
+    "minute" -> (a => ImpalaTimeFn(a.head, "minute")),
+    "second" -> (a => ImpalaTimeFn(a.head, "second")),
+    "quarter" -> (a => ImpalaTimeFn(a.head, "quarter")),
+    "weekofyear" -> (a => ImpalaTimeFn(a.head, "weekofyear")),
+    "dayofyear" -> (a => ImpalaTimeFn(a.head, "dayofyear")),
     "round" -> (a =>
       ImpalaRound(a.head, if (a.length > 1) a(1) else Literal(0))),
     "log" -> (a =>

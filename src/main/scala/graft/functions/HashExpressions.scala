@@ -33,12 +33,17 @@ object HashImpls {
     h
   }
 
-  /** MurmurHash64A (public domain algorithm), seed 0 per the reference. */
-  def murmur(bytes: Array[Byte]): Long = {
+  /** MurmurHash64A (public domain algorithm), seed 0 per the reference's
+    * murmur_hash; [[murmurSeeded]] for other seeds (ndv's HLL uses
+    * FNV64_SEED — `anyval-util.h` Hash64).
+    */
+  def murmur(bytes: Array[Byte]): Long = murmurSeeded(bytes, 0L)
+
+  def murmurSeeded(bytes: Array[Byte], seed: Long): Long = {
     val m = -4132994306676758123L // 0xc6a4a7935bd1e995
     val r = 47
     val len = bytes.length
-    var h = 0L ^ (len * m)
+    var h = seed ^ (len * m)
     val nblocks = len / 8
     var i = 0
     while (i < nblocks) {
@@ -109,6 +114,15 @@ object HashImpls {
 
   def fnvTs(micros: Long): Long = fnv(timestampBytes(micros))
   def murmurTs(micros: Long): Long = murmur(timestampBytes(micros))
+
+  /** The hash feeding the reference's ndv() HLL registers
+    * (`anyval-util.h` Hash64 = MurmurHash2_64 with FNV64_SEED over the
+    * value's fixed-width byte image; TimestampVal as the 12-byte
+    * TimestampValue).
+    */
+  def hllHash(v: Any, isTimestamp: Boolean): Long =
+    murmurSeeded(if (isTimestamp) timestampBytes(v.asInstanceOf[Long])
+                 else toBytes(v), FnvSeed)
 }
 
 abstract class HashExpr extends UnaryExpression {

@@ -218,6 +218,44 @@ case class ImpalaBase64Decode(child: Expression) extends UnaryExpression
   * is `1.1`, not float-repr `1.100000023841858`. Non-float inputs
   * delegate to Spark's builtin unchanged.
   */
+/** Impala's datetime field extractors take TIMESTAMP (or DATE) — never
+  * a bare string-as-date: `year('0009-02-15')` implicit-casts through
+  * TIMESTAMP whose validity floor is 1400-01-01, so it returns NULL
+  * (date.test golden), where Spark coerces the string to DATE and
+  * returns 9. DATE/TIMESTAMP inputs pass through untouched.
+  */
+case class ImpalaTimeFn(child: Expression, fn: String)
+    extends Expression with RuntimeReplaceable {
+  override lazy val replacement: Expression = {
+    // a RuntimeReplaceable replacement is never visited by implicit
+    // type coercion — every cast must be explicit
+    val ts =
+      if (child.dataType.isInstanceOf[StringType])
+        ImpalaTsValid(Cast(child, TimestampType))
+      else child
+    def asDate =
+      if (ts.dataType == DateType) ts else Cast(ts, DateType)
+    def asTs =
+      if (ts.dataType == TimestampType) ts else Cast(ts, TimestampType)
+    fn match {
+      case "year" => Year(asDate)
+      case "month" => Month(asDate)
+      case "day" => DayOfMonth(asDate)
+      case "hour" => Hour(asTs)
+      case "minute" => Minute(asTs)
+      case "second" => Second(asTs)
+      case "quarter" => Quarter(asDate)
+      case "weekofyear" => WeekOfYear(asDate)
+      case "dayofyear" => DayOfYear(asDate)
+      case other => throw new IllegalArgumentException(other)
+    }
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override def prettyName: String = fn
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression = copy(child = c(0))
+}
+
 case class ImpalaRound(child: Expression, scale: Expression)
     extends Expression with RuntimeReplaceable {
   override lazy val replacement: Expression = child.dataType match {

@@ -229,6 +229,25 @@ object AggQueries extends QueryGroup {
       ORDER BY o_orderstatus"""
     )),
 
+    // ---- appx_median: the reference's ReservoirSample median (sorted
+    // element n/2, type-preserving) — exact below the 20 000-sample
+    // reservoir, so DuckDB replicates it with a list index.
+    Q.Def("q_appx_median", (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(call_function("appx_median",
+          col("o_totalprice").cast("decimal(12,2)")).as("med"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus,
+             LIST(CAST(o_totalprice AS DECIMAL(12,2))
+                  ORDER BY CAST(o_totalprice AS DECIMAL(12,2)))
+               [CAST(COUNT(*) // 2 + 1 AS BIGINT)] AS med
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus"""
+    )),
+
     // ---- histogram via explicit bucket arithmetic (Impala histogram/
     // width_bucket; floor arithmetic is engine-agnostic).
     Q.Def("q_histogram", (s, dir) => {

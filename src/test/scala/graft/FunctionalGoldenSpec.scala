@@ -28,7 +28,15 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "except.test", "intersect.test", "distinct.test", "limit.test",
     "top-n.test", "inline-view.test", "subquery.test", "aggregation.test",
     "exprs.test", "joins.test", "union.test", "grouping-sets.test",
-    "empty.test", "analytic-fns.test")
+    "empty.test", "analytic-fns.test",
+    "alias.test", "date.test", "decimal.test", "decimal-exprs.test",
+    "distinct-estimate.test", "inline-view-limit.test", "misc.test",
+    "multiple-distinct-aggs.test", "null_data.test", "outer-joins.test",
+    "outer-to-inner-joins.test", "overflow.test", "semi-joins.test",
+    "sort.test", "string-literals.test", "special-strings.test",
+    "subquery-in-constant-lhs.test", "subquery-single-node.test",
+    "values.test", "with-clause.test", "single-node-nlj.test",
+    "empty-build-joins.test", "range-constant-propagation.test")
 
   /** Documented engine deltas, each verified against the reference
     * source — cases where Spark's core semantics differ by design and
@@ -179,6 +187,6 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     assert(mismatches.isEmpty,
       s"${mismatches.size} golden mismatches; first: ${mismatches.headOption.getOrElse("")}")
     // floor pinned at the round-4 measurement — the gate must not erode
-    assert(pass >= 280, s"only $pass golden queries passed")
+    assert(pass >= 1050, s"only $pass golden queries passed")
   }
 }

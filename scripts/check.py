@@ -43,10 +43,18 @@ def main(sf_dir, out_dir):
         if len(d) != len(s):
             print(f"FAIL {name}: rows duck={len(d)} spark={len(s)}")
             n_fail += 1; continue
-        # value compare as strings (the driver hashes values)
+        # value compare as strings (the driver hashes values); DECIMAL
+        # canonicalizes through float so a Spark DECIMAL column compares
+        # equal to DuckDB's float64 client representation, as it does in
+        # the driver's stringified hash
+        import decimal
+        def canon(v):
+            if isinstance(v, decimal.Decimal):
+                return repr(float(v))
+            return repr(v)
         mism = []
         for c in d.columns:
-            a = d[c].map(repr).tolist(); b = s[c].map(repr).tolist()
+            a = d[c].map(canon).tolist(); b = s[c].map(canon).tolist()
             if a != b:
                 bad = next(i for i, (x, y) in enumerate(zip(a, b)) if x != y)
                 mism.append((c, bad, a[bad], b[bad]))

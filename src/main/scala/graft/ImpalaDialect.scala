@@ -278,7 +278,7 @@ object ImpalaDialect {
     * (one pass). Comment awareness (`-- eol`, slash-star) keeps keyword
     * scans (set-ops, VALUES) from matching words in comment text.
     */
-  private def depthMap(sql: String): (Array[Int], Array[Boolean]) = {
+  private[graft] def depthMap(sql: String): (Array[Int], Array[Boolean]) = {
     val d = new Array[Int](sql.length)
     val q = new Array[Boolean](sql.length)
     var depth = 0
@@ -388,19 +388,30 @@ object ImpalaDialect {
     */
   private val realAliasRe = """(?i)\bAS\s+REAL\b""".r
 
+  /** Regex replacement that skips matches starting inside a string
+    * literal or comment (depthMap recomputed per pass — replacement
+    * positions refer to this pass's input). Keeps text-level rewrites
+    * from corrupting literals like `'a && b'` or `'xyz!!qwe'`
+    * (both occur in the reference corpus: data-source-tables.test,
+    * exprs.test:2321).
+    */
+  private def replaceUnquoted(sql: String, re: scala.util.matching.Regex)(
+      f: scala.util.matching.Regex.Match => String): String = {
+    val (_, q) = depthMap(sql)
+    re.replaceAllIn(sql, m =>
+      if (q(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else java.util.regex.Matcher.quoteReplacement(f(m)))
+  }
+
   private def rewriteMiscForms(sql: String): String = {
-    val a0 = realAliasRe.replaceAllIn(sql, "AS DOUBLE")
-    val a = quotedAliasRe.replaceAllIn(a0, m =>
-      java.util.regex.Matcher.quoteReplacement("AS `" + m.group(1) + "`"))
-    val b = andAmpRe.replaceAllIn(a, " AND ")
-    val c = factorialRe.replaceAllIn(b, m =>
-      java.util.regex.Matcher.quoteReplacement(s"factorial(${m.group(1)})"))
-    val e = columnIntervalRe.replaceAllIn(c, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"(${m.group(1)} * INTERVAL 1 ${m.group(2)})"))
-    insertColsPartitionRe.replaceAllIn(e, m =>
-      java.util.regex.Matcher.quoteReplacement(
-        s"${m.group(1)} PARTITION (${m.group(3)}) (${m.group(2)})"))
+    val a0 = replaceUnquoted(sql, realAliasRe)(_ => "AS DOUBLE")
+    val a = replaceUnquoted(a0, quotedAliasRe)(m => "AS `" + m.group(1) + "`")
+    val b = replaceUnquoted(a, andAmpRe)(_ => " AND ")
+    val c = replaceUnquoted(b, factorialRe)(m => s"factorial(${m.group(1)})")
+    val e = replaceUnquoted(c, columnIntervalRe)(m =>
+      s"(${m.group(1)} * INTERVAL 1 ${m.group(2)})")
+    replaceUnquoted(e, insertColsPartitionRe)(m =>
+      s"${m.group(1)} PARTITION (${m.group(3)}) (${m.group(2)})")
   }
 
   /** Comma-split a fragment at paren depth 0, quote-aware. */

@@ -132,10 +132,14 @@ object Aliases {
     "ndv" -> (a =>
       if (a.length == 1) NdvHll(a.head)
       else call("approx_count_distinct", a.head)),
-    // legacy probabilistic-counting names (aggregate-functions.h Pc*/Pcsa*)
-    // and sampled_ndv (BuiltinsDb.java:1086) — all HLL-backed here
-    "pc" -> (a => call("approx_count_distinct", a.head)),
-    "pcsa" -> (a => call("approx_count_distinct", a.head)),
+    // distinctpc/distinctpcsa (BuiltinsDb.java:1106-1117): bit-exact
+    // Flajolet-Martin replication, pinned by distinct-estimate.test
+    // goldens; the short pc/pcsa names kept as aliases
+    "distinctpc" -> (a => PcEstimate(a.head, pcsa = false)),
+    "distinctpcsa" -> (a => PcEstimate(a.head, pcsa = true)),
+    "pc" -> (a => PcEstimate(a.head, pcsa = false)),
+    "pcsa" -> (a => PcEstimate(a.head, pcsa = true)),
+    // sampled_ndv (BuiltinsDb.java:1086) — HLL-backed estimate
     "sampled_ndv" -> (a => call("approx_count_distinct", a.head)),
     // the reference's reservoir median, type-preserving (DATE in →
     // DATE out) — percentile_approx can't express that

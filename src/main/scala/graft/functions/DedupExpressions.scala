@@ -260,6 +260,18 @@ case class CollectCapped(
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
 
+  // update() widens to Long: misuse over a non-integral column must be
+  // a clean analysis error, not an executor ClassCastException
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"collect_capped requires an integral id column, got ${t.simpleString}")
+    }
+
   override def createAggregationBuffer(): ArrayBuffer[Long] =
     ArrayBuffer.empty[Long]
 
@@ -267,7 +279,7 @@ case class CollectCapped(
   // grow past it
   override def update(buf: ArrayBuffer[Long], row: InternalRow): ArrayBuffer[Long] = {
     val v = child.eval(row)
-    if (v != null && buf.length <= cap) buf += v.asInstanceOf[Long]
+    if (v != null && buf.length <= cap) buf += v.asInstanceOf[Number].longValue
     buf
   }
 

@@ -47,7 +47,14 @@ final class SubstitutionCatalog(val subs: Seq[Sub]) {
     val ctes = subs
       .map(s => s"${s.table}_g AS (${s.duckSql.replace("\n", " ")})")
       .mkString(",\n")
-    val body = token.replaceAllIn(query, m => m.group(1) + "_g")
+    // quote/comment-aware: a table name inside a string literal (e.g.
+    // 'Customer%Complaints') must NOT be rewritten — only the DuckDB
+    // side sees this text, so a literal rewrite would silently diverge
+    // the two engines' inputs
+    val (_, inLiteral) = graft.ImpalaDialect.depthMap(query)
+    val body = token.replaceAllIn(query, m =>
+      if (inLiteral(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else m.group(1) + "_g")
     val trimmed = body.trim
     if (trimmed.toLowerCase.startsWith("with"))
       s"WITH $ctes,\n${trimmed.drop(4).trim}"

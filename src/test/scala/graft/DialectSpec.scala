@@ -159,6 +159,24 @@ class DialectSpec extends SparkSpecBase {
     assert(ts.toString.startsWith("1970-01-04"))
   }
 
+  test("misc-form rewrites never touch string literals or comments") {
+    // '&&' and '!' inside literals occur in the reference corpus itself
+    // (data-source-tables.test, exprs.test:2321) — they must survive
+    val r = ImpalaDialect.sql(spark,
+      """select 'a && b' as amp, 'xyz!!qwe' as bang, 'cast(x AS REAL)' as re,
+                'sum(x) AS "30 days"' as qa, 3! as f
+         from (values (1 x)) t where x > 0 && 'u!' = 'u!'""").head()
+    assert(r.getString(0) == "a && b")
+    assert(r.getString(1) == "xyz!!qwe")
+    assert(r.getString(2) == "cast(x AS REAL)")
+    assert(r.getString(3) == """sum(x) AS "30 days"""")
+    assert(r.getLong(4) == 6L)
+    // comment text with '&&' / '!' / AS REAL is untouched too
+    val c = ImpalaDialect.sql(spark,
+      "select count(*) n -- x && y! AS REAL\nfrom (values (1 x)) t").head()
+    assert(c.getLong(0) == 1L)
+  }
+
   test("set-op branches with ORDER BY/LIMIT parenthesize; trailing binds to last operand") {
     GraftSession.registerAll(spark, sfDir)
     val r = ImpalaDialect.sql(spark,

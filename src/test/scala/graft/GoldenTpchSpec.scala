@@ -76,4 +76,15 @@ class GoldenTpchSpec extends SparkSpecBase {
     assert(!"\\bFROM\\s+lineitem\\b".r.findFirstIn(
       q15.substring(q15.indexOf("revenue_view"))).isDefined)
   }
+
+  test("golden oracle rewrite skips table tokens inside string literals") {
+    val cat = new queries.SubstitutionCatalog(Seq(
+      queries.Sub("part", "SELECT 1 AS p_partkey")))
+    val out = cat.oracleSql(
+      "select p_partkey from part where 'spare part' <> 'part' -- part\n")
+    assert(out.contains("from part_g"), out)
+    assert(out.contains("'spare part'"), out)
+    assert(out.contains("'part'"), out)
+    assert(out.contains("-- part"), out)
+  }
 }

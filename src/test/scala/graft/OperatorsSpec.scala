@@ -121,6 +121,22 @@ class OperatorsSpec extends SparkSpecBase {
     assert(agg.eval(under) != null)
   }
 
+  test("collect_capped input typing: INT accepted natively, STRING fails analysis") {
+    val spark2 = spark
+    import spark2.implicits._
+    graft.functions.GraftFunctions.registerAll(spark)
+    val ints = Seq(1, 2, 3).toDF("v")
+    ints.createOrReplaceTempView("cc_ints")
+    val got = spark.sql("select collect_capped(v, 5) a from cc_ints")
+      .head().getSeq[Long](0).sorted
+    assert(got == Seq(1L, 2L, 3L))
+    Seq("a", "b").toDF("s").createOrReplaceTempView("cc_strs")
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("select collect_capped(s, 5) a from cc_strs").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("integral"), err.getMessage)
+  }
+
   test("shingle_hashes kernel: n-gram count and determinism") {
     val hs = ShingleHashes.compute("a b c d", 3)
     assert(hs.numElements() == 2) // "a b c", "b c d"

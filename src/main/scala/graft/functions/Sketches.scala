@@ -240,17 +240,17 @@ object Pc {
 
   def create(): Array[Int] = new Array[Int](NumBitmaps)
 
-  def updatePc(bm: Array[Int], bytes: Array[Byte]): Unit = {
+  def updatePc(bm: Array[Int], hash: Int => Int): Unit = {
     var i = 0
     while (i < NumBitmaps) {
-      val h = crcHash(bytes, i)
+      val h = hash(i)
       bm(i) |= 1 << ctz(h)
       i += 1
     }
   }
 
-  def updatePcsa(bm: Array[Int], bytes: Array[Byte]): Unit = {
-    val h = crcHash(bytes, 0)
+  def updatePcsa(bm: Array[Int], hash: Int => Int): Unit = {
+    val h = hash(0)
     val u = h.toLong & 0xffffffffL
     val row = (u % NumBitmaps).toInt
     bm(row) |= 1 << ctz((u / NumBitmaps).toInt)
@@ -292,16 +292,25 @@ case class PcEstimate(
   override def nullable: Boolean = false
   override def createAggregationBuffer(): Array[Int] = Pc.create()
 
-  private def valueBytes(v: Any): Array[Byte] =
-    if (child.dataType == TimestampType)
-      HashImpls.timestampBytes(v.asInstanceOf[Long])
-    else HashImpls.toBytes(v)
+  /** Seeded hash of one value — `AnyValUtil::Hash` (`anyval-util.h:51-92`):
+    * one CrcHash over the value bytes, EXCEPT TIMESTAMP, whose
+    * `TimestampValue::Hash` (`timestamp-value.h:315-318`) chains TWO
+    * CrcHash calls (8-byte time-of-day nanos, then 4-byte Julian day
+    * seeded with the first result) — each with its own halves swap, so
+    * a single pass over the 12-byte image diverges.
+    */
+  private def hashValue(v: Any, seed: Int): Int =
+    if (child.dataType == TimestampType) {
+      val b = HashImpls.timestampBytes(v.asInstanceOf[Long])
+      Pc.crcHash(java.util.Arrays.copyOfRange(b, 8, 12),
+        Pc.crcHash(java.util.Arrays.copyOf(b, 8), seed))
+    } else Pc.crcHash(HashImpls.toBytes(v), seed)
 
   override def update(b: Array[Int], row: InternalRow): Array[Int] = {
     val v = child.eval(row)
     if (v != null) {
-      val bytes = valueBytes(v)
-      if (pcsa) Pc.updatePcsa(b, bytes) else Pc.updatePc(b, bytes)
+      val hash = (seed: Int) => hashValue(v, seed)
+      if (pcsa) Pc.updatePcsa(b, hash) else Pc.updatePc(b, hash)
     }
     b
   }

@@ -193,7 +193,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1089, s"only $pass golden queries passed (floor 1089)")
+    assert(pass >= 1097, s"only $pass golden queries passed (floor 1097)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
     assert(errorSkip <= 137, s"$errorSkip error skips (ceiling 137)")

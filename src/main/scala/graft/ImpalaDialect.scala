@@ -856,7 +856,8 @@ object ImpalaDialect {
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftSession.tune(spark)
     val df = org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      org.apache.spark.sql.graft.Bridge.parsePlan(spark, rewrite(text)))
+      org.apache.spark.sql.graft.Bridge.parsePlan(spark,
+        rewrite(NestedRefs.rewrite(spark, text))))
     val analyzed = df.queryExecution.analyzed
     val fixed = analyzed.transformUpWithSubqueries {
       case p => p.transformExpressionsUp(impalaExpr)

@@ -280,5 +280,43 @@ object FunctionalTables {
     spark.createDataFrame(new java.util.ArrayList[Row](),
         StructType.fromDDL("field string, f2 int"))
       .createOrReplaceTempView("emptytable")
+    registerComplexTypesTbl(spark)
+  }
+
+  /** `functional_parquet.complextypestbl` — registered straight from
+    * the reference's own parquet files (`testdata/ComplexTypesTbl/
+    * {nullable,nonnullable}.parq`, 8 rows), the exact fixture behind
+    * the `nested-types-*.test` goldens. The two files spell column /
+    * nested-field names with different CASE (`int_array_Array` vs
+    * `int_array_array` — the loader is Hive, case-insensitive), so
+    * each file is cast to the canonical lower-case schema before the
+    * union; `cast` renames struct fields without touching data.
+    */
+  def registerComplexTypesTbl(spark: SparkSession): Unit = {
+    val refRoot = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_REF_TESTDATA", "/root/reference/testdata"))
+    val dir = refRoot.resolve("ComplexTypesTbl")
+    if (!java.nio.file.Files.isDirectory(dir)) return
+    val canonical = StructType.fromDDL(
+      "id bigint, int_array array<int>, " +
+        "int_array_array array<array<int>>, int_map map<string,int>, " +
+        "int_map_array array<map<string,int>>, " +
+        "nested_struct struct<a:int, b:array<int>, " +
+        "c:struct<d:array<array<struct<e:int,f:string>>>>, " +
+        "g:map<string,struct<h:struct<i:array<double>>>>>")
+    def load(file: String): DataFrame = {
+      val df = spark.read.parquet(dir.resolve(file).toString)
+      val cols = canonical.fields.map { f =>
+        val src = df.schema.fields
+          .find(_.name.equalsIgnoreCase(f.name)).map(_.name).getOrElse(f.name)
+        org.apache.spark.sql.functions.col(s"`$src`")
+          .cast(f.dataType).as(f.name)
+      }
+      df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
+    }
+    if (java.nio.file.Files.isRegularFile(dir.resolve("nullable.parq")) &&
+        java.nio.file.Files.isRegularFile(dir.resolve("nonnullable.parq")))
+      load("nullable.parq").unionByName(load("nonnullable.parq"))
+        .createOrReplaceTempView("complextypestbl")
   }
 }

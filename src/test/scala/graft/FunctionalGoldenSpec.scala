@@ -36,7 +36,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "sort.test", "string-literals.test", "special-strings.test",
     "subquery-in-constant-lhs.test", "subquery-single-node.test",
     "values.test", "with-clause.test", "single-node-nlj.test",
-    "empty-build-joins.test", "range-constant-propagation.test")
+    "empty-build-joins.test", "range-constant-propagation.test",
+    "nested-types-scanner-basic.test", "nested-types-scanner-maps.test",
+    "nested-types-scanner-position.test",
+    "nested-types-scanner-array-materialization.test",
+    "nested-types-scanner-multiple-materialization.test",
+    "nested-types-with-clause.test")
 
   /** Documented engine deltas, each verified against the reference
     * source — cases where Spark's core semantics differ by design and
@@ -193,9 +198,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1097, s"only $pass golden queries passed (floor 1097)")
+    assert(pass >= 1162, s"only $pass golden queries passed (floor 1162)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
-    assert(errorSkip <= 137, s"$errorSkip error skips (ceiling 137)")
+    assert(errorSkip <= 135, s"$errorSkip error skips (ceiling 135)")
   }
 }

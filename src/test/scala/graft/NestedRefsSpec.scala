@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Impala nested-collection table refs (NestedRefs) — each case's
+  * expected rows come straight from the reference's
+  * `nested-types-scanner-*.test` goldens over the exact
+  * ComplexTypesTbl parquet fixture.
+  */
+class NestedRefsSpec extends SparkSpecBase {
+
+  private def rows(sql: String): Set[Seq[Any]] = {
+    sql1(sql).collect().toSet.map((r: Row) => r.toSeq)
+  }
+
+  private def sql1(sql: String) = {
+    sources.FunctionalTables.register(spark)
+    ImpalaDialect.sql(spark, sql)
+  }
+
+  test("absolute array ref: item + count") {
+    val r = rows("select item from complextypestbl.int_array")
+    assert(r.size <= 10)
+    val all = sql1(
+      "select count(*), count(item) from complextypestbl.int_array").head()
+    assert(all.getLong(0) == 10 && all.getLong(1) == 7)
+  }
+
+  test("relative array ref with pos (scanner-position golden)") {
+    val got = sql1(
+      "select id, pos, item from complextypestbl t, t.int_array")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getInt(2))).toSeq
+    val want = Seq((1L, 0L, 1), (1L, 1L, 2), (1L, 2L, 3),
+      (2L, 0L, null), (2L, 1L, 1), (2L, 2L, 2), (2L, 3L, null),
+      (2L, 4L, 3), (2L, 5L, null), (8L, 0L, -1))
+    assert(got.sortBy(t => (t._1, t._2)) ==
+      want.sortBy(t => (t._1, t._2)).asInstanceOf[Seq[(Long, Long, Any)]])
+  }
+
+  test("multi-step path t.int_array_array.item explodes both levels") {
+    val n = sql1(
+      "select count(*) from complextypestbl t, t.int_array_array.item")
+      .head().getLong(0)
+    assert(n == 15)
+  }
+
+  test("map ref exposes key/value; chained map-value path") {
+    val kv = rows("select key, value from complextypestbl.int_map")
+    assert(kv.contains(Seq("k1", 1)))
+    val chained = sql1(
+      "select key, item from complextypestbl.nested_struct.g, g.value.h.i")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1))).toSeq
+      .sortBy(t => (t._1, String.valueOf(t._2)))
+    assert(chained == Seq(("foo", 1.1), ("foo", 2.2), ("foo", 3.3),
+      ("g1", 2.2), ("g1", null)).asInstanceOf[Seq[(String, Any)]]
+        .sortBy(t => (t._1, String.valueOf(t._2))))
+  }
+
+  test("array-of-struct exposes fields, item.field and alias.pos") {
+    // golden: nested-types-scanner-position.test (d.pos / i.pos block)
+    val got = sql1(
+      "select id, d.pos, i.pos " +
+        "from complextypestbl t, t.nested_struct.c.d, d.item i")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted
+    val want = Seq((1L, 0L, 0L), (1L, 0L, 1L), (1L, 1L, 0L), (2L, 0L, 0L),
+      (2L, 0L, 1L), (2L, 0L, 2L), (2L, 0L, 3L), (2L, 0L, 4L), (2L, 1L, 0L),
+      (2L, 1L, 1L), (7L, 1L, 0L), (8L, 0L, 0L)).sorted
+    assert(got == want)
+    // golden: nested-types-scanner-basic.test inner_array block
+    val es = sql1(
+      "select count(inner_array.item.e) " +
+        "from complextypestbl.nested_struct.c.d.item inner_array")
+      .head().getLong(0)
+    assert(es == 7)
+  }
+
+  test("bare struct-element field names resolve (Impala column exposure)") {
+    val n = sql1(
+      "select count(*) from complextypestbl.nested_struct.c.d.item " +
+        "inner_array where inner_array.item.f = 'bbb'").head().getLong(0)
+    assert(n == 2)
+    val bare = sql1(
+      "select e, f from complextypestbl t, t.nested_struct.c.d.item " +
+        "where e = 10").count()
+    assert(bare == 2)
+  }
+
+  test("plain dotted column refs in SELECT stay untouched") {
+    val r = sql1(
+      "select nested_struct.a from complextypestbl where id = 1").head()
+    assert(r.getInt(0) == 1)
+  }
+
+  test("subquery FROM clauses are rewritten too") {
+    val n = sql1(
+      "select count(*) from (select item from complextypestbl.int_array) v")
+      .head().getLong(0)
+    assert(n == 10)
+  }
+}

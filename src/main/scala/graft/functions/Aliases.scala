@@ -36,6 +36,9 @@ object Aliases {
   private val builders: Map[String, Seq[Expression] => Expression] = Map(
     // ---- conditional (be/src/exprs/conditional-functions.h)
     "nvl" -> (a => call("coalesce", a: _*)),
+    // ---- aggregate name variants (BuiltinsDb.java variance family)
+    "variance_pop" -> (a => call("var_pop", a: _*)),
+    "variance_samp" -> (a => call("var_samp", a: _*)),
     "isnull" -> (a =>
       if (a.length == 1) IsNull(a.head) else call("coalesce", a: _*)),
     "nvl2" -> (a => If(IsNotNull(a(0)), a(1), a(2))),

@@ -38,6 +38,10 @@ object GraftFunctions {
     "dayofyear" -> (a => ImpalaTimeFn(a.head, "dayofyear")),
     "round" -> (a =>
       ImpalaRound(a.head, if (a.length > 1) a(1) else Literal(0))),
+    "regexp_like" -> (a =>
+      if (a.length == 2)
+        org.apache.spark.sql.catalyst.expressions.RLike(a(0), a(1))
+      else ImpalaRegexpLike(a(0), a(1), a(2))),
     "log" -> (a =>
       if (a.length == 2)
         ImpalaLog(Cast(a(0), org.apache.spark.sql.types.DoubleType),

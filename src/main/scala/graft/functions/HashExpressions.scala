@@ -115,14 +115,49 @@ object HashImpls {
   def fnvTs(micros: Long): Long = fnv(timestampBytes(micros))
   def murmurTs(micros: Long): Long = murmur(timestampBytes(micros))
 
+  /** DECIMAL values hash as their fixed-width little-endian unscaled
+    * image — `ColumnType::GetDecimalByteSize(precision)` picks val4 /
+    * val8 / val16 (`anyval-util.h:94-102,156-159`), two's-complement
+    * sign-extended.
+    */
+  def decimalBytes(unscaled: java.math.BigInteger, precision: Int): Array[Byte] = {
+    val width = if (precision <= 9) 4 else if (precision <= 18) 8 else 16
+    val be = unscaled.toByteArray
+    val sign: Byte = if (unscaled.signum() < 0) -1 else 0
+    val out = new Array[Byte](width)
+    var i = 0
+    while (i < width) {
+      val beIdx = be.length - 1 - i
+      out(i) = if (beIdx >= 0) be(beIdx) else sign
+      i += 1
+    }
+    out
+  }
+
+  /** Type-directed byte image per `AnyValUtil` (timestamps as the
+    * 12-byte TimestampValue, decimals fixed-width by precision, other
+    * atomics via [[toBytes]]).
+    */
+  def valueBytes(v: Any, dt: DataType): Array[Byte] = dt match {
+    case TimestampType => timestampBytes(v.asInstanceOf[Long])
+    case d: org.apache.spark.sql.types.DecimalType =>
+      val unscaled = v match {
+        case dec: org.apache.spark.sql.types.Decimal =>
+          dec.toJavaBigDecimal.unscaledValue()
+        case bd: java.math.BigDecimal => bd.unscaledValue()
+        case other => new java.math.BigDecimal(other.toString).unscaledValue()
+      }
+      decimalBytes(unscaled, d.precision)
+    case _ => toBytes(v)
+  }
+
   /** The hash feeding the reference's ndv() HLL registers
     * (`anyval-util.h` Hash64 = MurmurHash2_64 with FNV64_SEED over the
     * value's fixed-width byte image; TimestampVal as the 12-byte
     * TimestampValue).
     */
-  def hllHash(v: Any, isTimestamp: Boolean): Long =
-    murmurSeeded(if (isTimestamp) timestampBytes(v.asInstanceOf[Long])
-                 else toBytes(v), FnvSeed)
+  def hllHash(v: Any, dt: DataType): Long =
+    murmurSeeded(valueBytes(v, dt), FnvSeed)
 }
 
 abstract class HashExpr extends UnaryExpression {

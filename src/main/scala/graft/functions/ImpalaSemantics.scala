@@ -268,3 +268,43 @@ case class ImpalaRound(child: Expression, scale: Expression)
       c: IndexedSeq[Expression]): Expression =
     copy(child = c(0), scale = c(1))
 }
+
+/** `regexp_like(str, pattern[, options])` — Impala's 3-arg form
+  * (`string-functions-ir.cc` RegexpLike; options per re2):
+  * `i` case-insensitive, `m` multi-line `^`/`$`, `n` dot-matches-
+  * newline. Partial (contains) match, like re2 PartialMatch.
+  */
+case class ImpalaRegexpLike(str: Expression, pattern: Expression,
+    opts: Expression) extends TernaryExpression
+    with codegen.CodegenFallback {
+  override def dataType: DataType = BooleanType
+  override def first: Expression = str
+  override def second: Expression = pattern
+  override def third: Expression = opts
+
+  @transient private[this] var cachedKey: (String, String) = _
+  @transient private[this] var cachedPattern: java.util.regex.Pattern = _
+
+  override protected def nullSafeEval(s: Any, p: Any, o: Any): Any = {
+    val ps = p.toString
+    val os = o.toString
+    if (cachedPattern == null || cachedKey != ((ps, os))) {
+      var flags = 0
+      os.foreach {
+        case 'i' => flags |= java.util.regex.Pattern.CASE_INSENSITIVE |
+          java.util.regex.Pattern.UNICODE_CASE
+        case 'm' => flags |= java.util.regex.Pattern.MULTILINE
+        case 'n' => flags |= java.util.regex.Pattern.DOTALL
+        case c => throw new IllegalArgumentException(
+          s"Illegal match parameter $c")
+      }
+      cachedPattern = java.util.regex.Pattern.compile(ps, flags)
+      cachedKey = (ps, os)
+    }
+    cachedPattern.matcher(s.toString).find()
+  }
+
+  override def prettyName: String = "regexp_like"
+  override protected def withNewChildrenInternal(f: Expression,
+      s: Expression, t: Expression): Expression = copy(f, s, t)
+}

@@ -304,7 +304,7 @@ case class PcEstimate(
       val b = HashImpls.timestampBytes(v.asInstanceOf[Long])
       Pc.crcHash(java.util.Arrays.copyOfRange(b, 8, 12),
         Pc.crcHash(java.util.Arrays.copyOf(b, 8), seed))
-    } else Pc.crcHash(HashImpls.toBytes(v), seed)
+    } else Pc.crcHash(HashImpls.valueBytes(v, child.dataType), seed)
 
   override def update(b: Array[Int], row: InternalRow): Array[Int] = {
     val v = child.eval(row)
@@ -365,7 +365,7 @@ case class NdvHll(
   override def update(b: Array[Byte], row: InternalRow): Array[Byte] = {
     val v = child.eval(row)
     if (v != null)
-      Hll.update(b, HashImpls.hllHash(v, child.dataType == TimestampType))
+      Hll.update(b, HashImpls.hllHash(v, child.dataType))
     b
   }
   override def eval(b: Array[Byte]): Any = Hll.estimate(b)
@@ -386,7 +386,7 @@ case class DsHllSketch(
   override def update(b: Array[Byte], row: InternalRow): Array[Byte] = {
     val v = child.eval(row)
     if (v != null)
-      Hll.update(b, HashImpls.hllHash(v, child.dataType == TimestampType))
+      Hll.update(b, HashImpls.hllHash(v, child.dataType))
     b
   }
   override def eval(b: Array[Byte]): Any = b.clone()

@@ -183,12 +183,14 @@ object FunctionalTables {
     * missing trailing fields → NULL.
     */
   private def loadTextSerde(path: java.nio.file.Path, sch: StructType,
-      extra: Seq[Any] = Nil): Seq[Row] = {
+      extra: Seq[Any] = Nil, delim: String = ","): Seq[Row] = {
     val text = new String(java.nio.file.Files.readAllBytes(path),
       java.nio.charset.StandardCharsets.UTF_8)
     val n = sch.fields.length - extra.length
     text.split("\n", -1).toSeq.filter(_.nonEmpty).map { line =>
-      val fields = line.split(",", -1)
+      val fields =
+        if (delim.isEmpty) Array(line)
+        else line.split(java.util.regex.Pattern.quote(delim), -1)
       val vals = (0 until n).map { i =>
         if (i >= fields.length) null
         else convertField(fields(i), sch.fields(i).dataType)
@@ -281,6 +283,69 @@ object FunctionalTables {
         StructType.fromDDL("field string, f2 int"))
       .createOrReplaceTempView("emptytable")
     registerComplexTypesTbl(spark)
+    registerAuxTables(spark)
+  }
+
+  /** Smaller auxiliary fixtures referenced by the golden files:
+    *
+    *   - `decimal_tiny` / `tinyinttable` / `greptiny`: schema-template
+    *     text tables (`functional_schema_template.sql:2092/1425/1247`);
+    *     greptiny keeps whole lines (default Ctrl-A delimiters, data
+    *     contains commas).
+    *   - `semijointbla/b`: the 7-row inline tables
+    *     `tests/query_test/test_join_queries.py:173-193` creates for
+    *     the semi-joins workload.
+    *   - `chars_formats`: `testdata/data/chars-formats.parquet` with
+    *     the DDL's position-mapped CHAR/VARCHAR schema
+    *     (`testdata/bin/load-dependent-tables.sql:76-79`) — CHAR(n)
+    *     pads, VARCHAR(n) truncates, as the reference's ScalarType
+    *     semantics require.
+    */
+  private def registerAuxTables(spark: SparkSession): Unit = {
+    def mk(rows: Seq[Row], sch: StructType, name: String): Unit =
+      spark.createDataFrame(new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+        .createOrReplaceTempView(name)
+
+    val semiSchema = StructType.fromDDL("a int, b int, c int")
+    mk(Seq(Row(1, 1, 1), Row(1, 1, 10), Row(1, 2, 10), Row(1, 3, 10),
+      Row(null, null, 30), Row(2, 4, 30), Row(2, null, 20)),
+      semiSchema, "semijointbla")
+    mk(Seq(Row(1, 1, 1), Row(1, 1, 10), Row(1, 2, 5), Row(1, null, 10),
+      Row(2, 10, null), Row(3, null, null), Row(3, null, 50)),
+      semiSchema, "semijointblb")
+
+    val refRoot = java.nio.file.Paths.get(
+      sys.env.getOrElse("GRAFT_REF_TESTDATA", "/root/reference/testdata"))
+    if (!java.nio.file.Files.isDirectory(refRoot)) return
+
+    val decTiny = refRoot.resolve("data/decimal-tiny.txt")
+    if (java.nio.file.Files.isRegularFile(decTiny)) {
+      val sch = StructType.fromDDL(
+        "c1 decimal(10,4), c2 decimal(15,5), c3 decimal(1,1)")
+      mk(loadTextSerde(decTiny, sch), sch, "decimal_tiny")
+    }
+    val tinyInt = refRoot.resolve("TinyIntTable/data.csv")
+    if (java.nio.file.Files.isRegularFile(tinyInt)) {
+      val sch = StructType.fromDDL("int_col int")
+      mk(loadTextSerde(tinyInt, sch), sch, "tinyinttable")
+    }
+    val grep = refRoot.resolve("hive_benchmark/grepTiny/part-00000")
+    if (java.nio.file.Files.isRegularFile(grep)) {
+      val sch = StructType.fromDDL("field string")
+      mk(loadTextSerde(grep, sch, delim = ""), sch, "greptiny")
+    }
+    val charsPq = refRoot.resolve("data/chars-formats.parquet")
+    if (java.nio.file.Files.isRegularFile(charsPq)) {
+      import org.apache.spark.sql.functions.{col, rpad, substring}
+      val raw = spark.read.parquet(charsPq.toString)
+      val Seq(c1, c2, c3) = raw.columns.take(3).toSeq.map(n => col(s"`$n`"))
+      raw.select(
+          rpad(substring(c1, 1, 5), 5, " ").as("cs"),
+          rpad(substring(c2, 1, 140), 140, " ").as("cl"),
+          substring(c3, 1, 32).as("vc"))
+        .createOrReplaceTempView("chars_formats")
+    }
   }
 
   /** `functional_parquet.complextypestbl` — registered straight from

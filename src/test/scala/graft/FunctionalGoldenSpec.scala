@@ -178,6 +178,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
                 val key = "error: " + Option(e.getMessage).getOrElse("?")
                   .linesIterator.next().take(60)
                 skipReasons(key) = skipReasons.getOrElse(key, 0) + 1
+                if (sys.env.contains("GRAFT_GOLDEN_VERBOSE"))
+                  info(s"ERRSKIP $f[$i] ${key}\n  q: " +
+                    sql.replaceAll("\\s+", " ").take(200))
             }
         }
       }
@@ -198,9 +201,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1162, s"only $pass golden queries passed (floor 1162)")
+    assert(pass >= 1203, s"only $pass golden queries passed (floor 1203)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
-    assert(errorSkip <= 135, s"$errorSkip error skips (ceiling 135)")
+    assert(errorSkip <= 94, s"$errorSkip error skips (ceiling 94)")
   }
 }

@@ -113,16 +113,16 @@ class FunctionsSpec extends SparkSpecBase {
 
   test("HLL estimate within ~5% on 10k distinct values") {
     val reg = Hll.create()
-    (0 until 10000).foreach(i => Hll.update(reg, HashImpls.hllHash(i.toLong, false)))
+    (0 until 10000).foreach(i => Hll.update(reg, HashImpls.hllHash(i.toLong, org.apache.spark.sql.types.LongType)))
     val est = Hll.estimate(reg)
     assert(math.abs(est - 10000) < 500, s"estimate $est")
   }
 
   test("HLL merge == union of streams") {
     val a = Hll.create(); val b = Hll.create(); val c = Hll.create()
-    (0 until 5000).foreach(i => Hll.update(a, HashImpls.hllHash(i.toLong, false)))
-    (2500 until 7500).foreach(i => Hll.update(b, HashImpls.hllHash(i.toLong, false)))
-    (0 until 7500).foreach(i => Hll.update(c, HashImpls.hllHash(i.toLong, false)))
+    (0 until 5000).foreach(i => Hll.update(a, HashImpls.hllHash(i.toLong, org.apache.spark.sql.types.LongType)))
+    (2500 until 7500).foreach(i => Hll.update(b, HashImpls.hllHash(i.toLong, org.apache.spark.sql.types.LongType)))
+    (0 until 7500).foreach(i => Hll.update(c, HashImpls.hllHash(i.toLong, org.apache.spark.sql.types.LongType)))
     Hll.merge(a, b)
     assert(Hll.estimate(a) == Hll.estimate(c)) // identical registers
   }

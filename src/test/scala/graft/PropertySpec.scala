@@ -95,7 +95,7 @@ class PropertySpec extends SparkSpecBase {
   test("HLL estimate error bounded over random cardinalities") {
     forAllSeeded(8)(r => 100 + r.nextInt(19900)) { n =>
       val reg = graft.functions.Hll.create()
-      (0 until n).foreach(i => graft.functions.Hll.update(reg, graft.functions.HashImpls.hllHash(i.toLong, false)))
+      (0 until n).foreach(i => graft.functions.Hll.update(reg, graft.functions.HashImpls.hllHash(i.toLong, org.apache.spark.sql.types.LongType)))
       val est = graft.functions.Hll.estimate(reg)
       // p=10 → σ ≈ 3.25%; allow 5σ
       assert(math.abs(est - n).toDouble / n < 0.17, s"n=$n est=$est")

@@ -805,7 +805,7 @@ object ImpalaDialect {
                 rewriteFunctionForms(
                   rewriteCastFormat(rewriteRightSemiAnti(rewriteHints(text))))))))))
 
-  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, Literal, RLike, TimestampAddInterval, FromUTCTimestamp, ToUTCTimestamp, MicrosToTimestamp, SecondsToTimestamp, MillisToTimestamp, TimestampAddYMInterval, DatetimeSub}
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, Literal, RLike, TimestampAddInterval, FromUTCTimestamp, ToUTCTimestamp, MicrosToTimestamp, SecondsToTimestamp, MillisToTimestamp, TimestampAddYMInterval, DatetimeSub, EvalMode, Divide, Remainder, IntegralDivide}
   import org.apache.spark.sql.types.{DoubleType, FloatType, StringType, TimestampType}
   import graft.functions.{ImpalaTsValid, ImpalaFloatToString}
 
@@ -827,16 +827,32 @@ object ImpalaDialect {
     *     (`cast-functions-ir.cc`; Spark prints `1.0`/`1.0E7`)
     */
   private def impalaExpr: PartialFunction[Expression, Expression] = {
-    case c @ Cast(child, TimestampType, _, _) if child.resolved &&
+    case c @ Cast(child, TimestampType, tz, EvalMode.ANSI) if child.resolved &&
         child.dataType.isInstanceOf[StringType] =>
+      // Impala returns NULL for unparseable timestamp strings
+      // (`timestamp-parse-util.cc` — no error path in the cast)
       If(RLike(child, timeOnlyRe),
-        Literal.create(null, TimestampType), ImpalaTsValid(c))
+        Literal.create(null, TimestampType),
+        ImpalaTsValid(Cast(child, TimestampType, tz, EvalMode.TRY)))
     case c @ Cast(child, TimestampType, _, _) if child.resolved &&
         child.dataType != TimestampType =>
       ImpalaTsValid(c)
     case c @ Cast(child, StringType, _, _) if child.resolved &&
         (child.dataType == DoubleType || child.dataType == FloatType) =>
       ImpalaFloatToString(child)
+    // Impala's casts and arithmetic never raise: unparseable strings,
+    // division/modulo by zero and numeric overflow all yield NULL
+    // (`be/src/util/string-parser.h` PARSE_FAILURE → NULL,
+    // `operators.cc` — C++ has no SQLSTATE 22012). Spark's TRY eval
+    // mode is the exact analog of that contract.
+    case Cast(child, dt, tz, EvalMode.ANSI) if child.resolved &&
+        child.dataType.isInstanceOf[StringType] &&
+        (dt.isInstanceOf[org.apache.spark.sql.types.NumericType] || dt == org.apache.spark.sql.types.DateType) =>
+      Cast(child, dt, tz, EvalMode.TRY)
+    case Divide(l, r, EvalMode.ANSI) => Divide(l, r, EvalMode.TRY)
+    case Remainder(l, r, EvalMode.ANSI) => Remainder(l, r, EvalMode.TRY)
+    case IntegralDivide(l, r, EvalMode.ANSI) =>
+      IntegralDivide(l, r, EvalMode.TRY)
     case e: TimestampAddInterval => ImpalaTsValid(e)
     case e: org.apache.spark.sql.catalyst.expressions.TimestampAdd =>
       ImpalaTsValid(e)

@@ -228,15 +228,19 @@ case class ImpalaTimeFn(child: Expression, fn: String)
     extends Expression with RuntimeReplaceable {
   override lazy val replacement: Expression = {
     // a RuntimeReplaceable replacement is never visited by implicit
-    // type coercion — every cast must be explicit
+    // type coercion (every cast must be explicit) NOR by
+    // ResolveTimeZone — casts that need a zone must carry it, or the
+    // replacement stays unresolved and analysis dies with
+    // INTERNAL_ERROR "Cannot resolve the runtime replaceable expr"
+    val tz = Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     val ts =
       if (child.dataType.isInstanceOf[StringType])
-        ImpalaTsValid(Cast(child, TimestampType))
+        ImpalaTsValid(Cast(child, TimestampType, tz))
       else child
     def asDate =
-      if (ts.dataType == DateType) ts else Cast(ts, DateType)
+      if (ts.dataType == DateType) ts else Cast(ts, DateType, tz)
     def asTs =
-      if (ts.dataType == TimestampType) ts else Cast(ts, TimestampType)
+      if (ts.dataType == TimestampType) ts else Cast(ts, TimestampType, tz)
     fn match {
       case "year" => Year(asDate)
       case "month" => Month(asDate)

@@ -69,7 +69,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     ("joins.test", 52) -> "NaN join key (Spark NaN semantics)",
     ("joins.test", 53) -> "NaN <=> join key (Spark NaN semantics)",
     ("aggregation.test", 104) -> "NaN sort position (Impala first ASC, Spark last)",
-    ("subquery.test", 51) -> "IMPALA-1348 correlated NOT IN in outer-join ON (Spark gives ANSI answer)")
+    ("subquery.test", 51) -> "IMPALA-1348 correlated NOT IN in outer-join ON (Spark gives ANSI answer)",
+    ("exprs.test", 297) -> "|| operator: Impala parses it at OR precedence and picks OR/concat by operand type (sql-parser.cup KW_OR/OROR); Spark's || is always concat and binds tighter than =")
 
   private val dbPrefix = """\bfunctional(?:_[a-z0-9]+)*\.""".r
 
@@ -201,9 +202,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1203, s"only $pass golden queries passed (floor 1203)")
+    assert(pass >= 1216, s"only $pass golden queries passed (floor 1216)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
-    assert(errorSkip <= 94, s"$errorSkip error skips (ceiling 94)")
+    assert(errorSkip <= 80, s"$errorSkip error skips (ceiling 80)")
   }
 }

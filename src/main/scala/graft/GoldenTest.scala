@@ -163,6 +163,10 @@ object GoldenResult {
   private def num(s: String): Option[Double] =
     if (s.equalsIgnoreCase("nan") || s.equalsIgnoreCase("-nan"))
       Some(Double.NaN)
+    else if (s.equalsIgnoreCase("inf") || s.equalsIgnoreCase("infinity"))
+      Some(Double.PositiveInfinity)
+    else if (s.equalsIgnoreCase("-inf") || s.equalsIgnoreCase("-infinity"))
+      Some(Double.NegativeInfinity)
     else s.toDoubleOption
 
   private def eqCol(exp: String, act: String, tpe: String): Boolean = {

@@ -183,20 +183,55 @@ object FunctionalTables {
     * missing trailing fields → NULL.
     */
   private def loadTextSerde(path: java.nio.file.Path, sch: StructType,
-      extra: Seq[Any] = Nil, delim: String = ","): Seq[Row] = {
+      extra: Seq[Any] = Nil, delim: String = ",",
+      escaped: Boolean = false): Seq[Row] = {
     val text = new String(java.nio.file.Files.readAllBytes(path),
       java.nio.charset.StandardCharsets.UTF_8)
     val n = sch.fields.length - extra.length
-    text.split("\n", -1).toSeq.filter(_.nonEmpty).map { line =>
+    // Hadoop LineRecordReader: records split on LF, CR or CRLF;
+    // interior empty lines are records, a trailing separator is not
+    val split = text.split("\r\n|\r|\n", -1)
+    val lines =
+      (if (split.nonEmpty && split.last.isEmpty) split.init else split).toSeq
+    lines.map { line =>
       val fields =
         if (delim.isEmpty) Array(line)
         else line.split(java.util.regex.Pattern.quote(delim), -1)
       val vals = (0 until n).map { i =>
         if (i >= fields.length) null
-        else convertField(fields(i), sch.fields(i).dataType)
+        else {
+          val raw = fields(i)
+          if (raw == "\\N") null
+          else convertField(if (escaped) unescape(raw) else raw,
+            sch.fields(i).dataType)
+        }
       }
       Row.fromSeq(vals ++ extra)
     }
+  }
+
+  /** LazySimpleSerDe escape processing: `\x` → `x` for any byte x. */
+  private def unescape(s: String): String = {
+    if (s.indexOf('\\') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) { sb.append(s.charAt(i + 1)); i += 2 }
+      else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Impala's text scanner saturates out-of-range integers (strtol
+    * semantics, `be/src/util/string-parser.h` StringToIntInternal) —
+    * unlike Hive's null-on-overflow.
+    */
+  private def clampedIntegral(raw: String, min: Long, max: Long): Any = {
+    val bi = new java.math.BigInteger(raw.trim)
+    if (bi.compareTo(java.math.BigInteger.valueOf(max)) > 0) max
+    else if (bi.compareTo(java.math.BigInteger.valueOf(min)) < 0) min
+    else bi.longValue()
   }
 
   private val dateRe = """(\d{1,4})-(\d{1,2})-(\d{1,2})""".r
@@ -205,10 +240,18 @@ object FunctionalTables {
     if (raw == "\\N") return null
     try t match {
       case StringType => raw
-      case IntegerType => raw.trim.toInt
-      case LongType => raw.trim.toLong
-      case ShortType => raw.trim.toShort
-      case ByteType => raw.trim.toByte
+      case IntegerType =>
+        clampedIntegral(raw, Int.MinValue, Int.MaxValue)
+          .asInstanceOf[Long].toInt
+      case LongType =>
+        clampedIntegral(raw, Long.MinValue, Long.MaxValue)
+          .asInstanceOf[Long]
+      case ShortType =>
+        clampedIntegral(raw, Short.MinValue, Short.MaxValue)
+          .asInstanceOf[Long].toShort
+      case ByteType =>
+        clampedIntegral(raw, Byte.MinValue, Byte.MaxValue)
+          .asInstanceOf[Long].toByte
       case DoubleType => raw.trim.toDouble
       case FloatType => raw.trim.toFloat
       case BooleanType => raw.trim.toLowerCase match {
@@ -217,8 +260,10 @@ object FunctionalTables {
         case _ => null
       }
       case d: DecimalType =>
-        new java.math.BigDecimal(raw.trim)
+        // LazySimpleSerDe nulls out-of-range values rather than erroring
+        val bd = new java.math.BigDecimal(raw.trim)
           .setScale(d.scale, java.math.RoundingMode.HALF_UP)
+        if (bd.precision > d.precision) null else bd
       case DateType => raw.trim match {
         case dateRe(y, m, dd) =>
           java.sql.Date.valueOf(java.time.LocalDate.of(y.toInt, m.toInt, dd.toInt))
@@ -346,6 +391,45 @@ object FunctionalTables {
           substring(c3, 1, 32).as("vc"))
         .createOrReplaceTempView("chars_formats")
     }
+    // testtbl: declared, never loaded (empty.test probes it empty)
+    mk(Nil, StructType.fromDDL("id bigint, name string, zip int"), "testtbl")
+    // overflow: boundary-value text fixture (overflow.txt)
+    val ovf = refRoot.resolve("data/overflow.txt")
+    if (java.nio.file.Files.isRegularFile(ovf)) {
+      val sch = StructType.fromDDL(
+        "tinyint_col tinyint, smallint_col smallint, int_col int, " +
+          "bigint_col bigint, float_col float, double_col double, " +
+          "decimal0_col decimal(13,4), decimal1_col decimal(38,0), " +
+          "decimal2_col decimal(38,38)")
+      mk(loadTextSerde(ovf, sch, escaped = true), sch, "overflow")
+    }
+    // tblwithraggedcolumns: short rows null-fill, extra fields drop
+    val ragged = refRoot.resolve("TblWithRaggedColumns/data.csv")
+    if (java.nio.file.Files.isRegularFile(ragged)) {
+      val sch = StructType.fromDDL("str_col string, int_col int")
+      mk(loadTextSerde(ragged, sch, escaped = true), sch,
+        "tblwithraggedcolumns")
+    }
+    // nullescapedtable: the escaped-serde INSERT...SELECT roundtrip of
+    // nulltable is content-identical (null_data.test pins both)
+    if (spark.catalog.tableExists("nulltable"))
+      spark.table("nulltable").createOrReplaceTempView("nullescapedtable")
+    // views + derived tables from the schema template
+    spark.table("alltypes").createOrReplaceTempView("alltypes_view")
+    spark.sql(
+      """SELECT COUNT(a.bigint_col) AS abc, b.string_col AS xyz
+        |FROM alltypesagg a INNER JOIN alltypestiny b ON a.id = b.id
+        |WHERE a.bigint_col < 50
+        |GROUP BY b.string_col HAVING COUNT(a.bigint_col) > 1
+        |ORDER BY b.string_col LIMIT 100""".stripMargin)
+      .createOrReplaceTempView("complex_view")
+    spark.sql(
+      """SELECT id, bool_col, tinyint_col, smallint_col, int_col,
+        |  bigint_col, float_col, double_col, string_col, timestamp_col,
+        |  CASE WHEN id % 2 = 0 THEN CAST(timestamp_col AS DATE)
+        |    ELSE date_add(CAST(timestamp_col AS DATE), 5) END AS date_col
+        |FROM alltypes WHERE id < 500""".stripMargin)
+      .createOrReplaceTempView("alltypes_date_partition")
   }
 
   /** `functional_parquet.complextypestbl` — registered straight from

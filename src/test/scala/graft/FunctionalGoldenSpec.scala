@@ -72,7 +72,35 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     ("subquery.test", 51) -> "IMPALA-1348 correlated NOT IN in outer-join ON (Spark gives ANSI answer)",
     ("exprs.test", 297) -> "|| operator: Impala parses it at OR precedence and picks OR/concat by operand type (sql-parser.cup KW_OR/OROR); Spark's || is always concat and binds tighter than =")
 
-  private val dbPrefix = """\bfunctional(?:_[a-z0-9]+)*\.""".r
+  private val dbPrefix = """`?\bfunctional(?:_[a-z0-9]+)*`?\.""".r
+
+  private val createViewRe =
+    """(?is)^\s*create\s+view\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s+as\s+(.*)$""".r
+
+  /** Best-effort execution of a setup block (create/drop/insert/
+    * truncate), mirroring `impala_test_suite.py`'s sequential statement
+    * execution so later SELECT blocks see the session state. CREATE
+    * VIEW becomes a temp view (the base tables are temp views, which a
+    * permanent Spark view may not reference); failures are swallowed —
+    * the dependent SELECTs then surface as error skips exactly as
+    * before.
+    */
+  private def runSetup(spark: org.apache.spark.sql.SparkSession,
+      block: String): Boolean = {
+    val stmts = block.split(";").map(_.trim).filter(_.nonEmpty)
+    val setupish = stmts.nonEmpty && stmts.forall(s =>
+      """(?is)^(create|drop|insert|truncate)\b.*""".r.matches(s))
+    if (!setupish) return false
+    stmts.foreach { raw =>
+      val s = dbPrefix.replaceAllIn(raw, "")
+      try s match {
+        case createViewRe(name, body) =>
+          ImpalaDialect.sql(spark, body).createOrReplaceTempView(name)
+        case _ => spark.sql(s).collect()
+      } catch { case _: Throwable => }
+    }
+    true
+  }
 
   private def eligible(c: GoldenTest.Case): Option[String] = {
     val q = c.query.toLowerCase
@@ -151,7 +179,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
             documentedDeltas.get((f, i)).map("documented delta: " + _)) match {
           case Some(reason) =>
             skip += 1
-            skipReasons(reason) = skipReasons.getOrElse(reason, 0) + 1
+            val effective =
+              if (reason == "non-select" &&
+                  runSetup(spark, c.query.stripSuffix(";")))
+                "setup block executed"
+              else reason
+            skipReasons(effective) = skipReasons.getOrElse(effective, 0) + 1
           case None =>
             val sql = dbPrefix.replaceAllIn(c.query.stripSuffix(";"), "")
             try {
@@ -202,9 +235,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1216, s"only $pass golden queries passed (floor 1216)")
+    assert(pass >= 1230, s"only $pass golden queries passed (floor 1230)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
-    assert(errorSkip <= 80, s"$errorSkip error skips (ceiling 80)")
+    assert(errorSkip <= 66, s"$errorSkip error skips (ceiling 66)")
   }
 }

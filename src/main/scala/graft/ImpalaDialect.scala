@@ -827,13 +827,14 @@ object ImpalaDialect {
     *     (`cast-functions-ir.cc`; Spark prints `1.0`/`1.0E7`)
     */
   private def impalaExpr: PartialFunction[Expression, Expression] = {
-    case c @ Cast(child, TimestampType, tz, EvalMode.ANSI) if child.resolved &&
-        child.dataType.isInstanceOf[StringType] =>
+    case c: Cast if c.dataType == TimestampType &&
+        c.evalMode == EvalMode.ANSI && c.child.resolved &&
+        c.child.dataType.isInstanceOf[StringType] =>
       // Impala returns NULL for unparseable timestamp strings
       // (`timestamp-parse-util.cc` — no error path in the cast)
-      If(RLike(child, timeOnlyRe),
+      If(RLike(c.child, timeOnlyRe),
         Literal.create(null, TimestampType),
-        ImpalaTsValid(Cast(child, TimestampType, tz, EvalMode.TRY)))
+        ImpalaTsValid(c.copy(evalMode = EvalMode.TRY)))
     case c @ Cast(child, TimestampType, _, _) if child.resolved &&
         child.dataType != TimestampType =>
       ImpalaTsValid(c)
@@ -845,14 +846,20 @@ object ImpalaDialect {
     // (`be/src/util/string-parser.h` PARSE_FAILURE → NULL,
     // `operators.cc` — C++ has no SQLSTATE 22012). Spark's TRY eval
     // mode is the exact analog of that contract.
-    case Cast(child, dt, tz, EvalMode.ANSI) if child.resolved &&
-        child.dataType.isInstanceOf[StringType] &&
-        (dt.isInstanceOf[org.apache.spark.sql.types.NumericType] || dt == org.apache.spark.sql.types.DateType) =>
-      Cast(child, dt, tz, EvalMode.TRY)
-    case Divide(l, r, EvalMode.ANSI) => Divide(l, r, EvalMode.TRY)
-    case Remainder(l, r, EvalMode.ANSI) => Remainder(l, r, EvalMode.TRY)
-    case IntegralDivide(l, r, EvalMode.ANSI) =>
-      IntegralDivide(l, r, EvalMode.TRY)
+    case c: Cast if c.evalMode == EvalMode.ANSI && c.child.resolved &&
+        c.child.dataType.isInstanceOf[StringType] &&
+        (c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          c.dataType == org.apache.spark.sql.types.DateType) =>
+      c.copy(evalMode = EvalMode.TRY)
+    case d: Divide if d.resolved && d.dataType == DoubleType =>
+      graft.functions.ImpalaDoubleDiv(d.left, d.right)
+    case d: Divide if d.evalMode == EvalMode.ANSI =>
+      Divide(d.left, d.right, d.evalContext.copy(evalMode = EvalMode.TRY))
+    case r: Remainder if r.evalMode == EvalMode.ANSI =>
+      Remainder(r.left, r.right, r.evalContext.copy(evalMode = EvalMode.TRY))
+    case r: IntegralDivide if r.evalMode == EvalMode.ANSI =>
+      IntegralDivide(r.left, r.right,
+        r.evalContext.copy(evalMode = EvalMode.TRY))
     case e: TimestampAddInterval => ImpalaTsValid(e)
     case e: org.apache.spark.sql.catalyst.expressions.TimestampAdd =>
       ImpalaTsValid(e)

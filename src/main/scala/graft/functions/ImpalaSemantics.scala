@@ -312,3 +312,21 @@ case class ImpalaRegexpLike(str: Expression, pattern: Expression,
   override protected def withNewChildrenInternal(f: Expression,
       s: Expression, t: Expression): Expression = copy(f, s, t)
 }
+
+/** Impala's `/` on FLOAT/DOUBLE is raw C++ division — x/0 is ±inf,
+  * 0/0 is nan (`be/src/exprs/operators-ir.cc` BINARY_OP_FN for
+  * fdiv; no zero guard, unlike `%` which returns NULL). Spark's
+  * Divide nulls (legacy/try) or raises (ansi) on a zero divisor, so
+  * the dialect swaps in this expression for double-typed division.
+  */
+case class ImpalaDoubleDiv(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    l.asInstanceOf[Double] / r.asInstanceOf[Double]
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) => s"($l / $r)")
+  override def prettyName: String = "divide"
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(l, r)
+}

@@ -70,7 +70,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     ("joins.test", 53) -> "NaN <=> join key (Spark NaN semantics)",
     ("aggregation.test", 104) -> "NaN sort position (Impala first ASC, Spark last)",
     ("subquery.test", 51) -> "IMPALA-1348 correlated NOT IN in outer-join ON (Spark gives ANSI answer)",
-    ("exprs.test", 297) -> "|| operator: Impala parses it at OR precedence and picks OR/concat by operand type (sql-parser.cup KW_OR/OROR); Spark's || is always concat and binds tighter than =")
+    ("exprs.test", 297) -> "|| operator: Impala parses it at OR precedence and picks OR/concat by operand type (sql-parser.cup KW_OR/OROR); Spark's || is always concat and binds tighter than =",
+    ("joins.test", 50) -> "NaN = NaN join predicate via inf + -inf (Spark NaN semantics)",
+    ("joins.test", 51) -> "NaN = NaN join predicate via sqrt(-1) (Spark NaN semantics)",
+    ("top-n.test", 29) -> "NaN sort position (Impala first ASC/last DESC; Spark NaN greatest)",
+    ("top-n.test", 30) -> "NaN sort position (Impala first ASC/last DESC; Spark NaN greatest)",
+    ("analytic-fns.test", 43) -> "NaN as PARTITION BY key (Impala NaN != NaN: singleton partitions; Spark groups all NaNs)")
 
   private val dbPrefix = """`?\bfunctional(?:_[a-z0-9]+)*`?\.""".r
 
@@ -235,9 +240,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1230, s"only $pass golden queries passed (floor 1230)")
+    assert(pass >= 1231, s"only $pass golden queries passed (floor 1231)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
-    assert(errorSkip <= 66, s"$errorSkip error skips (ceiling 66)")
+    assert(errorSkip <= 60, s"$errorSkip error skips (ceiling 60)")
   }
 }

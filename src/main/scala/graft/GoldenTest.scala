@@ -45,20 +45,29 @@ object GoldenTest {
         case sectionRe(name, arg) =>
           cur = name; curArg = arg.stripPrefix(":").trim
           order += ((name, curArg))
-          blocks.getOrElseUpdate(cur, Vector.empty)
+          // the reference parser stores subsections in a dict
+          // (`test_file_parser.py parsed_sections[name] = str`), so a
+          // DUPLICATE section header inside one ==== block OVERWRITES
+          // the earlier one — several files rely on this by omitting
+          // the ==== (only the last QUERY of such a block ever ran in
+          // the reference's CI; the dead earlier text was never
+          // validated and can be wrong, e.g. intersect.test's
+          // copy-pasted id/some_nulls golden)
+          blocks(cur) = Vector.empty
         case l if cur != null =>
           blocks(cur) = blocks(cur) :+ l
         case _ =>
       }
       if (!blocks.contains("QUERY")) None
       else {
-        val queryArg = order.collectFirst { case ("QUERY", a) => a }.getOrElse("")
+        val queryArg = order.reverse.collectFirst {
+          case ("QUERY", a) => a }.getOrElse("")
         val query = blocks("QUERY")
           .filterNot(_.trim.startsWith("#")).mkString("\n").trim
         val results = blocks.getOrElse("RESULTS", Vector.empty)
           .filter(_.trim.nonEmpty)
         val resultsTag =
-          order.collectFirst { case ("RESULTS", a) => a }.getOrElse("")
+          order.reverse.collectFirst { case ("RESULTS", a) => a }.getOrElse("")
         val types = blocks.getOrElse("TYPES", Vector.empty)
           .headOption.map(_.split(",").toSeq
             .map(_.trim.toLowerCase).filter(_.nonEmpty))

@@ -437,7 +437,8 @@ object ImpalaDialect {
     out.toSeq
   }
 
-  private val itemAliasRe = """(?is)^(.+?)\s+(?:as\s+)?([A-Za-z_]\w*)\s*$""".r
+  private val itemAliasRe =
+    """(?is)^(.+?)\s+(?:as\s+)?([A-Za-z_]\w*|`[^`]+`)\s*$""".r
 
   private val aliasGuard = Set("null", "true", "false", "and", "or", "not",
     "then", "else", "end", "as", "when", "in", "is", "between", "like",
@@ -570,9 +571,14 @@ object ImpalaDialect {
         case _ => (item, None)
       }
     }
-    if (!parsed.exists(_._2.isDefined)) return None
-    val names = parsed.zipWithIndex
-      .map { case ((_, a), i) => a.getOrElse(s"c$i") }
+    // Impala names every VALUES column: by its alias when given, else
+    // by the first-row expression's text (`NullLiteral`/`toSql` — the
+    // goldens reference `0` and `cast('-inf' as double)` literally).
+    // Auto-naming is safe here: the result compare is positional, and
+    // Spark's default col1.. names are never referenced.
+    def exprName(text: String): String =
+      "`" + text.trim.replace("`", "``") + "`"
+    val names = parsed.map { case (txt, a) => a.getOrElse(exprName(txt)) }
     val newFirst = parsed.map(_._1).mkString("(", ", ", ")")
     val newRows = (newFirst +: rows.tail.map(_.trim)).mkString(", ")
     // two patches at independent offsets (cols left of rows for the

@@ -40,8 +40,18 @@ object GraftFunctions {
       ImpalaRound(a.head, if (a.length > 1) a(1) else Literal(0))),
     "regexp_like" -> (a =>
       if (a.length == 2)
-        org.apache.spark.sql.catalyst.expressions.RLike(a(0), a(1))
-      else ImpalaRegexpLike(a(0), a(1), a(2))),
+        org.apache.spark.sql.catalyst.expressions.RLike(a(0),
+          ImpalaPosixPattern(a(1)))
+      else ImpalaRegexpLike(a(0), ImpalaPosixPattern(a(1)), a(2))),
+    // Impala's regexp functions run on RE2 — POSIX bracket classes
+    // translate to Java \p{...} at eval time
+    "regexp_extract" -> (a =>
+      org.apache.spark.sql.catalyst.expressions.RegExpExtract(a(0),
+        ImpalaPosixPattern(a(1)),
+        if (a.length > 2) a(2) else Literal(1))),
+    "regexp_replace" -> (a =>
+      org.apache.spark.sql.catalyst.expressions.RegExpReplace(a(0),
+        ImpalaPosixPattern(a(1)), a(2))),
     "log" -> (a =>
       if (a.length == 2)
         ImpalaLog(Cast(a(0), org.apache.spark.sql.types.DoubleType),

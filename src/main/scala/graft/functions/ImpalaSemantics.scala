@@ -297,6 +297,8 @@ case class ImpalaRegexpLike(str: Expression, pattern: Expression,
       os.foreach {
         case 'i' => flags |= java.util.regex.Pattern.CASE_INSENSITIVE |
           java.util.regex.Pattern.UNICODE_CASE
+        case 'c' => flags &= ~(java.util.regex.Pattern.CASE_INSENSITIVE |
+          java.util.regex.Pattern.UNICODE_CASE) // case-sensitive (default)
         case 'm' => flags |= java.util.regex.Pattern.MULTILINE
         case 'n' => flags |= java.util.regex.Pattern.DOTALL
         case c => throw new IllegalArgumentException(
@@ -329,4 +331,42 @@ case class ImpalaDoubleDiv(left: Expression, right: Expression)
   override def prettyName: String = "divide"
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(l, r)
+}
+
+/** Translate RE2 POSIX bracket classes (`[[:alpha:]]` …) to Java's
+  * `\p{...}` — Impala's regexp functions run on RE2, which supports
+  * them; `java.util.regex` does not (`string-functions.cc` re2
+  * options). Applied to the pattern argument of the regexp functions
+  * at evaluation time (patterns are often column-valued in the
+  * goldens, so a parse-time literal rewrite is not enough).
+  */
+case class ImpalaPosixPattern(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override protected def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      ImpalaPosixPattern.translate(v.toString))
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.ImpalaPosixPattern.translate($c.toString()))")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+  override def prettyName: String = "impala_posix_pattern"
+}
+
+object ImpalaPosixPattern {
+  private val classes = Map(
+    "alpha" -> "\\p{Alpha}", "digit" -> "\\p{Digit}",
+    "alnum" -> "\\p{Alnum}", "upper" -> "\\p{Upper}",
+    "lower" -> "\\p{Lower}", "space" -> "\\p{Space}",
+    "punct" -> "\\p{Punct}", "xdigit" -> "\\p{XDigit}",
+    "cntrl" -> "\\p{Cntrl}", "graph" -> "\\p{Graph}",
+    "print" -> "\\p{Print}", "blank" -> "\\p{Blank}")
+  def translate(p: String): String = {
+    if (!p.contains("[:")) return p
+    var out = p
+    classes.foreach { case (name, repl) =>
+      out = out.replace(s"[:$name:]", repl)
+    }
+    out
+  }
 }

@@ -75,7 +75,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     ("joins.test", 51) -> "NaN = NaN join predicate via sqrt(-1) (Spark NaN semantics)",
     ("top-n.test", 29) -> "NaN sort position (Impala first ASC/last DESC; Spark NaN greatest)",
     ("top-n.test", 30) -> "NaN sort position (Impala first ASC/last DESC; Spark NaN greatest)",
-    ("analytic-fns.test", 43) -> "NaN as PARTITION BY key (Impala NaN != NaN: singleton partitions; Spark groups all NaNs)")
+    ("analytic-fns.test", 43) -> "NaN as PARTITION BY key (Impala NaN != NaN: singleton partitions; Spark groups all NaNs)",
+    ("aggregation.test", 99) -> "NaN in min/max (Impala's C++ comparison fold poisons on NaN; Spark orders NaN greatest)")
 
   private val dbPrefix = """`?\bfunctional(?:_[a-z0-9]+)*`?\.""".r
 
@@ -240,9 +241,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1231, s"only $pass golden queries passed (floor 1231)")
+    assert(pass >= 1244, s"only $pass golden queries passed (floor 1244)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
-    assert(errorSkip <= 60, s"$errorSkip error skips (ceiling 60)")
+    assert(errorSkip <= 49, s"$errorSkip error skips (ceiling 49)")
   }
 }

@@ -388,6 +388,21 @@ object ImpalaDialect {
     */
   private val realAliasRe = """(?i)\bAS\s+REAL\b""".r
 
+  /** Impala LIMIT/OFFSET take int64 (`sql-parser.cup` limit_offset);
+    * Spark's are int32 expressions. A literal beyond Int.MaxValue is
+    * clamped — indistinguishable in effect, since no result set reaches
+    * 2^31 rows through a collect-side LIMIT (top-n.test's
+    * LIMIT/OFFSET 9223372036854775807 golden).
+    */
+  private val hugeLimitRe = """(?i)\b(LIMIT|OFFSET)\s+(\d{10,19})\b""".r
+
+  /** An OFFSET beyond Int.MaxValue skips more rows than any result set
+    * can hold — the whole LIMIT/OFFSET tail collapses to `LIMIT 0`
+    * (clamping alone won't do: Spark checks limit+offset ≤ Int.MaxValue).
+    */
+  private val hugeOffsetRe =
+    """(?i)\b(?:LIMIT\s+\d+\s+)?OFFSET\s+(\d{10,19})\b""".r
+
   /** Regex replacement that skips matches starting inside a string
     * literal or comment (depthMap recomputed per pass — replacement
     * positions refer to this pass's input). Keeps text-level rewrites
@@ -410,7 +425,12 @@ object ImpalaDialect {
     val c = replaceUnquoted(b, factorialRe)(m => s"factorial(${m.group(1)})")
     val e = replaceUnquoted(c, columnIntervalRe)(m =>
       s"(${m.group(1)} * INTERVAL 1 ${m.group(2)})")
-    replaceUnquoted(e, insertColsPartitionRe)(m =>
+    val f = replaceUnquoted(e, hugeOffsetRe)(m =>
+      if (BigInt(m.group(1)) > Int.MaxValue) "LIMIT 0" else m.matched)
+    val g = replaceUnquoted(f, hugeLimitRe)(m =>
+      if (BigInt(m.group(2)) > Int.MaxValue) s"${m.group(1)} ${Int.MaxValue}"
+      else m.matched)
+    replaceUnquoted(g, insertColsPartitionRe)(m =>
       s"${m.group(1)} PARTITION (${m.group(3)}) (${m.group(2)})")
   }
 
@@ -811,7 +831,7 @@ object ImpalaDialect {
                 rewriteFunctionForms(
                   rewriteCastFormat(rewriteRightSemiAnti(rewriteHints(text))))))))))
 
-  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, Literal, RLike, TimestampAddInterval, FromUTCTimestamp, ToUTCTimestamp, MicrosToTimestamp, SecondsToTimestamp, MillisToTimestamp, TimestampAddYMInterval, DatetimeSub, EvalMode, Divide, Remainder, IntegralDivide}
+  import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, Literal, RLike, TimestampAddInterval, FromUTCTimestamp, ToUTCTimestamp, MicrosToTimestamp, SecondsToTimestamp, MillisToTimestamp, TimestampAddYMInterval, DatetimeSub, EvalMode, Divide, Remainder, IntegralDivide, FromUnixTime, And, GreaterThanOrEqual, LessThanOrEqual}
   import org.apache.spark.sql.types.{DoubleType, FloatType, StringType, TimestampType}
   import graft.functions.{ImpalaTsValid, ImpalaFloatToString}
 
@@ -876,6 +896,16 @@ object ImpalaDialect {
     case e: MicrosToTimestamp => ImpalaTsValid(e)
     case e: MillisToTimestamp => ImpalaTsValid(e)
     case e: SecondsToTimestamp => ImpalaTsValid(e)
+    // IMPALA-2184: FromUnixtime range-checks the epoch seconds against
+    // the TIMESTAMP validity window and yields NULL outside it
+    // (timestamp-functions.cc); Spark silently overflows the ×1e6
+    // multiply for huge inputs and fabricates a wrapped year.
+    case f: FromUnixTime if f.resolved && (f.sec.dataType ==
+        org.apache.spark.sql.types.LongType || f.sec.dataType ==
+        org.apache.spark.sql.types.IntegerType) =>
+      If(And(GreaterThanOrEqual(f.sec, Literal(-17987443200L)),
+          LessThanOrEqual(f.sec, Literal(253402300799L))),
+        f, Literal.create(null, f.dataType))
   }
 
   /** Run Impala-dialect SQL: string-level rewrites (hints, format

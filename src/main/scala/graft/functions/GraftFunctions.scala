@@ -73,10 +73,17 @@ object GraftFunctions {
     "jaro_winkler_similarity" -> (a => JaroWinklerSimilarity(a(0), a(1))),
     // sketches (be/src/exprs/aggregate-functions-ir.cc,
     // datasketches-functions-ir.cc)
+    // Impala type spellings, not Spark's (utility-functions-ir.cc)
+    "typeof" -> (a => ImpalaTypeof(a.head)),
     "ndv_hll" -> (a => NdvHll(a.head)),
     "ds_hll_sketch" -> (a => DsHllSketch(a.head)),
+    "ds_hll_sketch_and_estimate" -> (a => DsHllSketchAndEstimate(a.head)),
     "ds_hll_union" -> (a => DsHllUnion(a.head)),
+    "ds_hll_union_f" -> (a => DsHllUnionF(a(0), a(1))),
     "ds_hll_estimate" -> (a => DsHllEstimate(a.head)),
+    "ds_hll_estimate_bounds_as_string" -> (a =>
+      if (a.length == 1) DsHllEstimateBounds(a.head, Literal(2))
+      else DsHllEstimateBounds(a(0), a(1))),
     "ds_kll_sketch" -> (a => DsKllSketch(a.head)),
     "ds_kll_union" -> (a => DsKllUnion(a.head)),
     "ds_kll_quantile" -> (a => DsKllQuantile(a(0), a(1))),
@@ -84,7 +91,11 @@ object GraftFunctions {
     "ds_kll_n" -> (a => DsKllN(a.head)),
     "ds_kll_cdf" -> (a => DsKllCdf(a(0), a(1))),
     "ds_kll_pmf" -> (a => DsKllPmf(a(0), a(1))),
+    "ds_kll_quantiles_as_string" -> (a => DsKllQuantilesAsString(a)),
+    "ds_kll_cdf_as_string" -> (a => DsKllCdfAsString(a)),
+    "ds_kll_pmf_as_string" -> (a => DsKllPmfAsString(a)),
     "ds_hll_stringify" -> (a => DsHllStringify(a.head)),
+    "ds_kll_stringify" -> (a => DsKllStringify(a.head)),
     "histogram" -> (a => HistogramAgg(a.head)),
     // group_concat as a real AggregateFunction so DISTINCT resolves
     // (BuiltinsDb.java:1277-1288)

@@ -3,7 +3,9 @@ package graft.functions
 import java.time.LocalDateTime
 import java.time.temporal.ChronoUnit
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.DateTimeUtils
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -369,4 +371,44 @@ object ImpalaPosixPattern {
     }
     out
   }
+}
+
+/** `typeof(x)` with Impala's type spellings — uppercase, `INT` not
+  * `integer` (`utility-functions-ir.cc` TypeOf; exercised by
+  * decimal-exprs.test's `typeof(9.8 % 3)` → 'DECIMAL(2,1)' goldens).
+  * Value-independent: evaluates from the analyzed child type only.
+  */
+case class ImpalaTypeof(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def foldable: Boolean = true
+
+  private def name(t: DataType): String = t match {
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case c: CharType => s"CHAR(${c.length})"
+    case v: VarcharType => s"VARCHAR(${v.length})"
+    case _: StringType => "STRING"
+    case a: ArrayType => s"ARRAY<${name(a.elementType)}>"
+    case m: MapType => s"MAP<${name(m.keyType)},${name(m.valueType)}>"
+    case s: StructType =>
+      s.fields.map(f => s"${f.name}:${name(f.dataType)}")
+        .mkString("STRUCT<", ",", ">")
+    case other => other.sql.toUpperCase
+  }
+
+  override def eval(input: InternalRow): Any =
+    UTF8String.fromString(name(child.dataType))
+  override protected def withNewChildInternal(c: Expression): ImpalaTypeof =
+    copy(c)
+  override def prettyName: String = "typeof"
 }

@@ -125,7 +125,8 @@ object SketchQueries extends QueryGroup {
     // PropertySpec; deterministic buffer → stable booleans).
     Q.Def("q_sketch_kll", (s, dir) => {
       val agg = t(s, dir, "lineitem").agg(
-        call_function("ds_kll_sketch", col("l_quantity")).as("sk"),
+        call_function("ds_kll_sketch",
+          col("l_quantity").cast("float")).as("sk"),
         count(col("l_quantity")).as("n"),
         expr("percentile(l_quantity, 0.5D)").as("ex50"),
         expr("percentile(l_quantity, 0.95D)").as("ex95"))

@@ -54,6 +54,7 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  l_suppkey AS ss_store_sk,
          |  l_orderkey AS ss_ticket_number,
          |  o_custkey AS ss_customer_sk,
+         |  o_custkey AS ss_addr_sk,
          |  CAST(l_quantity AS BIGINT) AS ss_quantity,
          |  ${dec2.format("l_extendedprice")} AS ss_sales_price,
          |  ${dec2.format("l_extendedprice")} AS ss_ext_sales_price,
@@ -78,6 +79,7 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  ${dn("l_shipdate")} AS cs_ship_date_sk,
          |  l_partkey AS cs_item_sk,
          |  o_custkey AS cs_bill_customer_sk,
+         |  o_custkey AS cs_bill_addr_sk,
          |  l_orderkey AS cs_order_number,
          |  l_suppkey % 5 AS cs_warehouse_sk,
          |  CAST(l_quantity AS BIGINT) AS cs_quantity,
@@ -104,6 +106,7 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  ${dn("l_shipdate")} AS ws_ship_date_sk,
          |  l_partkey AS ws_item_sk,
          |  o_custkey AS ws_bill_customer_sk,
+         |  o_custkey AS ws_bill_addr_sk,
          |  l_orderkey AS ws_order_number,
          |  l_suppkey % 5 AS ws_warehouse_sk,
          |  l_linenumber % 7 AS ws_ship_mode_sk,
@@ -122,6 +125,7 @@ object TpcdsGoldenQueries extends QueryGroup {
           |  year(cal_d) AS d_year,
           |  month(cal_d) AS d_moy,
           |  day(cal_d) AS d_dom,
+          |  quarter(cal_d) AS d_qoy,
           |  (year(cal_d) - 1900) * 12 + month(cal_d) - 1 AS d_month_seq,
           |  date_format(cal_d, 'EEEE') AS d_day_name
           |FROM (SELECT explode(sequence(DATE '1995-01-01', DATE '2002-06-30',
@@ -133,6 +137,7 @@ object TpcdsGoldenQueries extends QueryGroup {
           |  year(cal_d) AS d_year,
           |  month(cal_d) AS d_moy,
           |  day(cal_d) AS d_dom,
+          |  quarter(cal_d) AS d_qoy,
           |  (year(cal_d) - 1900) * 12 + month(cal_d) - 1 AS d_month_seq,
           |  dayname(cal_d) AS d_day_name
           |FROM (SELECT CAST(range AS DATE) AS cal_d
@@ -154,13 +159,14 @@ object TpcdsGoldenQueries extends QueryGroup {
         |  (1 + p_partkey % 1000) AS i_manufact_id,
         |  'manufact_' || (1 + p_partkey % 1000) AS i_manufact,
         |  (1 + p_partkey % 50) AS i_manager_id,
-        |  CASE ((p_partkey * 7) % 16)
+        |  CASE ((p_partkey * 7) % 19)
         |    WHEN 0 THEN 'powder' WHEN 1 THEN 'khaki' WHEN 2 THEN 'brown'
         |    WHEN 3 THEN 'honeydew' WHEN 4 THEN 'floral' WHEN 5 THEN 'deep'
         |    WHEN 6 THEN 'light' WHEN 7 THEN 'cornflower' WHEN 8 THEN 'midnight'
         |    WHEN 9 THEN 'snow' WHEN 10 THEN 'cyan' WHEN 11 THEN 'papaya'
         |    WHEN 12 THEN 'orange' WHEN 13 THEN 'frosted' WHEN 14 THEN 'forest'
-        |    ELSE 'ghost' END AS i_color,
+        |    WHEN 15 THEN 'slate' WHEN 16 THEN 'blanched'
+        |    WHEN 17 THEN 'burnished' ELSE 'ghost' END AS i_color,
         |  CASE ((p_partkey * 3) % 15)
         |    WHEN 0 THEN 'Ounce' WHEN 1 THEN 'Oz' WHEN 2 THEN 'Bunch'
         |    WHEN 3 THEN 'Ton' WHEN 4 THEN 'N/A' WHEN 5 THEN 'Dozen'
@@ -205,6 +211,7 @@ object TpcdsGoldenQueries extends QueryGroup {
         |    END AS ca_state,
         |  '' || (10000 + (c_custkey * 13) % 89999) AS ca_zip,
         |  'County_' || (c_custkey % 30) AS ca_county,
+        |  CAST(-5 - (c_custkey % 4) AS DECIMAL(5,2)) AS ca_gmt_offset,
         |  'United States' AS ca_country
         |FROM customer""".stripMargin),
     Sub("warehouse",
@@ -242,10 +249,15 @@ object TpcdsGoldenQueries extends QueryGroup {
     * INTERSECT), q40 (returns left-outer with before/after pivot),
     * q41 (item-only correlated subquery over the soft dimensions),
     * q50 (return-lag day buckets over the full store address block),
-    * q62 (ship-lag day buckets by warehouse/mode/site).
+    * q62 (ship-lag day buckets by warehouse/mode/site); round 5 adds
+    * q15 (zip/state/price disjunction by quarter), q33/q56/q60
+    * (3-channel UNION-ALL rollups by manufact/color/category over
+    * gmt-offset-filtered addresses), q87 (EXCEPT-chained customer-date
+    * distincts) and q97 (store/catalog FULL OUTER overlap counts).
     */
   val nums: Seq[String] =
-    Seq("3", "19", "25", "29", "38", "40", "41", "42", "43", "50", "52", "55", "62")
+    Seq("3", "15", "19", "25", "29", "33", "38", "40", "41", "42", "43",
+      "50", "52", "55", "56", "60", "62", "87", "97")
 
   def defs: Seq[Q.Def] =
     if (!available) Seq.empty

@@ -410,6 +410,53 @@ object FunctionalTables {
       mk(loadTextSerde(ragged, sch, escaped = true), sch,
         "tblwithraggedcolumns")
     }
+    // strings_with_quotes: escaped-serde quote fixture (IMPALA-7586
+    // string-escaping.test)
+    val swq = refRoot.resolve("data/strings_with_quotes.csv")
+    if (java.nio.file.Files.isRegularFile(swq)) {
+      val sch = StructType.fromDDL("s string, i int")
+      mk(loadTextSerde(swq, sch, escaped = true), sch, "strings_with_quotes")
+    }
+    // chars_tiny / chars_medium: REAL catalog tables with CHAR/VARCHAR
+    // columns — Spark's read-side padding and literal-padding
+    // comparison rules then reproduce Impala's CHAR semantics
+    // (chars.test); writes pre-truncate to the declared length because
+    // Spark raises EXCEED_LIMIT_LENGTH where Impala truncates.
+    val charsTiny = refRoot.resolve("data/chars-tiny.txt")
+    if (java.nio.file.Files.isRegularFile(charsTiny)) try {
+      val raw = StructType.fromDDL("cs string, cl string, vc string")
+      mk(loadTextSerde(charsTiny, raw), raw, "chars_tiny_raw")
+      spark.sql("DROP TABLE IF EXISTS chars_tiny")
+      spark.sql(
+        "CREATE TABLE chars_tiny (cs CHAR(5), cl CHAR(140), vc VARCHAR(32)) USING PARQUET")
+      spark.sql(
+        """INSERT INTO chars_tiny
+          |SELECT substring(cs, 1, 5), substring(cl, 1, 140),
+          |       substring(vc, 1, 32) FROM chars_tiny_raw""".stripMargin)
+      spark.sql("DROP TABLE IF EXISTS chars_medium")
+      spark.sql(
+        """CREATE TABLE chars_medium (id int, date_char_col char(8),
+          |  char_col char(3), date_varchar_col varchar(8),
+          |  varchar_col varchar(3)) USING PARQUET""".stripMargin)
+      // LOAD derivation from the schema template (alltypesagg source)
+      spark.sql(
+        """INSERT INTO chars_medium
+          |SELECT id, substring(date_string_col, 1, 8),
+          |  CASE WHEN id % 3 IN (0, 1) THEN substring(string_col, 1, 3) END,
+          |  substring(date_string_col, 1, 8),
+          |  CASE WHEN id % 3 = 0 THEN substring(string_col, 1, 3) END
+          |FROM alltypesagg""".stripMargin)
+    } catch { case _: Throwable => } // no writable warehouse: skip
+    // serialized-sketch fixtures (datasketches-hll/kll.test): sketch
+    // bytes produced by Hive (datasketches-java) and the reference
+    // (datasketches-cpp) — reading them exercises the cross-engine wire
+    // format end to end
+    Seq("hll_sketches_from_hive", "hll_sketches_from_impala",
+        "kll_sketches_from_hive", "kll_sketches_from_impala").foreach { t =>
+      val pq = refRoot.resolve(s"data/$t.parquet")
+      if (java.nio.file.Files.isRegularFile(pq))
+        spark.read.parquet(pq.toString).createOrReplaceTempView(t)
+    }
     // nullescapedtable: the escaped-serde INSERT...SELECT roundtrip of
     // nulltable is content-identical (null_data.test pins both)
     if (spark.catalog.tableExists("nulltable"))

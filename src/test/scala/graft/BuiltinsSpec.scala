@@ -57,8 +57,12 @@ class BuiltinsSpec extends SparkSpecBase {
   }
 
   test("typeof / uuid / current_database / version") {
-    assert(one[String]("typeof(1)") == "int")
-    assert(one[String]("typeof(CAST(1 AS DECIMAL(12,2)))") == "decimal(12,2)")
+    // Impala's type spellings (utility-functions-ir.cc TypeOf; pinned
+    // by decimal-exprs.test's typeof goldens), not Spark's lowercase.
+    // The literal itself stays Spark-typed (1 is INT here, TINYINT in
+    // Impala) — typeof reports the analyzed type faithfully.
+    assert(one[String]("typeof(1)") == "INT")
+    assert(one[String]("typeof(CAST(1 AS DECIMAL(12,2)))") == "DECIMAL(12,2)")
     assert(one[String]("uuid()").matches(
       "[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
     assert(one[String]("current_database()") == "default")

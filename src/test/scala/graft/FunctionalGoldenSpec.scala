@@ -41,7 +41,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "nested-types-scanner-position.test",
     "nested-types-scanner-array-materialization.test",
     "nested-types-scanner-multiple-materialization.test",
-    "nested-types-with-clause.test")
+    "nested-types-with-clause.test",
+    "datasketches-hll.test", "datasketches-kll.test",
+    "string-escaping.test", "chars.test", "partition-key-scans.test")
 
   /** Documented engine deltas, each verified against the reference
     * source — cases where Spark's core semantics differ by design and
@@ -76,43 +78,104 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     ("top-n.test", 29) -> "NaN sort position (Impala first ASC/last DESC; Spark NaN greatest)",
     ("top-n.test", 30) -> "NaN sort position (Impala first ASC/last DESC; Spark NaN greatest)",
     ("analytic-fns.test", 43) -> "NaN as PARTITION BY key (Impala NaN != NaN: singleton partitions; Spark groups all NaNs)",
-    ("aggregation.test", 99) -> "NaN in min/max (Impala's C++ comparison fold poisons on NaN; Spark orders NaN greatest)")
+    ("aggregation.test", 99) -> "NaN in min/max (Impala's C++ comparison fold poisons on NaN; Spark orders NaN greatest)",
+    ("decimal-exprs.test", 39) -> "DECIMAL→TIMESTAMP keeps 9 fraction digits in Impala (nanosecond timestamps); Spark timestamps are µs")
 
   private val dbPrefix = """`?\bfunctional(?:_[a-z0-9]+)*`?\.""".r
 
   private val createViewRe =
     """(?is)^\s*create\s+view\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s+as\s+(.*)$""".r
 
-  /** Best-effort execution of a setup block (create/drop/insert/
+  private def splitStmts(block: String): Seq[String] =
+    block.split(";").map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def isSetupStmt(s: String): Boolean =
+    """(?is)^(create|drop|insert|truncate)\b.*""".r.matches(s)
+
+  // Impala query options that tune EXECUTION, not semantics (batch
+  // sizing, codegen, plan shape, debug hooks) — a SET of one of these
+  // before a query is a no-op here: Spark's execution knobs differ, and
+  // the golden RESULTS are invariant to them by the reference's own
+  // design (the same file runs under exhaustive option dimensions).
+  private val neutralSetRe =
+    ("""(?is)^set\s+(debug_action|optimize_simple_limit|""" +
+      """optimize_partition_key_scans|exec_single_node_rows_threshold|""" +
+      """disable_hdfs_num_rows_estimate|buffer_pool_limit|""" +
+      """default_spillable_buffer_size|min_spillable_buffer_size|""" +
+      """max_row_size|batch_size|num_nodes|mt_dop|disable_codegen\w*|""" +
+      """disable_outermost_topn|disable_streaming_preaggregations|""" +
+      """runtime_filter\w*|num_scanner_threads|exec_time_limit_s)\s*=.*""").r
+  // Spark's decimal arithmetic IS Impala's DECIMAL_V2 (SQL-standard
+  // scales, round-half-up); v2=true is therefore also a no-op…
+  private val decimalV2TrueRe =
+    """(?is)^set\s+decimal_v2\s*=\s*(true|1)\s*$""".r
+  // …while v2=false selects the legacy v1 rules this engine does not
+  // implement — those blocks skip with a documented reason.
+  private val decimalV2FalseRe =
+    """(?is)^set\s+decimal_v2\s*=\s*(false|0)\s*$""".r
+
+  private def isNeutralSet(s: String): Boolean =
+    neutralSetRe.matches(s) || decimalV2TrueRe.matches(s)
+
+  private val createTableLikeRe =
+    """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s+like\s+([A-Za-z_]\w*)\s+stored\s+as\s+parquet\s*$""".r
+  private val createTableRe =
+    """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\b.*""".r
+  private val storedAsParquetRe = """(?i)\bstored\s+as\s+parquet\b""".r
+
+  /** Best-effort execution of ONE setup statement (create/drop/insert/
     * truncate), mirroring `impala_test_suite.py`'s sequential statement
-    * execution so later SELECT blocks see the session state. CREATE
-    * VIEW becomes a temp view (the base tables are temp views, which a
-    * permanent Spark view may not reference); failures are swallowed —
-    * the dependent SELECTs then surface as error skips exactly as
-    * before.
+    * execution so later SELECTs see the session state. CREATE VIEW
+    * becomes a temp view (the base tables are temp views, which a
+    * permanent Spark view may not reference); CREATE TABLE drops any
+    * prior incarnation first (each golden file expects a fresh one) and
+    * maps Impala's `STORED AS PARQUET` onto `USING PARQUET`, with the
+    * `LIKE other_table` form becoming an empty CTAS (LIKE can't source
+    * a temp view). Failures are swallowed — the dependent SELECTs then
+    * surface as error skips exactly as before.
     */
+  private def execSetupStmt(spark: org.apache.spark.sql.SparkSession,
+      raw: String): Unit = {
+    val s = dbPrefix.replaceAllIn(raw, "")
+    try s match {
+      case createViewRe(name, body) =>
+        ImpalaDialect.sql(spark, body).createOrReplaceTempView(name)
+      case createTableLikeRe(dst, src) =>
+        spark.sql(s"DROP TABLE IF EXISTS $dst")
+        spark.sql(s"CREATE TABLE $dst USING PARQUET AS SELECT * FROM $src LIMIT 0")
+      case _ =>
+        s match {
+          case createTableRe(name) => spark.sql(s"DROP TABLE IF EXISTS $name")
+          case _ =>
+        }
+        spark.sql(storedAsParquetRe.replaceAllIn(s, "USING PARQUET")).collect()
+    } catch { case _: Throwable => }
+  }
+
   private def runSetup(spark: org.apache.spark.sql.SparkSession,
       block: String): Boolean = {
-    val stmts = block.split(";").map(_.trim).filter(_.nonEmpty)
-    val setupish = stmts.nonEmpty && stmts.forall(s =>
-      """(?is)^(create|drop|insert|truncate)\b.*""".r.matches(s))
-    if (!setupish) return false
-    stmts.foreach { raw =>
-      val s = dbPrefix.replaceAllIn(raw, "")
-      try s match {
-        case createViewRe(name, body) =>
-          ImpalaDialect.sql(spark, body).createOrReplaceTempView(name)
-        case _ => spark.sql(s).collect()
-      } catch { case _: Throwable => }
-    }
+    val stmts = splitStmts(block)
+    if (stmts.isEmpty || !stmts.forall(isSetupStmt)) return false
+    stmts.foreach(execSetupStmt(spark, _))
     true
   }
 
-  private def eligible(c: GoldenTest.Case): Option[String] = {
-    val q = c.query.toLowerCase
+  /** Eligibility of the block's FINAL statement; `prefix` holds any
+    * statements before it, runnable iff they are all setup statements
+    * (the reference's runner executes a block's statements sequentially
+    * and verifies RESULTS against the last — e.g. the
+    * create-insert-select sketch_store blocks in datasketches-hll.test).
+    */
+  private def eligible(c: GoldenTest.Case, queryStmt: String,
+      prefix: Seq[String]): Option[String] = {
+    val q = queryStmt.toLowerCase
     if (!(q.startsWith("select") || q.startsWith("with") || q.startsWith("values")))
       Some("non-select")
-    else if (c.query.stripSuffix(";").contains(";")) Some("multi-statement")
+    else if (prefix.exists(decimalV2FalseRe.matches))
+      Some("documented delta: legacy DECIMAL_V2=false arithmetic")
+    else if (prefix.nonEmpty &&
+        !prefix.forall(s => isSetupStmt(s) || isNeutralSet(s)))
+      Some("multi-statement")
     else if (c.query.contains("$")) Some("test-runner variable")
     else if (c.sections.contains("CATCH")) Some("error-path block")
     else if (c.sections.contains("DML_RESULTS")) Some("dml block")
@@ -181,7 +244,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     files.foreach { f =>
       val cases = GoldenTest.load(dir.resolve(f))
       cases.zipWithIndex.foreach { case (c, i) =>
-        eligible(c).orElse(
+        val stmts = splitStmts(c.query)
+        val queryStmt = if (stmts.isEmpty) "" else stmts.last
+        val prefix = if (stmts.isEmpty) Nil else stmts.init
+        eligible(c, queryStmt, prefix).orElse(
             documentedDeltas.get((f, i)).map("documented delta: " + _)) match {
           case Some(reason) =>
             skip += 1
@@ -192,7 +258,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
               else reason
             skipReasons(effective) = skipReasons.getOrElse(effective, 0) + 1
           case None =>
-            val sql = dbPrefix.replaceAllIn(c.query.stripSuffix(";"), "")
+            prefix.filter(isSetupStmt).foreach(execSetupStmt(spark, _))
+            val sql = dbPrefix.replaceAllIn(queryStmt, "")
             try {
               val df = ImpalaDialect.sql(spark, sql)
               val schemaTokens = df.schema.map(f => typeToken(f.dataType))
@@ -241,9 +308,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1244, s"only $pass golden queries passed (floor 1244)")
+    assert(pass >= 1352, s"only $pass golden queries passed (floor 1352)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
+    // includes two Spark-analyzer limitations surfaced by the
+    // SET-prefix unlock: a window function in ORDER BY outside the
+    // select list (analytic-fns.test) and a correlated EXISTS whose
+    // subquery groups by ROLLUP (grouping-sets.test)
     assert(errorSkip <= 49, s"$errorSkip error skips (ceiling 49)")
   }
 }

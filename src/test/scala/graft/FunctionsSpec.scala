@@ -137,25 +137,24 @@ class FunctionsSpec extends SparkSpecBase {
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"est=$est exact=$exact")
   }
 
-  test("KLL quantile/rank exact below the compaction cap") {
-    val b = Quantiles.create()
-    (1 to 100).foreach(i => Quantiles.insert(b, i.toDouble))
-    assert(Quantiles.quantile(b, 0.5) == 50.0)
-    assert(Quantiles.quantile(b, 1.0) == 100.0)
-    assert(Quantiles.quantile(b, 0.01) == 1.0)
-    assert(Quantiles.rank(b, 25.0) == 0.25)
-    assert(Quantiles.totalWeight(b) == 100)
+  test("KLL quantile/rank exact below the sketch capacity (k=200)") {
+    val sql = """SELECT ds_kll_quantile(sk, 0.5D), ds_kll_quantile(sk, 1.0D),
+                        ds_kll_rank(sk, 26.0D), ds_kll_n(sk)
+                 FROM (SELECT ds_kll_sketch(id) sk FROM range(1, 101))"""
+    val r = spark.sql(sql).head()
+    assert(r.getFloat(0) == 51.0f) // exclusive criteria: cum-weight > 50
+    assert(r.getFloat(1) == 100.0f)
+    assert(r.getDouble(2) == 0.25) // 25 of 100 strictly below 26
+    assert(r.getLong(3) == 100L)
   }
 
-  test("KLL stays within ~10% relative rank error after compaction") {
-    val b = Quantiles.create()
-    (1 to 100000).foreach(i => Quantiles.insert(b, i.toDouble))
-    assert(Quantiles.totalWeight(b) == 100000)
-    val p50 = Quantiles.quantile(b, 0.5)
-    assert(math.abs(p50 - 50000) < 10000, s"p50=$p50")
-    val sk = Quantiles.serialize(b)
-    val b2 = Quantiles.deserialize(sk)
-    assert(Quantiles.quantile(b2, 0.5) == p50)
+  test("KLL stays within rank-error bounds after compaction (n ≫ k)") {
+    val r = spark.sql(
+      """SELECT ds_kll_quantile(sk, 0.5D), ds_kll_n(sk)
+         FROM (SELECT ds_kll_sketch(id) sk FROM range(1, 100001))""").head()
+    // k=200 → normalized rank error ≈ 1.65%; allow 5%
+    assert(math.abs(r.getFloat(0) - 50000) < 5000, s"p50=${r.getFloat(0)}")
+    assert(r.getLong(1) == 100000L)
   }
 
   test("histogram: reference ReservoirSample semantics") {
@@ -176,8 +175,6 @@ class FunctionsSpec extends SparkSpecBase {
   }
 
   test("ds_kll_cdf/pmf and ds_hll_stringify") {
-    val b = Quantiles.create()
-    (1 to 100).foreach(i => Quantiles.insert(b, i.toDouble))
     spark.sql("SELECT 1").count() // session init for function registry
     val r = spark.sql(
       """SELECT ds_kll_cdf(sk, array(25.0d, 50.0d, 75.0d)) cdf,
@@ -185,19 +182,50 @@ class FunctionsSpec extends SparkSpecBase {
                 ds_hll_stringify(hs) s
          FROM (SELECT ds_kll_sketch(id) sk, ds_hll_sketch(id) hs
                FROM range(1, 101))""").head()
-    assert(r.getSeq[Double](0) == Seq(0.25, 0.5, 0.75, 1.0))
-    assert(r.getSeq[Double](1).sum == 1.0)
-    assert(r.getSeq[Double](1) == Seq(0.25, 0.25, 0.25, 0.25))
-    assert(r.getString(2).startsWith("HLL(p=10, estimate="))
+    // n=100 < k=200: the sketch is exact; splits use the reference's
+    // exclusive (strictly-below) criteria
+    assert(r.getSeq[Double](0) == Seq(0.24, 0.49, 0.74, 1.0))
+    assert(math.abs(r.getSeq[Double](1).sum - 1.0) < 1e-12)
+    // C++ to_string header casing (datasketches-functions-ir.cc
+    // DsHllStringify)
+    assert(r.getString(2).startsWith("### HLL sketch summary:"))
+    assert(r.getString(2).contains("Log Config K"))
   }
 
   test("ds_kll sketch → quantile through SQL") {
+    // ds_kll_sketch takes FLOAT (reference signature); DOUBLE needs an
+    // explicit cast, mirroring Impala's analysis error
     val r = sql1(
       s"""SELECT ds_kll_n(sk), ds_kll_quantile(sk, CAST(0.5 AS DOUBLE))
-          FROM (SELECT ds_kll_sketch(l_quantity) sk
+          FROM (SELECT ds_kll_sketch(CAST(l_quantity AS FLOAT)) sk
                 FROM parquet.`$sfDir/lineitem.parquet`)""")
     assert(r.getLong(0) > 5000)
-    assert(r.getDouble(1) >= 20 && r.getDouble(1) <= 30) // qty uniform 1..50
+    assert(r.getFloat(1) >= 20 && r.getFloat(1) <= 30) // qty uniform 1..50
+  }
+
+  test("ds sketches are wire-compatible with reference/Hive fixtures") {
+    val ref = sys.env.getOrElse("GRAFT_REF_TESTDATA",
+      "/root/reference/testdata")
+    assume(new java.io.File(s"$ref/data/hll_sketches_from_hive.parquet")
+      .isFile)
+    Seq("hive", "impala").foreach { src =>
+      spark.read.parquet(s"$ref/data/hll_sketches_from_${src}.parquet")
+        .createOrReplaceTempView(s"hll_$src")
+      // datasketches-hll.test golden row: 5,7,6,5,6,…
+      val r = spark.sql(
+        s"""SELECT ds_hll_estimate(ti), ds_hll_estimate(i),
+                   ds_hll_estimate(bi), ds_hll_estimate(f),
+                   ds_hll_estimate(d) FROM hll_$src""").head()
+      assert((0 to 4).map(r.getLong) == Seq(5L, 7L, 6L, 5L, 6L), src)
+    }
+    spark.read.parquet(s"$ref/data/kll_sketches_from_hive.parquet")
+      .createOrReplaceTempView("kll_hive")
+    val k = spark.sql(
+      """SELECT ds_kll_n(f), ds_kll_quantile(f, 0.5D),
+                ds_kll_rank(f, 50.6D) FROM kll_hive""").head()
+    assert(k.getLong(0) == 6L)
+    assert(math.abs(k.getFloat(1) - 100.1999969482422f) < 1e-4)
+    assert(math.abs(k.getDouble(2) - 0.5) < 1e-12)
   }
 
   // --- alias layer -----------------------------------------------------

@@ -20,6 +20,11 @@ object SparkSpecBase {
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // fresh per-JVM warehouse: golden setup blocks create real tables,
+      // and a stale ./spark-warehouse from a previous run would fail
+      // CREATE TABLE with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftSession.tune(s)

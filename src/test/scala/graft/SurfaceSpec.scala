@@ -65,8 +65,11 @@ class SurfaceSpec extends SparkSpecBase {
     "covar_samp",
     // datasketches (datasketches-functions-ir.cc)
     "ds_hll_sketch", "ds_hll_union", "ds_hll_estimate", "ds_hll_stringify",
+    "ds_hll_sketch_and_estimate", "ds_hll_union_f",
+    "ds_hll_estimate_bounds_as_string",
     "ds_kll_sketch", "ds_kll_union", "ds_kll_quantile", "ds_kll_rank",
-    "ds_kll_n", "ds_kll_cdf", "ds_kll_pmf",
+    "ds_kll_n", "ds_kll_cdf", "ds_kll_pmf", "ds_kll_quantiles_as_string",
+    "ds_kll_cdf_as_string", "ds_kll_pmf_as_string", "ds_kll_stringify",
     // analytic (AnalyticExpr.java)
     "rank", "dense_rank", "row_number", "percent_rank", "cume_dist",
     "ntile", "lead", "lag", "first_value", "last_value", "first", "last",

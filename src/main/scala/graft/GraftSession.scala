@@ -44,6 +44,11 @@ object GraftSession {
       c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
       // Partial-agg pushdown into parquet footers (count/min/max only).
       c.set("spark.sql.parquet.aggregatePushdown", "true")
+      // INSERT OVERWRITE ... PARTITION(dynamic) replaces only the
+      // partitions the query produced — Impala's semantics
+      // (HdfsTableSink dynamic partition overwrite); Spark's static
+      // default would clear the whole table.
+      c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       // events.parquet carries TIMESTAMP(NANOS) which the parquet reader
       // rejects; read as long and convert in table() below.
       c.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -912,16 +912,64 @@ object ImpalaDialect {
     * casts, grammar forms, Impala default NULL ordering), parse,
     * analyze, then apply [[impalaExpr]] with child types resolved.
     */
+  /** Pre-analysis pass: VALUES rows are evaluated EAGERLY by
+    * ResolveInlineTables during analysis, so literal-typed expressions
+    * (already resolved at parse time) must carry Impala semantics
+    * before it runs; every case guards on `.resolved`, so unresolved
+    * column refs pass through untouched. Non-decimal division is
+    * additionally rewritten BEFORE type coercion widens it into the
+    * TRY case — Impala's `/` on any non-decimal numerics is raw C++
+    * double division (inf/nan, never an error), which the post-analysis
+    * pass already gives every non-VALUES context.
+    */
+  private def preAnalysisFix(plan: org.apache.spark.sql.catalyst.plans
+      .logical.LogicalPlan): org.apache.spark.sql.catalyst.plans
+      .logical.LogicalPlan = {
+    val preDivide: PartialFunction[Expression, Expression] = {
+      case d: Divide if d.left.resolved && d.right.resolved &&
+          Seq(d.left, d.right).forall(e =>
+            e.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+              !e.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) =>
+        graft.functions.ImpalaDoubleDiv(
+          Cast(d.left, org.apache.spark.sql.types.DoubleType),
+          Cast(d.right, org.apache.spark.sql.types.DoubleType))
+    }
+    val pf = preDivide.orElse(impalaExpr)
+    plan.transformUpWithSubqueries {
+      case p => p.transformExpressionsUp(pf)
+    }
+  }
+
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftSession.tune(spark)
     val df = org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      org.apache.spark.sql.graft.Bridge.parsePlan(spark,
-        rewrite(NestedRefs.rewrite(spark, text))))
+      preAnalysisFix(org.apache.spark.sql.graft.Bridge.parsePlan(spark,
+        rewrite(NestedRefs.rewrite(spark, text)))))
     val analyzed = df.queryExecution.analyzed
     val fixed = analyzed.transformUpWithSubqueries {
       case p => p.transformExpressionsUp(impalaExpr)
     }
     if (fixed eq analyzed) df
     else org.apache.spark.sql.graft.Bridge.ofRows(spark, fixed)
+  }
+
+  /** Execute an Impala-dialect DML/DDL statement (INSERT … SELECT/VALUES,
+    * CTAS) with the same text rewrites and expression semantics as
+    * [[sql]], but command-safe: [[sql]]'s `ofRows` executes a command
+    * eagerly BEFORE the post-analysis expression pass, so a transformed
+    * INSERT would run twice. Here the plan is analyzed without
+    * execution, [[impalaExpr]] applied, then executed exactly once —
+    * e.g. insert.test's `VALUES (CAST(1/0 AS FLOAT))` stores inf the
+    * way the reference's C++ fdiv does, not an ANSI error.
+    */
+  def exec(spark: SparkSession, text: String): Unit = {
+    GraftSession.tune(spark)
+    val bridge = org.apache.spark.sql.graft.Bridge
+    val analyzed = bridge.analyzeOnly(spark, preAnalysisFix(
+      bridge.parsePlan(spark, rewrite(NestedRefs.rewrite(spark, text)))))
+    val fixed = analyzed.transformUpWithSubqueries {
+      case p => p.transformExpressionsUp(impalaExpr)
+    }
+    bridge.ofRows(spark, fixed).collect()
   }
 }

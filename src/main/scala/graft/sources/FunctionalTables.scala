@@ -447,6 +447,35 @@ object FunctionalTables {
           |  CASE WHEN id % 3 = 0 THEN substring(string_col, 1, 3) END
           |FROM alltypesagg""".stripMargin)
     } catch { case _: Throwable => } // no writable warehouse: skip
+    // INSERT-target tables (insert.test): real catalog tables the
+    // golden file truncates/overwrites/appends; the file's own SELECT
+    // blocks then verify contents against golden rows — a DML gate
+    // (schema template CREATE ... LIKE alltypes / alltypesnopart)
+    try {
+      val cols =
+        """id int, bool_col boolean, tinyint_col tinyint,
+          |smallint_col smallint, int_col int, bigint_col bigint,
+          |float_col float, double_col double, date_string_col string,
+          |string_col string, timestamp_col timestamp""".stripMargin
+      spark.sql("DROP TABLE IF EXISTS alltypesinsert")
+      spark.sql(s"""CREATE TABLE alltypesinsert ($cols, year int, month int)
+        |USING PARQUET PARTITIONED BY (year, month)""".stripMargin)
+      spark.sql("DROP TABLE IF EXISTS alltypesnopart_insert")
+      spark.sql(s"CREATE TABLE alltypesnopart_insert ($cols) USING PARQUET")
+      spark.sql("DROP TABLE IF EXISTS insert_string_partitioned")
+      spark.sql(
+        """CREATE TABLE insert_string_partitioned (s1 string, s2 string)
+          |USING PARQUET PARTITIONED BY (s2)""".stripMargin)
+      spark.sql("DROP TABLE IF EXISTS table_with_header_insert")
+      spark.sql("CREATE TABLE table_with_header_insert (i1 int) USING PARQUET")
+      spark.sql("DROP TABLE IF EXISTS insert_overwrite_nopart")
+      spark.sql(
+        "CREATE TABLE insert_overwrite_nopart (col1 int) USING PARQUET")
+      spark.sql("DROP TABLE IF EXISTS insert_overwrite_partitioned")
+      spark.sql(
+        """CREATE TABLE insert_overwrite_partitioned (col1 int, col2 int)
+          |USING PARQUET PARTITIONED BY (col2)""".stripMargin)
+    } catch { case _: Throwable => } // no writable warehouse: skip
     // serialized-sketch fixtures (datasketches-hll/kll.test): sketch
     // bytes produced by Hive (datasketches-java) and the reference
     // (datasketches-cpp) — reading them exercises the cross-engine wire

@@ -16,6 +16,16 @@ object Bridge {
   def parsePlan(spark: SparkSession, sql: String): LogicalPlan =
     spark.asInstanceOf[ClassicSession].sessionState.sqlParser.parsePlan(sql)
 
+  /** Analyze a plan WITHOUT the eager command execution `ofRows`
+    * performs — callers that transform an INSERT/CTAS plan post-analysis
+    * need it to run exactly once, on the transformed plan.
+    */
+  def analyzeOnly(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    new org.apache.spark.sql.execution.QueryExecution(
+      spark.asInstanceOf[ClassicSession], plan,
+      mode = org.apache.spark.sql.execution.CommandExecutionMode.SKIP)
+      .analyzed
+
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 

@@ -43,7 +43,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "nested-types-scanner-multiple-materialization.test",
     "nested-types-with-clause.test",
     "datasketches-hll.test", "datasketches-kll.test",
-    "string-escaping.test", "chars.test", "partition-key-scans.test")
+    "string-escaping.test", "chars.test", "partition-key-scans.test",
+    "insert.test", "insert_permutation.test", "insert_null.test",
+    "insert_overwrite.test")
 
   /** Documented engine deltas, each verified against the reference
     * source — cases where Spark's core semantics differ by design and
@@ -79,9 +81,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     ("top-n.test", 30) -> "NaN sort position (Impala first ASC/last DESC; Spark NaN greatest)",
     ("analytic-fns.test", 43) -> "NaN as PARTITION BY key (Impala NaN != NaN: singleton partitions; Spark groups all NaNs)",
     ("aggregation.test", 99) -> "NaN in min/max (Impala's C++ comparison fold poisons on NaN; Spark orders NaN greatest)",
-    ("decimal-exprs.test", 39) -> "DECIMAL→TIMESTAMP keeps 9 fraction digits in Impala (nanosecond timestamps); Spark timestamps are µs")
+    ("decimal-exprs.test", 39) -> "DECIMAL→TIMESTAMP keeps 9 fraction digits in Impala (nanosecond timestamps); Spark timestamps are µs",
+    ("insert.test", 42) -> "NaN sort position (Impala first ASC, Spark last) — the inf/nan values themselves round-trip the insert exactly")
 
-  private val dbPrefix = """`?\bfunctional(?:_[a-z0-9]+)*`?\.""".r
+  private val dbPrefix =
+    """`?\b(?:functional(?:_[a-z0-9]+)*|insert_permutation_test)`?\.""".r
 
   private val createViewRe =
     """(?is)^\s*create\s+view\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s+as\s+(.*)$""".r
@@ -89,8 +93,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private def splitStmts(block: String): Seq[String] =
     block.split(";").map(_.trim).filter(_.nonEmpty).toSeq
 
+  // a WITH-prefixed INSERT is DML, not a result-bearing SELECT
+  // (insert.test's `with t1 as (...) insert into ...` blocks)
   private def isSetupStmt(s: String): Boolean =
-    """(?is)^(create|drop|insert|truncate)\b.*""".r.matches(s)
+    """(?is)^(create|drop|insert|truncate)\b.*""".r.matches(s) ||
+      """(?is)^with\b(?:[^']|'[^']*')*?\binsert\s+(into|overwrite)\b.*""".r
+        .matches(s)
 
   // Impala query options that tune EXECUTION, not semantics (batch
   // sizing, codegen, plan shape, debug hooks) — a SET of one of these
@@ -104,7 +112,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       """default_spillable_buffer_size|min_spillable_buffer_size|""" +
       """max_row_size|batch_size|num_nodes|mt_dop|disable_codegen\w*|""" +
       """disable_outermost_topn|disable_streaming_preaggregations|""" +
-      """runtime_filter\w*|num_scanner_threads|exec_time_limit_s)\s*=.*""").r
+      """runtime_filter\w*|num_scanner_threads|exec_time_limit_s|""" +
+      """s3_skip_insert_staging)\s*=.*""").r
   // Spark's decimal arithmetic IS Impala's DECIMAL_V2 (SQL-standard
   // scales, round-half-up); v2=true is therefore also a no-op…
   private val decimalV2TrueRe =
@@ -116,6 +125,17 @@ class FunctionalGoldenSpec extends SparkSpecBase {
 
   private def isNeutralSet(s: String): Boolean =
     neutralSetRe.matches(s) || decimalV2TrueRe.matches(s)
+
+  // Impala: `truncate [table] name`; Spark requires the TABLE keyword
+  private val truncateRe =
+    """(?is)^\s*truncate\s+(?:table\s+)?([A-Za-z_]\w*)\s*$""".r
+
+  // Hive-style CREATE with typed partition columns → data-source form
+  // (partition columns join the schema; PARTITIONED BY takes names)
+  private val hivePartitionedCreateRe =
+    ("""(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)""" +
+      """\s*\(([^)]*)\)\s*partitioned\s+by\s*\(([^)]*\w[^)]*)\)\s*""" +
+      """(?:stored\s+as\s+\w+|using\s+\w+)?\s*$""").r
 
   private val createTableLikeRe =
     """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s+like\s+([A-Za-z_]\w*)\s+stored\s+as\s+parquet\s*$""".r
@@ -136,27 +156,97 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     */
   private def execSetupStmt(spark: org.apache.spark.sql.SparkSession,
       raw: String): Unit = {
+    // test-runner variables ($ORIGINAL_DB, $NAMENODE …) can't resolve —
+    // skip BEFORE the drop-first step, or `create table X like
+    // $ORIGINAL_DB.X` would drop the fixture it can't recreate
+    if (raw.contains("$")) return
     val s = dbPrefix.replaceAllIn(raw, "")
     try s match {
       case createViewRe(name, body) =>
         ImpalaDialect.sql(spark, body).createOrReplaceTempView(name)
+      case truncateRe(name) =>
+        spark.sql(s"TRUNCATE TABLE $name").collect()
+      case hivePartitionedCreateRe(name, cols, parts)
+          if parts.trim.split("\\s+").length > 1 =>
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        val partDefs = parts.split(",").map(_.trim).filter(_.nonEmpty)
+        val partNames = partDefs.map(_.split("\\s+")(0))
+        spark.sql(s"""CREATE TABLE $name ($cols, ${partDefs.mkString(", ")})
+          |USING PARQUET PARTITIONED BY (${partNames.mkString(", ")})"""
+          .stripMargin)
       case createTableLikeRe(dst, src) =>
         spark.sql(s"DROP TABLE IF EXISTS $dst")
         spark.sql(s"CREATE TABLE $dst USING PARQUET AS SELECT * FROM $src LIMIT 0")
+      case permInsertRe(mode, table, cols, parts, source)
+          if spark.catalog.tableExists(table) =>
+        execPermInsert(spark, mode, table, cols,
+          Option(parts).getOrElse(""), source)
       case _ =>
         s match {
           case createTableRe(name) => spark.sql(s"DROP TABLE IF EXISTS $name")
           case _ =>
         }
-        spark.sql(storedAsParquetRe.replaceAllIn(s, "USING PARQUET")).collect()
+        // Impala maps an empty static partition value to the NULL
+        // partition (__HIVE_DEFAULT_PARTITION__); Spark rejects it
+        val s2 = emptyPartValRe.replaceAllIn(
+          storedAsParquetRe.replaceAllIn(s, "USING PARQUET"),
+          m => m.group(1) + "NULL")
+        ImpalaDialect.exec(spark, s2)
     } catch { case _: Throwable => }
+  }
+
+  private val emptyPartValRe =
+    """(?i)(PARTITION\s*\([^)]*?=\s*)(''|"")(?=\s*[,)])""".r
+
+  // Impala column-permutation INSERT (InsertStmt.java): an explicit
+  // column list (possibly empty, possibly naming partition columns),
+  // optional PARTITION spec, optional source. Source columns bind to
+  // the listed columns in order, then to the dynamic partition columns;
+  // everything unlisted becomes NULL; an absent source inserts ONE row.
+  private val permInsertRe =
+    ("""(?is)^\s*insert\s+(into|overwrite)\s+(?:table\s+)?([A-Za-z_]\w*)""" +
+      """\s*\(([^)]*)\)\s*(?:partition\s*\(([^)]*)\))?\s*(.*)$""").r
+
+  private def execPermInsert(spark: org.apache.spark.sql.SparkSession,
+      mode: String, table: String, colsTxt: String, partTxt: String,
+      sourceTxt: String): Unit = {
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val schema = spark.table(table).schema
+    val colList = colsTxt.split(",").map(_.trim).filter(_.nonEmpty)
+    val partEntries = Option(partTxt).getOrElse("")
+      .split(",").map(_.trim).filter(_.nonEmpty)
+    val static = partEntries.filter(_.contains("=")).map { e =>
+      val Array(k, v) = e.split("=", 2); k.trim -> v.trim
+    }.toMap
+    val dynParts = partEntries.filter(!_.contains("=")).map(_.trim)
+    val sourceCols = colList ++
+      dynParts.filterNot(p => colList.exists(_.equalsIgnoreCase(p)))
+    val src =
+      if (sourceTxt.trim.isEmpty) spark.range(1).toDF("__one")
+      else ImpalaDialect.sql(spark,
+        if (sourceTxt.trim.toLowerCase.startsWith("values"))
+          s"SELECT * FROM ($sourceTxt)"
+        else sourceTxt)
+    val out = src.select(schema.fields.map { f =>
+      val idx = sourceCols.indexWhere(_.equalsIgnoreCase(f.name))
+      if (idx >= 0 && idx < src.columns.length)
+        col(src.columns(idx)).cast(f.dataType).as(f.name)
+      else static.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(f.name) =>
+          expr(v).cast(f.dataType).as(f.name)
+      }.getOrElse(lit(null).cast(f.dataType).as(f.name))
+    }.toSeq: _*)
+    out.write.mode(if (mode.equalsIgnoreCase("overwrite")) "overwrite"
+      else "append").insertInto(table)
   }
 
   private def runSetup(spark: org.apache.spark.sql.SparkSession,
       block: String): Boolean = {
     val stmts = splitStmts(block)
-    if (stmts.isEmpty || !stmts.forall(isSetupStmt)) return false
-    stmts.foreach(execSetupStmt(spark, _))
+    // execution-tuning SETs inside a setup block are no-ops here
+    val rest = stmts.filterNot(isNeutralSet)
+    if (rest.isEmpty || !rest.forall(isSetupStmt)) return false
+    rest.foreach(execSetupStmt(spark, _))
     true
   }
 
@@ -169,7 +259,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private def eligible(c: GoldenTest.Case, queryStmt: String,
       prefix: Seq[String]): Option[String] = {
     val q = queryStmt.toLowerCase
-    if (!(q.startsWith("select") || q.startsWith("with") || q.startsWith("values")))
+    if (isSetupStmt(queryStmt) ||
+        !(q.startsWith("select") || q.startsWith("with") || q.startsWith("values")))
       Some("non-select")
     else if (prefix.exists(decimalV2FalseRe.matches))
       Some("documented delta: legacy DECIMAL_V2=false arithmetic")
@@ -308,13 +399,16 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1352, s"only $pass golden queries passed (floor 1352)")
+    assert(pass >= 1412, s"only $pass golden queries passed (floor 1412)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
     // includes two Spark-analyzer limitations surfaced by the
-    // SET-prefix unlock: a window function in ORDER BY outside the
+    // SET-prefix unlock — a window function in ORDER BY outside the
     // select list (analytic-fns.test) and a correlated EXISTS whose
-    // subquery groups by ROLLUP (grouping-sets.test)
-    assert(errorSkip <= 49, s"$errorSkip error skips (ceiling 49)")
+    // subquery groups by ROLLUP (grouping-sets.test) — plus
+    // insert_null.test's nullinsert/nullinsert_alt/nullformat_custom
+    // tables, whose two-serdes-over-one-location layout is text-format
+    // physics a parquet fixture cannot replicate
+    assert(errorSkip <= 52, s"$errorSkip error skips (ceiling 52)")
   }
 }

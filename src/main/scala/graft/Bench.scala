@@ -23,7 +23,7 @@ object Bench {
       "q_sim_ann", "q_sim_ivf",
       // persisted-index probes at a listing-free layout (steady-state
       // probe cost; the build is amortized outside the min-of-N)
-      "q_sim_ann_probe", "q_sim_ivf_probe",
+      "q_sim_ann_probe", "q_sim_ivf_probe", "q_sim_ivfpq",
       "q_text_stats", "q_lang_id", "q_fingerprint",
       "q_sketch_hll", "q_nested_array_struct", "q_window_running")
 

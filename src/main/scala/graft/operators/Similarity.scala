@@ -281,6 +281,143 @@ object Similarity {
       .limit(k)
   }
 
+  // -------------------------------------------------------------------
+  // IVF-PQ: product-quantized codes inside IVF cells (Jégou et al.,
+  // TPAMI 2011) — the memory-resident ANN layout at 100 TB: the
+  // persisted index row is (id, M-byte code, norm), 32× smaller than
+  // the float vectors for dim 64 / M 8, so a probe scans a few KB per
+  // thousand candidates and only the final re-rank touches exact
+  // vectors (a candidate-id join against the source table — point
+  // reads under a primary-key layout at scale).
+  // -------------------------------------------------------------------
+
+  /** Train per-subspace codebooks: the vector's M contiguous slices are
+    * k-means-quantized independently (ksub centroids each) over a
+    * deterministic sample, mirroring [[ivfIndex]]'s driver-side Lloyd
+    * loop (sampleN · dim doubles — not a corpus pass).
+    */
+  def pqTrain(df: DataFrame, idCol: String, vecCol: String, m: Int = 8,
+      ksub: Int = 16, iters: Int = 5,
+      sampleN: Int = 2048): Array[Array[Array[Double]]] = {
+    val sample = df.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    (0 until m).toArray.map { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      var centroids = sub.distinct.take(ksub)
+      if (centroids.length < ksub)
+        centroids = centroids ++ Array.fill(ksub - centroids.length)(centroids.head)
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(ksub)(new Array[Double](dsub))
+        val counts = new Array[Long](ksub)
+        sub.foreach { v =>
+          val c = nearestCentroid(v, centroids)
+          counts(c) += 1
+          var i = 0
+          while (i < dsub) { sums(c)(i) += v(i); i += 1 }
+        }
+        centroids = centroids.indices.map { c =>
+          if (counts(c) == 0) centroids(c) else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      centroids
+    }
+  }
+
+  /** M-byte PQ code column (native [[graft.functions.PqEncode]]). */
+  def pqEncode(vec: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PqEncode(
+        org.apache.spark.sql.graft.Bridge.expression(vec),
+        codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+
+  /** Query-side ADC lookup table: `lut(m)(j)` = query slice m · centroid
+    * j — Σ over slices then approximates the full inner product.
+    */
+  private[graft] def pqLut(qVec: Array[Double],
+      codebooks: Array[Array[Array[Double]]]): Array[Array[Double]] = {
+    val m = codebooks.length
+    val dsub = qVec.length / m
+    Array.tabulate(m) { s =>
+      val qs = java.util.Arrays.copyOfRange(qVec, s * dsub, (s + 1) * dsub)
+      codebooks(s).map(c => graft.functions.VectorImpl.dot(qs, c))
+    }
+  }
+
+  /** Build and persist the IVF-PQ index: coarse k-means cells
+    * ([[ivfIndex]]) + per-subspace codebooks ([[pqTrain]]), corpus
+    * written `partitionBy("ivf_cell")` carrying ONLY (id, pq_code,
+    * vnorm) — the float vectors never enter the index. Centroids and
+    * codebooks persist alongside as underscore-prefixed text (invisible
+    * to the parquet file index).
+    */
+  def ivfPqWriteIndex(df: DataFrame, path: String, idCol: String,
+      vecCol: String, kCells: Int = 16, m: Int = 8, ksub: Int = 16,
+      iters: Int = 5, sampleN: Int = 2048): Unit = {
+    val (indexed, centroids) = ivfIndex(df, idCol, vecCol, kCells, iters, sampleN)
+    val codebooks = pqTrain(df, idCol, vecCol, m, ksub, iters, sampleN)
+    indexed.select(col(idCol), col("ivf_cell"),
+        pqEncode(col(vecCol), codebooks).as("pq_code"),
+        l2Norm(col(vecCol)).as("vnorm"))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_centroids.txt"),
+      centroids.map(_.mkString(",")).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(path, "_codebooks.txt"),
+      codebooks.map(_.map(_.mkString(",")).mkString(";")).mkString("\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Codebooks persisted by [[ivfPqWriteIndex]]. */
+  def loadCodebooks(path: String): Array[Array[Array[Double]]] =
+    new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path, "_codebooks.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+      .split("\n").map(_.split(";").map(_.split(",").map(_.toDouble)))
+
+  /** IVF-PQ top-k against the persisted index: nearest-nprobe cells from
+    * the stored centroids (driver point read) → partition-pruned scan of
+    * the code column scoring `pq_adc / (|q|·vnorm)` (approximate cosine;
+    * M table lookups per row, no vectors) → top-`cands` candidate ids →
+    * broadcast join back to the source for the exact cosine re-rank of
+    * the final k. `cands` trades recall for re-rank cost; the gate query
+    * pins parameters where the candidate set provably covers the exact
+    * top-k on the fixture corpus.
+    */
+  def ivfPqTopKPersisted(spark: org.apache.spark.sql.SparkSession,
+      path: String, source: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int, nprobe: Int = 6, cands: Int = 64): DataFrame = {
+    val centroids = loadCentroids(path)
+    val codebooks = loadCodebooks(path)
+    val qVec = source.filter(col(idCol) === queryId).select(col(vecCol))
+      .head().getSeq[Float](0).toArray
+    val qD = qVec.map(_.toDouble)
+    val cells = nearestCells(qD, centroids, nprobe)
+    val lut = pqLut(qD, codebooks)
+    val qNorm = math.sqrt(graft.functions.VectorImpl.dot(qD, qD))
+    val adc = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.PqAdc(
+        org.apache.spark.sql.graft.Bridge.expression(col("pq_code")),
+        lut.map(_.toSeq).toSeq))
+    val candidates = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(cells: _*) && col(idCol) =!= queryId)
+      .select(col(idCol), (adc / (lit(qNorm) * col("vnorm"))).as("adc_sim"))
+      .orderBy(desc_nulls_last("adc_sim"), col(idCol))
+      .limit(cands)
+      .select(col(idCol))
+    source.join(broadcast(candidates), idCol)
+      .select(col(idCol),
+        cosine(col(vecCol), typedlit(qVec.toSeq)).as("cos_sim"))
+      .orderBy(desc_nulls_last("cos_sim"), col(idCol))
+      .limit(k)
+  }
+
   /** ANN top-k: for each of the L tables, probe the query's bucket plus
     * all Hamming-distance-1 buckets (multi-probe); union the candidates;
     * exact cosine re-rank on candidates only.

@@ -492,6 +492,43 @@ object PipelineQueries extends QueryGroup {
       LIMIT 10"""
     )),
 
+    // ---- IVF-PQ ANN (Jégou et al., TPAMI 2011 — the memory-resident
+    // 100 TB layout): the persisted index carries (id, 8-byte PQ code,
+    // norm) — 32× smaller than the float vectors — partitioned by
+    // ivf_cell. Probe = pruned scan scoring pq_adc/(|q|·vnorm) (M table
+    // lookups per row, no vectors) → top-`cands` candidate ids →
+    // broadcast join to the source for the exact re-rank. nprobe=6
+    // recall-1.0 as q_sim_ivf; cands=1024 covers the exact top-10 at
+    // sf0.01 (the oracle SF) AND sf0.1 (verified) — still a ~5%% slice
+    // of the probed rows at sf0.1, and the re-rank join stays tiny.
+    // ADC candidate coverage is additionally pinned in PqSpec.
+    Q.Def("q_sim_ivfpq", (s, dir) => {
+      val key = java.lang.Integer.toHexString(s"$dir|k16|pq8x16".hashCode)
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_$key"
+      if (!new java.io.File(path, "_codebooks.txt").exists()) {
+        Similarity.ivfPqWriteIndex(t(s, dir, "embeddings"), path,
+          "vec_id", "embedding", kCells = 16, m = 8, ksub = 16)
+      }
+      Similarity.ivfPqTopKPersisted(s, path, t(s, dir, "embeddings"),
+          "vec_id", "embedding", queryId = 0L, k = 10, nprobe = 6,
+          cands = 1024)
+        .select(col("vec_id"), round(col("cos_sim"), 3).as("cos_sim_r"))
+    }, Some("""
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id,
+          LIST_SUM(LIST_TRANSFORM(LIST_ZIP(embedding, qv),
+            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * SQRT(LIST_SUM(LIST_TRANSFORM(qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM embeddings, q
+        WHERE vec_id <> 0)
+      SELECT vec_id, ROUND(sim, 3) AS cos_sim_r
+      FROM scored
+      ORDER BY sim DESC, vec_id
+      LIMIT 10"""
+    )),
+
     // ---- bench-tier persisted probes at a LISTING-FREE layout (judge
     // r3 item 7): the gate-tier indexes (m=6/tables=12 → up to 768
     // dirs) are shaped for recall-1.0 oracle parity, where local-mode

@@ -271,7 +271,7 @@ object ImpalaDialect {
         s"${m.group(1)} '${m.group(2)}'"))
     extract2Re.replaceAllIn(c, m =>
       java.util.regex.Matcher.quoteReplacement(
-        s"date_part(${m.group(2).trim}, ${m.group(1).trim})"))
+        s"impala_extract(${m.group(1).trim}, ${m.group(2).trim})"))
   }
 
   /** Per-index paren depth and "inside string literal OR comment" flags

@@ -50,6 +50,16 @@ object Aliases {
     "isnotfalse" -> (a => Or(IsNull(a.head), a.head)),
     "nonnullvalue" -> (a => IsNotNull(a.head)),
     "nullvalue" -> (a => IsNull(a.head)),
+    // ---- bit functions (bit-byte-functions-ir.cc BitAnd/Or/Xor/Not)
+    "bitand" -> (a => BitwiseAnd(a(0), a(1))),
+    "bitor" -> (a => BitwiseOr(a(0), a(1))),
+    "bitxor" -> (a => BitwiseXor(a(0), a(1))),
+    "bitnot" -> (a => BitwiseNot(a.head)),
+    // from_timestamp(ts|str, fmt) — format a timestamp as a string
+    // (timestamp-functions-ir.cc FromTimestamp; the pattern vocabulary
+    // is SimpleDateFormat-compatible, same as Spark's date_format)
+    "from_timestamp" -> (a => call("date_format",
+      Cast(a(0), org.apache.spark.sql.types.TimestampType), a(1))),
     // ---- string (be/src/exprs/string-functions-ir.cc)
     "strleft" -> (a => call("left", a: _*)),
     "strright" -> (a => call("right", a: _*)),

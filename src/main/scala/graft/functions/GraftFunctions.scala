@@ -75,6 +75,12 @@ object GraftFunctions {
     // datasketches-functions-ir.cc)
     // Impala type spellings, not Spark's (utility-functions-ir.cc)
     "typeof" -> (a => ImpalaTypeof(a.head)),
+    // 2-arg extract with a RUNTIME unit string (ExtractFromExpr.java);
+    // the dialect rewrites Impala's extract(ts, 'unit') onto this name
+    "impala_extract" -> (a => ImpalaExtract(
+      Cast(a(0), org.apache.spark.sql.types.TimestampType,
+        Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)),
+      a(1))),
     "ndv_hll" -> (a => NdvHll(a.head)),
     "ds_hll_sketch" -> (a => DsHllSketch(a.head)),
     "ds_hll_sketch_and_estimate" -> (a => DsHllSketchAndEstimate(a.head)),

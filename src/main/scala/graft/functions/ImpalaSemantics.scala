@@ -4,6 +4,7 @@ import java.time.LocalDateTime
 import java.time.temporal.ChronoUnit
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -247,9 +248,11 @@ case class ImpalaTimeFn(child: Expression, fn: String)
       case "year" => Year(asDate)
       case "month" => Month(asDate)
       case "day" => DayOfMonth(asDate)
-      case "hour" => Hour(asTs)
-      case "minute" => Minute(asTs)
-      case "second" => Second(asTs)
+      // the time-of-day extractors are TimeZoneAwareExpressions — the
+      // zone must be supplied here for the same reason as the casts
+      case "hour" => Hour(asTs, tz)
+      case "minute" => Minute(asTs, tz)
+      case "second" => Second(asTs, tz)
       case "quarter" => Quarter(asDate)
       case "weekofyear" => WeekOfYear(asDate)
       case "dayofyear" => DayOfYear(asDate)
@@ -411,4 +414,50 @@ case class ImpalaTypeof(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): ImpalaTypeof =
     copy(c)
   override def prettyName: String = "typeof"
+}
+
+/** Impala's two-argument `extract(ts, unit)` (ExtractFromExpr.java,
+  * timestamp-functions.cc): the unit is a runtime STRING — column-valued
+  * and case-insensitive in the reference's own goldens
+  * (`extract(a.ts, b.unit)`, `EXTRACT(ts, 'MilliSECond')`) — which
+  * Spark's `date_part` cannot express (foldable-only field). Returns
+  * BIGINT; `millisecond` is the millis-within-second portion and
+  * `epoch` the Unix seconds, both per exprs.test golden rows.
+  */
+case class ImpalaExtract(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == TimestampType &&
+        right.dataType.isInstanceOf[StringType])
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"extract(TIMESTAMP, STRING) got (${left.dataType.sql}, ${right.dataType.sql})")
+
+  override protected def nullSafeEval(tsv: Any, unitv: Any): Any = {
+    val micros = tsv.asInstanceOf[Long]
+    val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val ldt = java.time.LocalDateTime.ofInstant(
+      DateTimeUtils.microsToInstant(micros), zone)
+    unitv.toString.toLowerCase(java.util.Locale.ROOT) match {
+      case "year" => ldt.getYear.toLong
+      case "quarter" => ((ldt.getMonthValue - 1) / 3 + 1).toLong
+      case "month" => ldt.getMonthValue.toLong
+      case "day" => ldt.getDayOfMonth.toLong
+      case "hour" => ldt.getHour.toLong
+      case "minute" => ldt.getMinute.toLong
+      case "second" => ldt.getSecond.toLong
+      case "millisecond" => ldt.getNano / 1000000L
+      case "epoch" => java.lang.Math.floorDiv(micros, 1000000L)
+      case other => throw new IllegalArgumentException(
+        s"Time unit '$other' not supported in extract()")
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ImpalaExtract = copy(l, r)
+  override def prettyName: String = "extract"
 }

@@ -936,6 +936,13 @@ object ImpalaDialect {
     }
     val pf = preDivide.orElse(impalaExpr)
     plan.transformUpWithSubqueries {
+      // Impala accepts a bare NULL predicate (`WHERE NULL` ≡ no rows,
+      // empty.test); Spark's analyzer requires BOOLEAN
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.isInstanceOf[Literal] &&
+            f.condition.dataType == org.apache.spark.sql.types.NullType =>
+        f.copy(condition =
+          Cast(f.condition, org.apache.spark.sql.types.BooleanType))
       case p => p.transformExpressionsUp(pf)
     }
   }

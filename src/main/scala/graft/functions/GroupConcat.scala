@@ -15,9 +15,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * non-null values in arrival order, NULL for an empty group —
   * reference semantics per `be/src/exprs/aggregate-functions-ir.cc`
   * (StringConcat*), registration `fe/.../catalog/BuiltinsDb.java:
-  * 1277-1288`. Output order is unspecified in the reference (input
-  * order); deterministic tests/oracles must sort upstream or
-  * sort-normalize.
+  * 1277-1288`. The separator is evaluated PER ROW (the reference's
+  * aggregation.test goldens use column-valued separators like
+  * `group_concat(v, cast(10 - id as string))`): each appended value is
+  * preceded by its own row's separator, with the first row's separator
+  * stripped — exactly the C++ intermediate whose header records the
+  * first separator's length. A NULL separator falls back to ", ".
+  * Output order is unspecified in the reference (input order);
+  * deterministic tests/oracles must sort upstream or sort-normalize.
   *
   * A true AggregateFunction (not the round-1 `concat_ws(collect_list)`
   * alias) so `group_concat(DISTINCT x)` resolves: the analyzer attaches
@@ -31,70 +36,82 @@ case class GroupConcat(
     right: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[UTF8String]]
+  extends TypedImperativeAggregate[ArrayBuffer[(UTF8String, UTF8String)]]
   with BinaryLike[Expression] {
+
+  type Buf = ArrayBuffer[(UTF8String, UTF8String)]
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
-  // the reference requires a constant separator (BuiltinsDb.java
-  // group_concat signatures); a non-foldable one would silently
-  // evaluate against no input row below
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (!right.foldable)
-      TypeCheckFailure("group_concat separator must be a constant")
-    else if (right.dataType != StringType &&
+    if (right.dataType != StringType &&
         right.dataType != org.apache.spark.sql.types.NullType)
       TypeCheckFailure(
         s"group_concat separator must be STRING, got ${right.dataType.sql}")
     else TypeCheckSuccess
   }
 
-  private lazy val sep: UTF8String = right.eval() match {
-    case null => UTF8String.fromString(", ")
-    case s: UTF8String => s
-    case other => UTF8String.fromString(other.toString)
-  }
+  private val defaultSep = UTF8String.fromString(", ")
 
-  override def createAggregationBuffer(): ArrayBuffer[UTF8String] =
-    ArrayBuffer.empty[UTF8String]
+  override def createAggregationBuffer(): Buf =
+    ArrayBuffer.empty[(UTF8String, UTF8String)]
 
-  override def update(buf: ArrayBuffer[UTF8String], row: InternalRow): ArrayBuffer[UTF8String] = {
+  override def update(buf: Buf, row: InternalRow): Buf = {
     val v = left.eval(row)
-    if (v != null) buf += v.asInstanceOf[UTF8String].clone()
+    if (v != null) {
+      val s = right.eval(row) match {
+        case null => defaultSep
+        case u: UTF8String => u.clone()
+        case other => UTF8String.fromString(other.toString)
+      }
+      buf += ((v.asInstanceOf[UTF8String].clone(), s))
+    }
     buf
   }
 
-  override def merge(a: ArrayBuffer[UTF8String], b: ArrayBuffer[UTF8String]): ArrayBuffer[UTF8String] =
-    a ++= b
+  override def merge(a: Buf, b: Buf): Buf = a ++= b
 
-  override def eval(buf: ArrayBuffer[UTF8String]): Any =
-    if (buf.isEmpty) null
-    else UTF8String.concatWs(sep, buf.toSeq: _*)
+  override def eval(buf: Buf): Any = {
+    if (buf.isEmpty) return null
+    val parts = new ArrayBuffer[UTF8String](buf.length * 2 - 1)
+    var i = 0
+    while (i < buf.length) {
+      if (i > 0) parts += buf(i)._2
+      parts += buf(i)._1
+      i += 1
+    }
+    UTF8String.concat(parts.toSeq: _*)
+  }
 
-  override def serialize(buf: ArrayBuffer[UTF8String]): Array[Byte] = {
+  override def serialize(buf: Buf): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.length)
-    buf.foreach { s =>
-      val bytes = s.getBytes
-      out.writeInt(bytes.length)
-      out.write(bytes)
+    buf.foreach { case (v, s) =>
+      val vb = v.getBytes
+      out.writeInt(vb.length)
+      out.write(vb)
+      val sb = s.getBytes
+      out.writeInt(sb.length)
+      out.write(sb)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[UTF8String] = {
+  override def deserialize(bytes: Array[Byte]): Buf = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = new ArrayBuffer[UTF8String](n)
+    val buf = new ArrayBuffer[(UTF8String, UTF8String)](n)
     var i = 0
     while (i < n) {
-      val b = new Array[Byte](in.readInt())
-      in.readFully(b)
-      buf += UTF8String.fromBytes(b)
+      val vb = new Array[Byte](in.readInt())
+      in.readFully(vb)
+      val sb = new Array[Byte](in.readInt())
+      in.readFully(sb)
+      buf += ((UTF8String.fromBytes(vb), UTF8String.fromBytes(sb)))
       i += 1
     }
     buf

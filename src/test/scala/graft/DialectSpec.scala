@@ -114,14 +114,15 @@ class DialectSpec extends SparkSpecBase {
     assert(ImpalaDialect.rewriteRightSemiAnti(tree) == tree)
   }
 
-  test("group_concat rejects a non-constant separator") {
+  test("group_concat evaluates the separator per row (StringConcatUpdate)") {
     GraftSession.registerAll(spark, sfDir)
-    val e = intercept[org.apache.spark.sql.AnalysisException] {
-      spark.sql(
-        "SELECT group_concat(r_name, r_name) FROM region GROUP BY r_regionkey")
-        .collect()
-    }
-    assert(e.getMessage.toLowerCase.contains("constant"), e.getMessage)
+    // aggregation.test golden semantics: value_i preceded by ITS row's
+    // separator, first row's separator stripped
+    val r = spark.sql(
+      """SELECT group_concat(CAST(id AS STRING), CAST(10 - id AS STRING))
+         FROM (SELECT id FROM range(4) ORDER BY id)""")
+      .head().getString(0)
+    assert(r == "0918273", r)
   }
 
   test("GraftSession.sql one-call facade") {

@@ -403,6 +403,13 @@ object ImpalaDialect {
   private val hugeOffsetRe =
     """(?i)\b(?:LIMIT\s+\d+\s+)?OFFSET\s+(\d{10,19})\b""".r
 
+  /** A huge LIMIT paired with a small OFFSET must be clamped jointly:
+    * Spark rejects limit+offset > Int.MaxValue, so `LIMIT int64max
+    * OFFSET 5` becomes `LIMIT (Int.MaxValue-5) OFFSET 5`.
+    */
+  private val hugeLimitSmallOffsetRe =
+    """(?i)\bLIMIT\s+(\d{10,19})\s+OFFSET\s+(\d{1,9})\b""".r
+
   /** Regex replacement that skips matches starting inside a string
     * literal or comment (depthMap recomputed per pass — replacement
     * positions refer to this pass's input). Keeps text-level rewrites
@@ -425,8 +432,14 @@ object ImpalaDialect {
     val c = replaceUnquoted(b, factorialRe)(m => s"factorial(${m.group(1)})")
     val e = replaceUnquoted(c, columnIntervalRe)(m =>
       s"(${m.group(1)} * INTERVAL 1 ${m.group(2)})")
-    val f = replaceUnquoted(e, hugeOffsetRe)(m =>
+    val f0 = replaceUnquoted(e, hugeOffsetRe)(m =>
       if (BigInt(m.group(1)) > Int.MaxValue) "LIMIT 0" else m.matched)
+    val f = replaceUnquoted(f0, hugeLimitSmallOffsetRe) { m =>
+      val off = m.group(2).toLong
+      if (BigInt(m.group(1)) > Int.MaxValue && off <= Int.MaxValue)
+        s"LIMIT ${Int.MaxValue - off} OFFSET $off"
+      else m.matched
+    }
     val g = replaceUnquoted(f, hugeLimitRe)(m =>
       if (BigInt(m.group(2)) > Int.MaxValue) s"${m.group(1)} ${Int.MaxValue}"
       else m.matched)

@@ -94,12 +94,14 @@ abstract class HllBuildAggBase
   override def nullable: Boolean = true
 
   // The reference registers TINYINT/INT/BIGINT/FLOAT/DOUBLE/STRING
-  // overloads only — no SMALLINT, BOOLEAN, DATE, TIMESTAMP or DECIMAL
-  // (BuiltinsDb ds_hll_sketch signatures).
+  // overloads; SMALLINT reaches the INT overload via implicit widening
+  // (FunctionCallExpr implicit casts), so accept it here too. No
+  // BOOLEAN, DATE, TIMESTAMP or DECIMAL (BuiltinsDb ds_hll_sketch
+  // signatures).
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ByteType | IntegerType | LongType | FloatType | DoubleType |
-          _: StringType => TypeCheckResult.TypeCheckSuccess
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          DoubleType | _: StringType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
         s"No matching function with signature: $prettyName(${t.sql})")
     }
@@ -111,6 +113,7 @@ abstract class HllBuildAggBase
     val v = child.eval(row)
     if (v != null) child.dataType match {
       case ByteType => buf.update(v.asInstanceOf[Byte].toLong)
+      case ShortType => buf.update(v.asInstanceOf[Short].toLong)
       case IntegerType => buf.update(v.asInstanceOf[Int].toLong)
       case LongType => buf.update(v.asInstanceOf[Long])
       case FloatType => buf.update(v.asInstanceOf[Float].toDouble)

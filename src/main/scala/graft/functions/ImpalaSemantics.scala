@@ -450,8 +450,10 @@ case class ImpalaExtract(left: Expression, right: Expression)
       case "hour" => ldt.getHour.toLong
       case "minute" => ldt.getMinute.toLong
       case "second" => ldt.getSecond.toLong
-      case "millisecond" => ldt.getNano / 1000000L
-      case "epoch" => java.lang.Math.floorDiv(micros, 1000000L)
+      // Reference returns seconds*1000 + fractional millis (udf-builtins.cc:514-518)
+      case "millisecond" => ldt.getSecond * 1000L + ldt.getNano / 1000000L
+      // Reference computes epoch from the naive wall-clock (udf-builtins.cc:573-577)
+      case "epoch" => ldt.toEpochSecond(java.time.ZoneOffset.UTC)
       case other => throw new IllegalArgumentException(
         s"Time unit '$other' not supported in extract()")
     }

@@ -308,7 +308,7 @@ object Similarity {
     val dsub = dim / m
     (0 until m).toArray.map { s =>
       val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
-      var centroids = sub.distinct.take(ksub)
+      var centroids = sub.map(_.toSeq).distinct.take(ksub).map(_.toArray)
       if (centroids.length < ksub)
         centroids = centroids ++ Array.fill(ksub - centroids.length)(centroids.head)
       (0 until iters).foreach { _ =>

@@ -35,6 +35,17 @@ class SemanticsSpec extends SparkSpecBase {
       Seq(None, Some(2), Some(1)))
   }
 
+  test("extract millisecond includes seconds*1000; epoch follows wall-clock") {
+    // udf-builtins.cc:514-518 ExtractMillisecond returns seconds*1000 +
+    // fractional millis; :573-577 computes epoch from the naive
+    // wall-clock, consistent with the other fields.
+    val r = spark.sql(
+      """SELECT impala_extract(TIMESTAMP '2009-01-01 00:00:05.1', 'millisecond'),
+                impala_extract(TIMESTAMP '1970-01-01 01:00:00', 'epoch')""").head()
+    assert(r.getLong(0) == 5100L)
+    assert(r.getLong(1) == 3600L)
+  }
+
   test("<=> IS NOT DISTINCT FROM matches NULLs") {
     val r = spark.sql(
       """SELECT NULL <=> NULL, 1 <=> 1, NULL <=> 1,

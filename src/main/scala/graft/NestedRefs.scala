@@ -59,7 +59,7 @@ object NestedRefs {
 
   private val fromRe = """(?i)\bFROM\b""".r
   private val clauseEnders = Seq("WHERE", "GROUP", "HAVING", "ORDER",
-    "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "WINDOW",
+    "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "MINUS", "WINDOW",
     "QUALIFY")
   private val pathItemRe =
     """(?is)^\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$""".r
@@ -118,21 +118,35 @@ object NestedRefs {
 
   /** Rewrite every depth-0 FROM clause of one scope (subqueries were
     * already handled by the paren recursion, and their text is opaque
-    * here because clause scanning sticks to depth 0).
+    * here because clause scanning sticks to depth 0). After each FROM
+    * clause, the text up to the next depth-0 FROM (i.e. this scope's
+    * WHERE/GROUP/HAVING tail) gets the correlated-EXISTS conversion
+    * under the clause's alias scope (tpch_nested q4/q21/q22 shapes).
     */
   private def rewriteScope(spark: SparkSession, s: String): String = {
     val (d, q) = ImpalaDialect.depthMap(s)
     val froms = fromRe.findAllMatchIn(s).toSeq.filter { m =>
-      !q(m.start) && d(m.start) == 0 && isKeywordAt(s, m.start, "from")
+      !q(m.start) && d(m.start) == 0 && isKeywordAt(s, m.start, "from") &&
+        // not the FROM of `IS [NOT] DISTINCT FROM`
+        !s.substring(0, m.start).trim.toLowerCase.endsWith("distinct")
     }
     if (froms.isEmpty) return s
     var out = s
     // right-to-left so earlier offsets stay valid
-    froms.reverse.foreach { m =>
+    froms.zipWithIndex.reverse.foreach { case (m, i) =>
       val start = m.end
       val end = clauseEnd(s, start, d, q)
       val clause = s.substring(start, end)
-      rewriteFromClause(spark, clause).foreach { nw =>
+      val (nwOpt, scope) = rewriteFromClause(spark, clause)
+      val regionEnd =
+        if (i + 1 < froms.length) froms(i + 1).start else s.length
+      if (regionEnd > end) {
+        val tail = s.substring(end, regionEnd)
+        val newTail = rewriteExists(tail, scope)
+        if (newTail != tail)
+          out = out.substring(0, end) + newTail + out.substring(regionEnd)
+      }
+      nwOpt.foreach { nw =>
         out = out.substring(0, start) + nw + out.substring(end)
       }
     }
@@ -185,14 +199,48 @@ object NestedRefs {
     out.toSeq
   }
 
-  /** Rewrite one FROM clause's comma items. Returns None when nothing
-    * in the clause is a collection ref (text untouched).
+  /** `<plain ref> [LEFT [OUTER]|INNER] JOIN <path> [alias] [ON cond]` —
+    * an explicit join whose right side is a collection path
+    * (tpch_nested-q13: `customer c left outer join c.c_orders on (…)`).
+    */
+  private val collJoinRe =
+    ("""(?is)^\s*([A-Za-z_]\w*(?:\s+(?:as\s+)?[A-Za-z_]\w*)?)\s+""" +
+      """(left\s+(?:outer\s+)?join|inner\s+join|join)\s+""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?""" +
+      """(?:\s+on\s+(.*))?\s*$""").r
+
+  /** `(SELECT agg(...) name, ... FROM <path> [WHERE cond]) alias` — a
+    * correlated aggregating FROM-subquery over a collection of a
+    * preceding ref (tpch_nested-q18's
+    * `(select sum(l_quantity) sum_quantity from o.o_lineitems) l`).
+    */
+  private val aggSubItemRe =
+    """(?is)^\s*\(\s*(select\b.*)\)\s*(?:as\s+)?([A-Za-z_]\w*)\s*$""".r
+
+  /** `<plain ref> [CROSS|INNER] JOIN (SELECT aggs FROM <path>) alias` —
+    * the join-syntax spelling of the correlated aggregating subquery
+    * (multiple-distinct-aggs.test's
+    * `complextypestbl a cross join (select count(distinct item) … from
+    * a.int_array) v`).
+    */
+  private val joinAggSubRe =
+    ("""(?is)^\s*([A-Za-z_]\w*(?:\s+(?:as\s+)?[A-Za-z_]\w*)?)\s+""" +
+      """(?:cross\s+|inner\s+)?join\s+\(\s*(select\b.*)\)\s*""" +
+      """(?:as\s+)?([A-Za-z_]\w*)\s*$""").r
+
+  private val subBodyRe =
+    ("""(?is)^\s*select\s+(.*?)\s+from\s+""" +
+      """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?""" +
+      """(?:\s+where\s+(.*))?\s*$""").r
+
+  /** Rewrite one FROM clause's comma items. Returns the new clause text
+    * (None when nothing is a collection ref) plus the clause's alias
+    * scope — needed by the caller for correlated-EXISTS conversion in
+    * the scope's WHERE tail.
     */
   private def rewriteFromClause(spark: SparkSession,
-      clause: String): Option[String] = {
+      clause: String): (Option[String], Scope) = {
     val items = splitTopLevel(clause)
-    if (!items.exists(it => pathItemRe.findFirstIn(it).isDefined))
-      return None
     val scope = Scope(scala.collection.mutable.LinkedHashMap.empty)
     val baseItems = scala.collection.mutable.ArrayBuffer.empty[String]
     val laterals = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -201,6 +249,43 @@ object NestedRefs {
 
     def tableSchema(name: String): Option[StructType] =
       Try(spark.table(name).schema).toOption
+
+    // Resolve a dotted path against the scope (relative, correlated) or
+    // the catalog (absolute — an INDEPENDENT hidden base instance per
+    // ref, as in the reference's Path resolution: an explicit alias
+    // shadows the table name, and `region.r_nations n1, region.r_nations
+    // n2` are two separate scans, not a shared one). Base-item/lateral
+    // emission happens only once the path is known-walkable.
+    def addCollectionRef(segs: Seq[String], alias: String,
+        filteredExpr: String => String, outer: Boolean): Boolean = {
+      val head = segs.head
+      val resolved: Option[(Option[String], DataType, Seq[String])] =
+        scope.lookup(head) match {
+          case Some(t) => Some((None, t, segs.tail))
+          case None => tableSchema(head).map(sch => (Some(head), sch, segs.tail))
+        }
+      resolved match {
+        case Some((hiddenTbl, baseType, rest))
+            if rest.nonEmpty && walkable(baseType, rest) =>
+          val baseName = hiddenTbl match {
+            case Some(tn) =>
+              counter += 1
+              val h = s"__t$counter"
+              baseItems += s"$tn $h"
+              h
+            case None => head
+          }
+          val userAlias = Option(alias).getOrElse(segs.last)
+          val (views, rowType) =
+            buildLaterals(baseName, baseType, rest, userAlias,
+              () => { counter += 1; counter }, filteredExpr, outer)
+          laterals ++= views
+          scope.aliases(userAlias) = rowType
+          changed = true
+          true
+        case _ => false
+      }
+    }
 
     items.foreach { raw =>
       raw match {
@@ -214,46 +299,280 @@ object NestedRefs {
           baseItems += raw
         case pathItemRe(path, alias) if alias == null ||
             !aliasGuard.contains(alias.toLowerCase) =>
-          val segs = path.split('.').toSeq
-          val head = segs.head
-          // resolve the base: previously-bound alias, else a table
-          val resolved: Option[(String, DataType, Seq[String])] =
-            scope.lookup(head) match {
-              case Some(t) => Some((head, t, segs.tail))
-              case None =>
-                tableSchema(head) match {
-                  case Some(sch) =>
-                    if (!scope.aliases.exists(_._1.equalsIgnoreCase(head)))
-                      scope.aliases(head) = sch
-                    // absolute ref: implicitly add the base table once
-                    if (!baseItems.exists(b =>
-                        b.trim.split("""\s+""").headOption
-                          .exists(_.equalsIgnoreCase(head))))
-                      baseItems += head
-                    Some((head, sch, segs.tail))
-                  case None => None
-                }
-            }
-          resolved match {
-            case Some((baseName, baseType, rest))
-                if rest.nonEmpty && walkable(baseType, rest) =>
-              val userAlias = Option(alias).getOrElse(segs.last)
-              val (views, rowType) =
-                buildLaterals(baseName, baseType, rest, userAlias,
-                  () => { counter += 1; counter })
-              laterals ++= views
-              scope.aliases(userAlias) = rowType
-              changed = true
-            case _ =>
-              baseItems += raw
+          if (!addCollectionRef(path.split('.').toSeq, alias,
+              identity, outer = false))
+            baseItems += raw
+        case collJoinRe(left, joinKw, path, alias, cond) =>
+          // left side registers like a plain ref
+          val leftHandled = left match {
+            case plainItemRe(name, lAlias) =>
+              tableSchema(name) match {
+                case Some(sch) =>
+                  scope.aliases(Option(lAlias).getOrElse(name)) = sch
+                  true
+                case None => false
+              }
+            case _ => false
           }
+          val segs = path.split('.').toSeq
+          val elemType = elementTypeOf(scope, segs)
+          val outer = joinKw.toLowerCase.contains("left")
+          val handled = leftHandled && elemType.isDefined && {
+            val filt: String => String = expr =>
+              Option(cond) match {
+                case Some(c) =>
+                  val c2 = qualifyCond(c.trim, Option(alias)
+                    .getOrElse(segs.last), elemType.get, "__x")
+                  s"filter($expr, __x -> ($c2))"
+                case None => expr
+              }
+            baseItems += left.trim
+            addCollectionRef(segs, alias, filt, outer)
+          }
+          if (!handled) baseItems += raw
+        case aggSubItemRe(body, alias) =>
+          if (!rewriteAggSubquery(scope, body, alias, laterals))
+            baseItems += raw
+          else changed = true
+        case joinAggSubRe(left, body, alias) =>
+          val leftOk = left match {
+            case plainItemRe(name, lAlias) =>
+              tableSchema(name).map { sch =>
+                scope.aliases(Option(lAlias).getOrElse(name)) = sch
+              }.isDefined
+            case _ => false
+          }
+          if (leftOk && {
+              baseItems += left.trim
+              val ok = rewriteAggSubquery(scope, body, alias, laterals)
+              if (!ok) baseItems.remove(baseItems.length - 1)
+              ok
+            }) changed = true
+          else baseItems += raw
         case _ =>
           baseItems += raw
       }
     }
-    if (!changed) None
-    else Some(" " + (baseItems.map(_.trim).mkString(", ") + " " +
-      laterals.mkString(" ")).trim + " ")
+    val rewritten =
+      if (!changed) None
+      else Some(" " + (baseItems.map(_.trim).mkString(", ") + " " +
+        laterals.mkString(" ")).trim + " ")
+    (rewritten, scope)
+  }
+
+  /** Element type of a collection path if it resolves within the scope
+    * through struct-only steps to an array (None otherwise — such paths
+    * are left to the generic machinery).
+    */
+  private def elementTypeOf(scope: Scope,
+      segs: Seq[String]): Option[DataType] = {
+    val base: Option[DataType] = scope.lookup(segs.head)
+    base.flatMap { t =>
+      var cur: DataType = t
+      for (seg <- segs.tail) cur match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(seg)) match {
+            case Some(f) => cur = f.dataType
+            case None => return None
+          }
+        case _ => return None
+      }
+      cur match {
+        case ArrayType(elem, _) => Some(elem)
+        case _ => None
+      }
+    }
+  }
+
+  /** Qualify an expression/predicate so it can run as a lambda over one
+    * collection element: `alias.item.f`/`alias.f`/bare field names →
+    * `__x.f` (struct elements), `alias.item`/bare `item` → `__x`
+    * (scalar elements). Quote-aware; function-call tokens are left
+    * alone. Mirrors the reference's Path resolution where the implicit
+    * `item` names the array element itself.
+    */
+  private def qualifyCond(cond: String, alias: String,
+      elemType: DataType, lambdaVar: String): String = {
+    def replace(s: String, re: scala.util.matching.Regex,
+        f: scala.util.matching.Regex.Match => String): String = {
+      val (_, qq) = ImpalaDialect.depthMap(s)
+      re.replaceAllIn(s, m =>
+        if (qq(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+        else java.util.regex.Matcher.quoteReplacement(f(m)))
+    }
+    val a = java.util.regex.Pattern.quote(alias)
+    // alias.item.f → __x.f ; alias.item → __x
+    var out = replace(cond,
+      ("""(?i)(?<![\w.])""" + a + """\s*\.\s*item\s*\.""").r,
+      _ => lambdaVar + ".")
+    out = replace(out,
+      ("""(?i)(?<![\w.])""" + a + """\s*\.\s*item\b""").r, _ => lambdaVar)
+    out = replace(out,
+      ("""(?i)(?<![\w.])""" + a + """\s*\.""").r, _ => lambdaVar + ".")
+    elemType match {
+      case st: StructType =>
+        st.fields.map(_.name).foreach { f =>
+          val fre = ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(f) +
+            """\b(?!\s*\()""").r
+          out = replace(out, fre, _ => s"$lambdaVar.$f")
+        }
+      case _ =>
+        // scalar elements: the bare implicit `item` is the element
+        out = replace(out, """(?i)(?<![\w.])item\b(?!\s*[(.])""".r,
+          _ => lambdaVar)
+    }
+    out
+  }
+
+  /** Impala's aggregate result type for a collection-element field —
+    * used to type the `aggregate()` HOF that replaces a correlated
+    * aggregating FROM-subquery (sum widens DECIMAL(p,s)→(38,s),
+    * integers→BIGINT, floats→DOUBLE; aggregate-functions.cc).
+    */
+  private def sumTypeOf(dt: DataType): Option[String] = dt match {
+    case d: DecimalType => Some(s"DECIMAL(38,${d.scale})")
+    case ByteType | ShortType | IntegerType | LongType => Some("BIGINT")
+    case FloatType | DoubleType => Some("DOUBLE")
+    case _ => None
+  }
+
+  /** Convert a correlated aggregating FROM-subquery over a collection
+    * into a one-row lateral view of HOF aggregates:
+    * `(select sum(l_quantity) s from o.o_lineitems) l` →
+    * `LATERAL VIEW inline(array(named_struct('s', …aggregate(…)…))) l AS s`.
+    * Returns false (leave untouched) for anything outside the
+    * sum/count/min/max-over-element-fields shape.
+    */
+  private def rewriteAggSubquery(scope: Scope, body: String, alias: String,
+      laterals: scala.collection.mutable.ArrayBuffer[String]): Boolean = {
+    body match {
+      case subBodyRe(selectList, path, subAlias, cond) =>
+        val segs = path.split('.').toSeq
+        if (segs.length < 2) return false
+        val elemType = elementTypeOf(scope, segs)
+          .getOrElse(return false)
+        val collExpr = segs.mkString(".")
+        val lam = "__x"
+        val subAliasName = Option(subAlias).getOrElse(segs.last)
+        def qual(e: String): String =
+          qualifyCond(e.trim, subAliasName, elemType, lam)
+        val filtered = Option(cond) match {
+          case Some(c) => s"filter($collExpr, $lam -> (${qual(c)}))"
+          case None => collExpr
+        }
+        // the element value (or field) an aggregate argument denotes,
+        // plus its type — bare `item`/`alias.item` is the element
+        // itself for scalar arrays
+        def fieldOf(a: String): Option[(String, DataType)] = elemType match {
+          case st: StructType =>
+            st.fields.find(_.name.equalsIgnoreCase(a))
+              .map(f => (s"$lam.${f.name}", f.dataType))
+          case t if a.equalsIgnoreCase("item") ||
+              a.equalsIgnoreCase(s"$subAliasName.item") => Some((lam, t))
+          case _ => None
+        }
+        val aggRe =
+          """(?is)^\s*(sum|count|min|max)\s*\(\s*(distinct\s+)?(.*)\)\s+(?:as\s+)?([A-Za-z_]\w*)\s*$""".r
+        val entries = splitTopLevel(selectList).map {
+          case aggRe(fn, distinct, arg, name) =>
+            val a = arg.trim
+            // DISTINCT folds through array_distinct over the projected
+            // values (null elements dropped first, as aggs ignore NULL)
+            def proj: Option[String] = fieldOf(a) match {
+              case Some((e, _)) =>
+                val vs = s"transform(filter($filtered, $lam -> $e IS NOT NULL), $lam -> $e)"
+                Some(if (distinct != null) s"array_distinct($vs)" else vs)
+              case None => None
+            }
+            fn.toLowerCase match {
+              case "count" if a == "*" && distinct == null =>
+                Some((name, s"bigint(coalesce(size($filtered), 0))"))
+              case "count" if fieldOf(a).isDefined =>
+                proj.map(p => (name, s"bigint(coalesce(size($p), 0))"))
+              case "count" if distinct == null =>
+                // general expression: count of non-NULL evaluations
+                Some((name,
+                  s"bigint(coalesce(size(filter($filtered, $lam -> (${qual(a)}) IS NOT NULL)), 0))"))
+              case "min" | "max" =>
+                val fn2 = if (fn.equalsIgnoreCase("min")) "array_min" else "array_max"
+                proj.map(p => (name, s"$fn2($p)"))
+              case "sum" =>
+                fieldOf(a).flatMap { case (_, dt) =>
+                  sumTypeOf(dt).flatMap { t =>
+                    proj.map { p =>
+                      // NULL on empty (Impala's sum over zero rows), else
+                      // an exact fold at the widened type
+                      (name,
+                        s"IF(coalesce(size($p), 0) = 0, CAST(NULL AS $t), " +
+                        s"aggregate($p, CAST(0 AS $t), (__a, $lam) -> __a + $lam))")
+                    }
+                  }
+                }
+              case _ => None
+            }
+          case _ => None
+        }
+        if (entries.exists(_.isEmpty) || entries.isEmpty) return false
+        val es = entries.flatten
+        val structArgs = es.map { case (n, e) => s"'$n', $e" }.mkString(", ")
+        val outCols = es.map(_._1).mkString(", ")
+        laterals +=
+          s"LATERAL VIEW inline(array(named_struct($structArgs))) $alias AS $outCols"
+        scope.aliases(alias) = StructType(
+          es.map { case (n, _) => StructField(n, NullType) })
+        true
+      case _ => false
+    }
+  }
+
+  /** Convert `[NOT] EXISTS (SELECT … FROM <collection path> [alias]
+    * [WHERE cond])` in one scope's tail into a null-safe `exists()` HOF
+    * over the collection (the reference plans these as correlated
+    * subplans over the same row's collection —
+    * tpch_nested-q4/q21/q22). Non-matching EXISTS bodies are left for
+    * Spark's own correlated-subquery planner.
+    */
+  private def rewriteExists(text: String, scope: Scope): String = {
+    if (scope.aliases.isEmpty) return text
+    val existsRe = """(?i)\b(not\s+)?exists\s*\(""".r
+    val (d, q) = ImpalaDialect.depthMap(text)
+    val ms = existsRe.findAllMatchIn(text).toSeq
+      .filter(m => !q(m.start)).reverse
+    var out = text
+    ms.foreach { m =>
+      val open = m.end - 1
+      val close = matching(text, open, d, q)
+      if (close > open) {
+        val body = text.substring(open + 1, close)
+        val lower = body.toLowerCase
+        val hasClause = Seq("group by", "order by", "limit", "union",
+          "intersect", "except").exists(lower.contains)
+        if (!hasClause) body match {
+          case subBodyRe(_, path, subAlias, cond) =>
+            val segs = path.split('.').toSeq
+            if (segs.length >= 2 && scope.lookup(segs.head).isDefined) {
+              elementTypeOf(scope, segs).foreach { elemType =>
+                val collExpr = segs.mkString(".")
+                val neg = m.group(1) != null
+                val repl = Option(cond) match {
+                  case Some(c) =>
+                    val c2 = qualifyCond(c.trim,
+                      Option(subAlias).getOrElse(segs.last), elemType, "__x")
+                    val e = s"coalesce(exists($collExpr, __x -> ($c2)), false)"
+                    if (neg) s"(NOT $e)" else s"($e)"
+                  case None =>
+                    if (neg) s"(coalesce(size($collExpr), 0) = 0)"
+                    else s"(coalesce(size($collExpr), 0) > 0)"
+                }
+                out = out.substring(0, m.start) + repl +
+                  out.substring(close + 1)
+              }
+            }
+          case _ =>
+        }
+      }
+    }
+    out
   }
 
   /** Can the path be walked from the base row type to a collection?
@@ -295,7 +614,8 @@ object NestedRefs {
     * (`d.item i`, `g.value.h.i`) walk it exactly like a table schema.
     */
   private def buildLaterals(baseName: String, baseType: DataType,
-      path: Seq[String], userAlias: String, nextId: () => Int)
+      path: Seq[String], userAlias: String, nextId: () => Int,
+      filteredExpr: String => String = identity, outer: Boolean = false)
       : (Seq[String], StructType) = {
     val views = scala.collection.mutable.ArrayBuffer.empty[String]
     var expr = baseName
@@ -340,7 +660,8 @@ object NestedRefs {
         val structArgs = (Seq(s"'pos', bigint(__p$id)", s"'item', __i$id") ++
           fields.map(f => s"'${f.name}', __i$id.${f.name}")).mkString(", ")
         val outCols = (Seq("pos", "item") ++ fields.map(_.name)).mkString(", ")
-        views += s"LATERAL VIEW posexplode($expr) __e$id AS __p$id, __i$id"
+        val kw = if (outer) "LATERAL VIEW OUTER" else "LATERAL VIEW"
+        views += s"$kw posexplode(${filteredExpr(expr)}) __e$id AS __p$id, __i$id"
         views += s"LATERAL VIEW inline(array(named_struct($structArgs))) " +
           s"$userAlias AS $outCols"
         (views.toSeq, StructType(

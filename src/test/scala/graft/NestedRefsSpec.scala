@@ -100,4 +100,39 @@ class NestedRefsSpec extends SparkSpecBase {
       .head().getLong(0)
     assert(n == 10)
   }
+
+  test("left outer join on a collection with ON condition (tpch_nested-q13 shape)") {
+    val got = sql1(
+      "select id, count(item) as c from complextypestbl t " +
+        "left outer join t.int_array on (item > 1) group by id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every row survives; only items matching the ON condition count
+    assert(got(1L) == 2 && got(2L) == 2 && got(8L) == 0)
+    assert(got.size == 8 && got.values.sum == 4)
+  }
+
+  test("correlated FROM-agg subquery becomes HOF lateral (tpch_nested-q18 shape)") {
+    val got = sql1(
+      "select id, v.s, v.c from complextypestbl t, " +
+        "(select sum(item) s, count(*) c from t.int_array) v where id <= 3")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2))).toSet
+    // id=1 [1,2,3]; id=2 [null,1,2,null,3,null] (count(*) counts NULL
+    // items); id=3 [] → agg subquery still yields one row, NULL sum
+    assert(got == Set((1L, 6L, 3L), (2L, 6L, 6L), (3L, null, 0L))
+      .asInstanceOf[Set[(Long, Any, Long)]])
+  }
+
+  test("correlated EXISTS/NOT EXISTS over a collection become HOFs (q4/q22 shapes)") {
+    val ex = sql1(
+      "select id from complextypestbl t where " +
+        "exists (select * from t.int_array where item > 2)")
+      .collect().map(_.getLong(0)).toSet
+    assert(ex == Set(1L, 2L))
+    val notEx = sql1(
+      "select count(*) from complextypestbl t where " +
+        "not exists (select item from t.int_array)").head().getLong(0)
+    // empty (id=3) and NULL (ids 4-7) collections both qualify
+    assert(notEx == 5)
+  }
 }

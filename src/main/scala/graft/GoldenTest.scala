@@ -95,6 +95,18 @@ object GoldenTest {
   /** First QUERY section of `tpch-qN.test`. */
   def tpchCase(n: Int): Case =
     load(tpchQueryDir.resolve(s"tpch-q$n.test")).head
+
+  /** The nested-schema TPC-H workload (`tpch_nested-qN.test`, runner
+    * `tests/query_test/test_tpch_nested_queries.py`).
+    */
+  val tpchNestedQueryDir: Path = Paths.get(
+    sys.env.getOrElse("GRAFT_GOLDEN_TPCH_NESTED_DIR",
+      "/root/reference/testdata/workloads/tpch_nested/queries"))
+
+  def nestedAvailable: Boolean = Files.isDirectory(tpchNestedQueryDir)
+
+  def tpchNestedCase(n: Int): Case =
+    load(tpchNestedQueryDir.resolve(s"tpch_nested-q$n.test")).head
 }
 
 /** Golden `---- RESULTS` comparator mirroring

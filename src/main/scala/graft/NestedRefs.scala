@@ -244,6 +244,9 @@ object NestedRefs {
     val scope = Scope(scala.collection.mutable.LinkedHashMap.empty)
     val baseItems = scala.collection.mutable.ArrayBuffer.empty[String]
     val laterals = scala.collection.mutable.ArrayBuffer.empty[String]
+    // aliases defined by trailing LATERAL VIEWs — refs rooted at them
+    // must stay trailing too (they'd otherwise precede their definition)
+    val trailingAliases = scala.collection.mutable.Set.empty[String]
     var counter = 0
     var changed = false
 
@@ -265,21 +268,63 @@ object NestedRefs {
           case None => tableSchema(head).map(sch => (Some(head), sch, segs.tail))
         }
       resolved match {
-        case Some((hiddenTbl, baseType, rest))
-            if rest.nonEmpty && walkable(baseType, rest) =>
-          val baseName = hiddenTbl match {
+        case Some((hiddenTbl, baseType0, rest0))
+            if rest0.nonEmpty && walkable(baseType0, rest0) =>
+          // An absolute ref's hidden base projects ONLY the path's root
+          // column under a hidden name — the reference's implicit
+          // parent ref exposes no columns (Path.java), and a bare
+          // `tbl t, tbl.arr x` join would otherwise make every column
+          // of tbl ambiguous
+          val (baseName, baseType, rest) = hiddenTbl match {
             case Some(tn) =>
               counter += 1
               val h = s"__t$counter"
-              baseItems += s"$tn $h"
-              h
-            case None => head
+              val rootCol = rest0.head
+              val rootType = baseType0 match {
+                case st: StructType =>
+                  st.fields.find(_.name.equalsIgnoreCase(rootCol)).get.dataType
+                case other => other
+              }
+              baseItems += s"(SELECT $rootCol AS __b$counter FROM $tn) $h"
+              (h, StructType(Seq(StructField(s"__b$counter", rootType))),
+                s"__b$counter" +: rest0.tail)
+            case None => (head, baseType0, rest0)
           }
           val userAlias = Option(alias).getOrElse(segs.last)
-          val (views, rowType) =
-            buildLaterals(baseName, baseType, rest, userAlias,
-              () => { counter += 1; counter }, filteredExpr, outer)
-          laterals ++= views
+          // Positioned lateral subqueries need the correlated column
+          // itself to be the collection (Spark's DecorrelateInnerQuery
+          // rejects struct-typed correlated refs); paths that ride
+          // through structs fall back to trailing LATERAL VIEWs.
+          val firstIsCollection = baseType match {
+            case st: StructType =>
+              st.fields.find(_.name.equalsIgnoreCase(rest.head))
+                .exists(f => f.dataType.isInstanceOf[ArrayType] ||
+                  f.dataType.isInstanceOf[MapType])
+            case _ => false
+          }
+          val baseIsTrailing =
+            trailingAliases.exists(_.equalsIgnoreCase(head))
+          // a MAP final behind an intermediate explode needs a
+          // two-column generator inside the subquery, which Spark's
+          // decorrelator rejects ("correlated reference cannot be
+          // array type") — only that shape goes trailing
+          val multiLevelMapFinal = rest.length > 1 &&
+            walkFinal(baseType, rest).exists(_.isInstanceOf[MapType])
+          val rowType =
+            if (firstIsCollection && !baseIsTrailing && !multiLevelMapFinal) {
+              val (lateralItem, rt) =
+                buildLaterals(baseName, baseType, rest, userAlias,
+                  () => { counter += 1; counter }, filteredExpr, outer)
+              baseItems += lateralItem
+              rt
+            } else {
+              val (views, rt) =
+                buildTrailingViews(baseName, baseType, rest, userAlias,
+                  () => { counter += 1; counter }, filteredExpr, outer)
+              laterals ++= views
+              trailingAliases += userAlias
+              rt
+            }
           scope.aliases(userAlias) = rowType
           changed = true
           true
@@ -594,8 +639,18 @@ object NestedRefs {
             case None => return false
           }
         case ArrayType(elem, _) =>
-          if (!seg.equalsIgnoreCase("item")) return false
-          cur = elem
+          // explicit `item` step, or an implicit step into a struct
+          // element whose field the segment names (Impala Path
+          // resolution: `customer.c_orders.o_lineitems` needs no
+          // `.item` — tpch_nested-q1/q6/q12...)
+          if (seg.equalsIgnoreCase("item")) cur = elem
+          else elem match {
+            case st: StructType
+                if st.fields.exists(_.name.equalsIgnoreCase(seg)) =>
+              cur = elem
+              i -= 1 // re-examine the segment against the element
+            case _ => return false
+          }
         case MapType(kt, vt, _) =>
           if (seg.equalsIgnoreCase("value")) cur = vt
           else if (seg.equalsIgnoreCase("key")) cur = kt
@@ -607,13 +662,63 @@ object NestedRefs {
     cur.isInstanceOf[ArrayType] || cur.isInstanceOf[MapType]
   }
 
-  /** Emit the LATERAL VIEW chain for one collection ref. Returns the
-    * view SQL plus the ref's ROW TYPE — the StructType of the columns
-    * the new alias exposes (pos/item [+ element fields] for arrays,
-    * key/value for maps) — registered in scope so later relative refs
-    * (`d.item i`, `g.value.h.i`) walk it exactly like a table schema.
+  /** The final collection type a walkable path lands on (None when the
+    * walk fails — callers check [[walkable]] separately).
     */
-  private def buildLaterals(baseName: String, baseType: DataType,
+  private def walkFinal(base: DataType, path: Seq[String]): Option[DataType] = {
+    var cur: DataType = base
+    var i = 0
+    while (i < path.length) {
+      val seg = path(i)
+      cur match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(seg)) match {
+            case Some(f) => cur = f.dataType
+            case None => return None
+          }
+        case ArrayType(elem, _) =>
+          if (seg.equalsIgnoreCase("item")) cur = elem
+          else elem match {
+            case st: StructType
+                if st.fields.exists(_.name.equalsIgnoreCase(seg)) =>
+              cur = elem
+              i -= 1
+            case _ => return None
+          }
+        case MapType(kt, vt, _) =>
+          if (seg.equalsIgnoreCase("value")) cur = vt
+          else if (seg.equalsIgnoreCase("key")) cur = kt
+          else return None
+        case _ => return None
+      }
+      i += 1
+    }
+    Some(cur)
+  }
+
+  /** Emit ONE positioned `LATERAL (SELECT … FROM posexplode(…)) alias`
+    * item for a collection ref, plus the ref's ROW TYPE — the
+    * StructType of the columns the alias exposes (pos/item [+ element
+    * fields] for arrays, key/value for maps) — registered in scope so
+    * later relative refs (`d.item i`, `g.value.h.i`) walk it exactly
+    * like a table schema.
+    *
+    * A positioned lateral subquery (not a trailing LATERAL VIEW) is
+    * load-bearing for plan shape: Spark rewrites it into a Generate
+    * DIRECTLY over the ref's base relation, before any join with the
+    * other FROM items — so `customer c, c.c_orders o, …, supplier s`
+    * explodes customer first and then hash-joins, instead of
+    * cross-joining every base table and exploding the product (which
+    * is O(|c|·|s|·…) and unusable at any scale — the flat-join shape
+    * the reference's Subplan node produces, `be/src/exec/
+    * subplan-node.cc`).
+    */
+  /** Trailing LATERAL VIEW emission for paths that navigate structs
+    * before reaching a collection (positioned lateral subqueries can't
+    * carry struct-typed correlated refs). Only reached for
+    * struct-nested paths (scanner-test shapes, single-base FROMs).
+    */
+  private def buildTrailingViews(baseName: String, baseType: DataType,
       path: Seq[String], userAlias: String, nextId: () => Int,
       filteredExpr: String => String = identity, outer: Boolean = false)
       : (Seq[String], StructType) = {
@@ -621,8 +726,6 @@ object NestedRefs {
     var expr = baseName
     var cur: DataType = baseType
     var i = 0
-    // struct-field steps ride the expression text; each intermediate
-    // collection becomes a hidden explode
     while (i < path.length) {
       val seg = path(i)
       cur match {
@@ -631,11 +734,16 @@ object NestedRefs {
           expr = s"$expr.$seg"
           cur = f.dataType
         case ArrayType(elem, _) =>
-          // more path after an array: `item` enters the element
           val id = nextId()
           views += s"LATERAL VIEW explode($expr) __g$id AS __c$id"
           expr = s"__g$id.__c$id"
           cur = elem
+          val implicitStep = !seg.equalsIgnoreCase("item") && (elem match {
+            case st: StructType =>
+              st.fields.exists(_.name.equalsIgnoreCase(seg))
+            case _ => false
+          })
+          if (implicitStep) i -= 1
         case MapType(kt, vt, _) =>
           val id = nextId()
           views += s"LATERAL VIEW explode($expr) __g$id AS __k$id, __v$id"
@@ -646,11 +754,8 @@ object NestedRefs {
       }
       i += 1
     }
-    // `expr` now denotes the final collection
     cur match {
       case ArrayType(elem, _) =>
-        // Impala's pos is BIGINT (`RowBatch` positional slot); Spark's
-        // posexplode emits INT, so the inline view re-exposes it cast.
         val id = nextId()
         val fields = elem match {
           case st: StructType => st.fields.filterNot(f =>
@@ -668,8 +773,118 @@ object NestedRefs {
           StructField("pos", LongType) +: StructField("item", elem) +:
             fields.toSeq))
       case MapType(kt, vt, _) =>
-        views += s"LATERAL VIEW explode($expr) $userAlias AS key, value"
+        views += s"LATERAL VIEW explode(${filteredExpr(expr)}) " +
+          s"$userAlias AS key, value"
         (views.toSeq, StructType(Seq(
+          StructField("key", kt), StructField("value", vt))))
+      case other =>
+        throw new IllegalStateException(s"non-collection final $other")
+    }
+  }
+
+  private def buildLaterals(baseName: String, baseType: DataType,
+      path: Seq[String], userAlias: String, nextId: () => Int,
+      filteredExpr: String => String = identity, outer: Boolean = false)
+      : (String, StructType) = {
+    // inner lateral views for intermediate collections (beyond the
+    // first, which becomes the subquery's FROM table-function)
+    val innerViews = scala.collection.mutable.ArrayBuffer.empty[String]
+    var fromTvf: Option[String] = None
+    var expr = baseName
+    var cur: DataType = baseType
+    var i = 0
+
+    def explodeStep(e: String): String = {
+      val id = nextId()
+      if (fromTvf.isEmpty) {
+        fromTvf = Some(s"explode($e) AS __g$id")
+        s"__g$id.col"
+      } else {
+        innerViews += s"LATERAL VIEW explode($e) __g$id AS __c$id"
+        s"__g$id.__c$id"
+      }
+    }
+
+    // struct-field steps ride the expression text; each intermediate
+    // collection becomes a hidden explode
+    while (i < path.length) {
+      val seg = path(i)
+      cur match {
+        case st: StructType =>
+          val f = st.fields.find(_.name.equalsIgnoreCase(seg)).get
+          expr = s"$expr.$seg"
+          cur = f.dataType
+        case ArrayType(elem, _) =>
+          // more path after an array: `item` (explicit or implied by a
+          // struct-element field name) enters the element
+          expr = explodeStep(expr)
+          cur = elem
+          val implicitStep = !seg.equalsIgnoreCase("item") && (elem match {
+            case st: StructType =>
+              st.fields.exists(_.name.equalsIgnoreCase(seg))
+            case _ => false
+          })
+          if (implicitStep) i -= 1 // re-examine against the element
+        case MapType(kt, vt, _) =>
+          val id = nextId()
+          if (fromTvf.isEmpty) {
+            fromTvf = Some(s"explode($expr) AS __g$id")
+            if (seg.equalsIgnoreCase("key")) { expr = s"__g$id.key"; cur = kt }
+            else { expr = s"__g$id.value"; cur = vt }
+          } else {
+            innerViews += s"LATERAL VIEW explode($expr) __g$id AS __k$id, __v$id"
+            if (seg.equalsIgnoreCase("key")) { expr = s"__g$id.__k$id"; cur = kt }
+            else { expr = s"__g$id.__v$id"; cur = vt }
+          }
+        case other =>
+          throw new IllegalStateException(s"unwalkable $other at $seg")
+      }
+      i += 1
+    }
+
+    // `expr` now denotes the final collection
+    def item(proj: String): String = {
+      val from = fromTvf.get
+      s"LATERAL (SELECT $proj FROM $from ${innerViews.mkString(" ")}) $userAlias"
+    }
+    cur match {
+      case ArrayType(elem, _) =>
+        // Impala's pos is BIGINT (`RowBatch` positional slot); Spark's
+        // posexplode emits INT, so the projection re-exposes it cast.
+        val id = nextId()
+        val fields = elem match {
+          case st: StructType => st.fields.filterNot(f =>
+            f.name.equalsIgnoreCase("pos") || f.name.equalsIgnoreCase("item"))
+          case _ => Array.empty[StructField]
+        }
+        val fn = if (outer) "posexplode_outer" else "posexplode"
+        val (pcol, icol) =
+          if (fromTvf.isEmpty) {
+            fromTvf = Some(s"$fn(${filteredExpr(expr)}) AS __e$id")
+            (s"__e$id.pos", s"__e$id.col")
+          } else {
+            val kw = if (outer) "LATERAL VIEW OUTER" else "LATERAL VIEW"
+            innerViews +=
+              s"$kw $fn(${filteredExpr(expr)}) __e$id AS __p$id, __i$id"
+            (s"__p$id", s"__i$id")
+          }
+        val proj = (Seq(s"bigint($pcol) AS pos", s"$icol AS item") ++
+          fields.map(f => s"$icol.${f.name} AS ${f.name}")).mkString(", ")
+        (item(proj), StructType(
+          StructField("pos", LongType) +: StructField("item", elem) +:
+            fields.toSeq))
+      case MapType(kt, vt, _) =>
+        val id = nextId()
+        val (kcol, vcol) =
+          if (fromTvf.isEmpty) {
+            fromTvf = Some(s"explode(${filteredExpr(expr)}) AS __e$id")
+            (s"__e$id.key", s"__e$id.value")
+          } else {
+            innerViews += s"LATERAL VIEW explode(${filteredExpr(expr)}) " +
+              s"__e$id AS __k$id, __v$id"
+            (s"__k$id", s"__v$id")
+          }
+        (item(s"$kcol AS key, $vcol AS value"), StructType(Seq(
           StructField("key", kt), StructField("value", vt))))
       case other =>
         throw new IllegalStateException(s"non-collection final $other")

@@ -29,12 +29,11 @@ import org.apache.spark.sql.SparkSession
   *   - money columns served as DECIMAL(12,2) so sums are exact and
   *     order-independent in both engines (Q.scala parity rules)
   *
-  * Excluded from the oracle gate (still executed + TYPES-checked in
-  * GoldenTpchSpec): q1/q8/q14/q17, whose outputs contain decimal
-  * avg/division — Spark returns exact DECIMAL with its scale rules,
-  * DuckDB returns DOUBLE (avg) or a different division scale, so the
-  * hash compare diverges on representation, not semantics (their
-  * semantics are already gated via the repo's tpch_qN formulations).
+  * All 22 queries are oracle-gated. q1/q8/q14/q17's decimal
+  * avg/division outputs — where Spark returns exact DECIMAL at its
+  * scale rules and DuckDB DOUBLE — are pinned to DECIMAL(38,6) on both
+  * engines (goldenDefVia decimalCols), comparing the value rather than
+  * the representation.
   */
 object GoldenQueries extends QueryGroup {
 
@@ -152,16 +151,18 @@ object GoldenQueries extends QueryGroup {
 
   def oracleSql(goldenQuery: String): String = catalog.oracleSql(goldenQuery)
 
-  /** Golden queries in the driver oracle gate: every tpch-qN whose
-    * output is hash-stable across engines (see class doc for the four
-    * exclusions).
+  /** Golden queries in the driver oracle gate: ALL 22 — q1/q8/q14/q17's
+    * avg / decimal-division output columns pin both engines to
+    * DECIMAL(38,6) instead of DOUBLE (Spark computes them as exact
+    * decimals at scale 6, DuckDB as DOUBLE; rounding both to the same
+    * scale compares the value, not the representation).
     */
-  val oracleGated: Seq[Int] =
-    Seq(2, 3, 4, 5, 6, 7, 9, 10, 11, 12, 13, 15, 16, 18, 19, 20, 21, 22)
+  val oracleGated: Seq[Int] = (1 to 22)
 
   def defs: Seq[Q.Def] =
     if (!GoldenTest.available) Seq.empty
     else oracleGated.map { n =>
-      catalog.goldenDef(s"golden_q$n", GoldenTest.tpchCase(n))
+      catalog.goldenDef(s"golden_q$n", GoldenTest.tpchCase(n),
+        GoldenNestedQueries.decimalOverrides.getOrElse(n, Map.empty))
     }
 }

@@ -79,21 +79,56 @@ final class SubstitutionCatalog(val subs: Seq[Sub]) {
     * text verbatim through the dialect over the substituted views;
     * DuckDB runs the rewritten text; both normalize through c0..cK.
     */
-  def goldenDef(name: String, c: graft.GoldenTest.Case): Q.Def = {
-    val norm = normTypes(c.types)
+  def goldenDef(name: String, c: graft.GoldenTest.Case,
+      decimalCols: Map[Int, Int] = Map.empty): Q.Def = {
+    val query = c.query.stripSuffix(";")
+    goldenDefVia(name, c, c.types, (s, dir) => {
+      register(s, dir)
+      graft.ImpalaDialect.sql(s, query)
+    }, decimalCols)
+  }
+
+  /** Like [[goldenDef]] but with an arbitrary Spark-side runner —
+    * used by the nested TPC-H gate, where Spark executes the NESTED
+    * golden text over the nested catalog while DuckDB replays the FLAT
+    * golden text (`oracleCase`) over the raw parquet: the nested
+    * workload is defined to produce the flat answers
+    * (testdata/bin/load_nested.py derives one schema from the other).
+    *
+    * `decimalCols` pins named columns to DECIMAL(38,s) on BOTH engines
+    * instead of DOUBLE — closing the avg/division representation gap
+    * (Spark: exact decimal at its result scale; DuckDB: avg/division
+    * of decimals is DOUBLE) that kept q1/q8/q14/q17 out of the gate.
+    */
+  def goldenDefVia(name: String, oracleCase: graft.GoldenTest.Case,
+      types: Seq[String],
+      run: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+      decimalCols: Map[Int, Int] = Map.empty,
+      dateCols: Set[Int] = Set.empty): Q.Def = {
+    val norm = normTypes(types)
     val aliases = norm.indices.map("c" + _)
     val duckCasts = norm.zipWithIndex.map { case (t, i) =>
-      val d = if (t == "string") "VARCHAR" else t.toUpperCase
-      s"CAST(c$i AS $d) AS c$i"
+      // dateCols: the Spark side renders a date-only string (nested
+      // schema), the flat oracle a midnight TIMESTAMP — truncate
+      if (dateCols(i)) s"CAST(CAST(c$i AS DATE) AS VARCHAR) AS c$i"
+      else {
+        val d = decimalCols.get(i) match {
+          case Some(s) => s"DECIMAL(38,$s)"
+          case None => if (t == "string") "VARCHAR" else t.toUpperCase
+        }
+        s"CAST(c$i AS $d) AS c$i"
+      }
     }.mkString(", ")
-    val query = c.query.stripSuffix(";")
     val oracle =
-      s"SELECT $duckCasts FROM (\n${oracleSql(query)}\n) g(${aliases.mkString(", ")})"
+      s"SELECT $duckCasts FROM (\n${oracleSql(oracleCase.query.stripSuffix(";"))}\n) g(${aliases.mkString(", ")})"
     Q.Def(name, (s, dir) => {
-      register(s, dir)
-      val df = graft.ImpalaDialect.sql(s, query)
+      val df = run(s, dir)
       df.select(norm.zipWithIndex.map { case (t, i) =>
-        org.apache.spark.sql.functions.col(df.columns(i)).cast(t).as(s"c$i")
+        val target = decimalCols.get(i) match {
+          case Some(sc) => s"decimal(38,$sc)"
+          case None => t
+        }
+        org.apache.spark.sql.functions.col(df.columns(i)).cast(target).as(s"c$i")
       }: _*)
     }, Some(oracle))
   }

@@ -59,7 +59,17 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  ${dec2.format("l_extendedprice")} AS ss_sales_price,
          |  ${dec2.format("l_extendedprice")} AS ss_ext_sales_price,
          |  ${dec2.format("l_extendedprice")} * (1 - ${frac.format("l_discount")})
-         |    AS ss_net_profit
+         |    AS ss_net_profit,
+         |  ${dec2.format("l_extendedprice")} * (1 - ${frac.format("l_discount")})
+         |    AS ss_net_paid,
+         |  ${dec2.format("l_extendedprice")} * CAST(1.10 AS DECIMAL(4,2))
+         |    AS ss_list_price,
+         |  ${dec2.format("l_extendedprice")} * CAST(1.10 AS DECIMAL(4,2))
+         |    AS ss_ext_list_price,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.80 AS DECIMAL(4,2))
+         |    AS ss_ext_wholesale_cost,
+         |  ${dec2.format("l_extendedprice")} * ${frac.format("l_discount")}
+         |    AS ss_ext_discount_amt
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
     },
     dual("store_returns") { dn =>
@@ -69,6 +79,8 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  o_custkey AS sr_customer_sk,
          |  ${dn("l_shipdate")} + (l_orderkey % 60) AS sr_returned_date_sk,
          |  CAST(l_quantity AS BIGINT) AS sr_return_quantity,
+         |  l_suppkey AS sr_store_sk,
+         |  ${dec2.format("l_extendedprice")} AS sr_return_amt,
          |  ${dec2.format("l_extendedprice")} AS sr_net_loss
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_returnflag = 'R'""".stripMargin
@@ -86,7 +98,19 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  ${dec2.format("l_extendedprice")} AS cs_sales_price,
          |  ${dec2.format("l_extendedprice")} AS cs_ext_sales_price,
          |  ${dec2.format("l_extendedprice")} * (1 - ${frac.format("l_discount")})
-         |    AS cs_net_profit
+         |    AS cs_net_profit,
+         |  ${dec2.format("l_extendedprice")} * (1 - ${frac.format("l_discount")})
+         |    AS cs_net_paid,
+         |  ${dec2.format("l_extendedprice")} * CAST(1.10 AS DECIMAL(4,2))
+         |    AS cs_list_price,
+         |  ${dec2.format("l_extendedprice")} * CAST(1.10 AS DECIMAL(4,2))
+         |    AS cs_ext_list_price,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.80 AS DECIMAL(4,2))
+         |    AS cs_ext_wholesale_cost,
+         |  ${dec2.format("l_extendedprice")} * ${frac.format("l_discount")}
+         |    AS cs_ext_discount_amt,
+         |  o_custkey AS cs_ship_customer_sk,
+         |  o_custkey AS cs_ship_addr_sk
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_linenumber % 3 = 2""".stripMargin
     },
@@ -95,10 +119,28 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  l_orderkey AS cr_order_number,
          |  l_partkey AS cr_item_sk,
          |  ${dn("l_shipdate")} + (l_orderkey % 60) AS cr_returned_date_sk,
+         |  o_custkey AS cr_returning_customer_sk,
+         |  o_custkey AS cr_returning_addr_sk,
          |  ${dec2.format("l_extendedprice")} * ${frac.format("l_discount")}
-         |    AS cr_refunded_cash
-         |FROM lineitem
+         |    AS cr_refunded_cash,
+         |  ${dec2.format("l_extendedprice")} AS cr_return_amount,
+         |  ${dec2.format("l_extendedprice")} * (1 + ${frac.format("l_tax")})
+         |    AS cr_return_amt_inc_tax
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_linenumber % 3 = 2 AND l_returnflag = 'R'""".stripMargin
+    },
+    dual("web_returns") { dn =>
+      s"""SELECT
+         |  l_orderkey AS wr_order_number,
+         |  l_partkey AS wr_item_sk,
+         |  ${dn("l_shipdate")} + (l_orderkey % 60) AS wr_returned_date_sk,
+         |  o_custkey AS wr_returning_customer_sk,
+         |  o_custkey AS wr_returning_addr_sk,
+         |  ${dec2.format("l_extendedprice")} AS wr_return_amt,
+         |  ${dec2.format("l_extendedprice")} * (1 + ${frac.format("l_tax")})
+         |    AS wr_return_amt_inc_tax
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_linenumber % 3 = 1 AND l_returnflag = 'R'""".stripMargin
     },
     dual("web_sales") { dn =>
       s"""SELECT
@@ -113,6 +155,18 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  l_suppkey % 3 AS ws_web_site_sk,
          |  CAST(l_quantity AS BIGINT) AS ws_quantity,
          |  ${dec2.format("l_extendedprice")} AS ws_ext_sales_price,
+         |  ${dec2.format("l_extendedprice")} AS ws_sales_price,
+         |  ${dec2.format("l_extendedprice")} * CAST(1.10 AS DECIMAL(4,2))
+         |    AS ws_list_price,
+         |  ${dec2.format("l_extendedprice")} * CAST(1.10 AS DECIMAL(4,2))
+         |    AS ws_ext_list_price,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.80 AS DECIMAL(4,2))
+         |    AS ws_ext_wholesale_cost,
+         |  ${dec2.format("l_extendedprice")} * ${frac.format("l_discount")}
+         |    AS ws_ext_discount_amt,
+         |  o_custkey AS ws_ship_customer_sk,
+         |  ${dec2.format("l_extendedprice")} * (1 - ${frac.format("l_discount")})
+         |    AS ws_net_profit,
          |  ${dec2.format("l_extendedprice")} AS ws_net_paid
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_linenumber % 3 = 1""".stripMargin
@@ -127,6 +181,9 @@ object TpcdsGoldenQueries extends QueryGroup {
           |  day(cal_d) AS d_dom,
           |  quarter(cal_d) AS d_qoy,
           |  (year(cal_d) - 1900) * 12 + month(cal_d) - 1 AS d_month_seq,
+          |  CAST(floor(datediff(cal_d, DATE '1990-01-01') / 7) AS INT) + 100
+          |    AS d_week_seq,
+          |  '' || year(cal_d) || 'Q' || quarter(cal_d) AS d_quarter_name,
           |  date_format(cal_d, 'EEEE') AS d_day_name
           |FROM (SELECT explode(sequence(DATE '1995-01-01', DATE '2002-06-30',
           |  interval 1 day)) AS cal_d)""".stripMargin,
@@ -139,6 +196,9 @@ object TpcdsGoldenQueries extends QueryGroup {
           |  day(cal_d) AS d_dom,
           |  quarter(cal_d) AS d_qoy,
           |  (year(cal_d) - 1900) * 12 + month(cal_d) - 1 AS d_month_seq,
+          |  CAST(floor(datediff('day', DATE '1990-01-01', cal_d) / 7) AS INT) + 100
+          |    AS d_week_seq,
+          |  '' || year(cal_d) || 'Q' || quarter(cal_d) AS d_quarter_name,
           |  dayname(cal_d) AS d_day_name
           |FROM (SELECT CAST(range AS DATE) AS cal_d
           |      FROM range(DATE '1995-01-01', DATE '2002-07-01',
@@ -176,13 +236,24 @@ object TpcdsGoldenQueries extends QueryGroup {
         |  CASE ((p_partkey * 11) % 6)
         |    WHEN 0 THEN 'medium' WHEN 1 THEN 'extra large' WHEN 2 THEN 'N/A'
         |    WHEN 3 THEN 'small' WHEN 4 THEN 'petite' ELSE 'large' END AS i_size,
-        |  CAST(p_partkey % 200 AS DECIMAL(12,2)) * 0.01 AS i_current_price
+        |  CAST(p_partkey % 200 AS DECIMAL(12,2)) * 0.01 AS i_current_price,
+        |  CAST(p_partkey % 150 AS DECIMAL(12,2)) * 0.01 AS i_wholesale_cost,
+        |  1 + (p_partkey * 13) % 16 AS i_class_id,
+        |  CASE ((p_partkey * 13) % 16)
+        |    WHEN 0 THEN 'dresses' WHEN 1 THEN 'pants' WHEN 2 THEN 'shirts'
+        |    WHEN 3 THEN 'accessories' WHEN 4 THEN 'fragrances'
+        |    WHEN 5 THEN 'consignment' WHEN 6 THEN 'birdal' WHEN 7 THEN 'maternity'
+        |    WHEN 8 THEN 'pop' WHEN 9 THEN 'classical' WHEN 10 THEN 'rock'
+        |    WHEN 11 THEN 'fiction' WHEN 12 THEN 'history' WHEN 13 THEN 'romance'
+        |    WHEN 14 THEN 'football' ELSE 'baseball' END AS i_class
         |FROM part""".stripMargin),
     Sub("store",
       """SELECT s_suppkey AS s_store_sk,
         |  'STORE_' || s_suppkey AS s_store_id,
         |  s_name AS s_store_name,
         |  (1 + s_suppkey % 5) AS s_company_id,
+        |  'Unknown' AS s_company_name,
+        |  (1 + s_suppkey % 10) AS s_market_id,
         |  '' || (100 + s_suppkey) AS s_street_number,
         |  'Main' AS s_street_name,
         |  'St' AS s_street_type,
@@ -201,6 +272,20 @@ object TpcdsGoldenQueries extends QueryGroup {
         |  'CUST_' || c_custkey AS c_customer_id,
         |  'FN' || (c_custkey % 97) AS c_first_name,
         |  'LN' || (c_custkey % 89) AS c_last_name,
+        |  CASE (c_custkey % 6) WHEN 0 THEN 'Mr.' WHEN 1 THEN 'Mrs.'
+        |    WHEN 2 THEN 'Ms.' WHEN 3 THEN 'Dr.' WHEN 4 THEN 'Miss'
+        |    ELSE 'Sir' END AS c_salutation,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'Y' ELSE 'N'
+        |    END AS c_preferred_cust_flag,
+        |  CASE (c_custkey % 8) WHEN 0 THEN 'UNITED STATES'
+        |    WHEN 1 THEN 'CANADA' WHEN 2 THEN 'GERMANY' WHEN 3 THEN 'FRANCE'
+        |    WHEN 4 THEN 'JAPAN' WHEN 5 THEN 'BRAZIL' WHEN 6 THEN 'INDIA'
+        |    ELSE 'CHINA' END AS c_birth_country,
+        |  1 + (c_custkey % 12) AS c_birth_month,
+        |  1 + (c_custkey % 28) AS c_birth_day,
+        |  1940 + (c_custkey % 60) AS c_birth_year,
+        |  'login_' || c_custkey AS c_login,
+        |  'c' || c_custkey || '@example.com' AS c_email_address,
         |  c_custkey AS c_current_addr_sk
         |FROM customer""".stripMargin),
     Sub("customer_address",
@@ -211,6 +296,14 @@ object TpcdsGoldenQueries extends QueryGroup {
         |    END AS ca_state,
         |  '' || (10000 + (c_custkey * 13) % 89999) AS ca_zip,
         |  'County_' || (c_custkey % 30) AS ca_county,
+        |  '' || (100 + c_custkey % 900) AS ca_street_number,
+        |  'Street_' || (c_custkey % 40) AS ca_street_name,
+        |  CASE (c_custkey % 4) WHEN 0 THEN 'St' WHEN 1 THEN 'Ave'
+        |    WHEN 2 THEN 'Blvd' ELSE 'Ln' END AS ca_street_type,
+        |  'Suite ' || (c_custkey % 20) AS ca_suite_number,
+        |  'City_' || (c_custkey % 25) AS ca_city,
+        |  CASE (c_custkey % 3) WHEN 0 THEN 'apartment'
+        |    WHEN 1 THEN 'condo' ELSE 'single family' END AS ca_location_type,
         |  CAST(-5 - (c_custkey % 4) AS DECIMAL(5,2)) AS ca_gmt_offset,
         |  'United States' AS ca_country
         |FROM customer""".stripMargin),
@@ -259,7 +352,32 @@ object TpcdsGoldenQueries extends QueryGroup {
     Seq("3", "15", "19", "25", "29", "33", "38", "40", "41", "42", "43",
       "50", "52", "55", "56", "60", "62", "87", "97")
 
+  /** Round-6 widening (19 → 46 gated): every other workload member
+    * whose tables all derive from the fixture, division-bearing
+    * outputs included — all decimal output columns pin both engines to
+    * DECIMAL(38,6) (see defs). Excluded after measurement:
+    * q8/q58/q86a (DuckDB cannot parse/bind the verbatim text — SEMI
+    * JOIN syntax, ambiguous correlated name, WITH-in-derived-table),
+    * q23-1/q32/q59/q92 (all-NULL aggregate rows render
+    * engine-differently in the compare), q14-1 (selection sits on a
+    * decimal-vs-double avg boundary at this SF).
+    */
+  val candidateNums: Seq[String] =
+    Seq("1", "2", "4", "6", "11", "12", "14-2", "17", "20", "23-2",
+      "24-1", "24-2", "44", "47", "51", "51a", "53", "54", "63", "65",
+      "67a", "70a", "74", "76", "81", "89", "98")
+
   def defs: Seq[Q.Def] =
     if (!available) Seq.empty
-    else nums.map(n => catalog.goldenDef(s"tpcds_q$n", tpcdsCase(n)))
+    else (nums ++ candidateNums).map { n =>
+      val c = tpcdsCase(n)
+      // every decimal output column → DECIMAL(38,6) on both engines:
+      // exact-decimal sums are unchanged by the rounding, and avg /
+      // division outputs (DOUBLE in DuckDB, exact DECIMAL in Spark)
+      // compare on value instead of representation
+      val decCols = c.types.zipWithIndex.collect {
+        case (t, i) if t == "decimal" => i -> 6
+      }.toMap
+      catalog.goldenDef(s"tpcds_q$n", c, decCols)
+    }
 }

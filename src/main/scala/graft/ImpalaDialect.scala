@@ -947,8 +947,53 @@ object ImpalaDialect {
           Cast(d.left, org.apache.spark.sql.types.DoubleType),
           Cast(d.right, org.apache.spark.sql.types.DoubleType))
     }
-    val pf = preDivide.orElse(impalaExpr)
+    // grouping_id(cols…) over ANY subset/order of the grouping columns
+    // (Impala allows it; Spark demands the exact full grouping list):
+    // rewrite to the equivalent bit-sum of grouping() calls — identical
+    // to Spark's own value when the full list is given
+    val groupingId: PartialFunction[Expression, Expression] = {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase) == Seq("grouping_id") &&
+            f.arguments.nonEmpty =>
+        val n = f.arguments.length
+        f.arguments.zipWithIndex.map { case (a, i) =>
+          org.apache.spark.sql.catalyst.expressions.Multiply(
+            Cast(f.copy(nameParts = Seq("grouping"), arguments = Seq(a)),
+              org.apache.spark.sql.types.LongType),
+            Literal((1L << (n - 1 - i)),
+              org.apache.spark.sql.types.LongType)): Expression
+        }.reduce(org.apache.spark.sql.catalyst.expressions.Add(_, _))
+    }
+    val pf = preDivide.orElse(groupingId).orElse(impalaExpr)
+    // grouping()/grouping_id() in a GROUP BY with NO grouping sets:
+    // Spark's analyzer throws (UNSUPPORTED_GROUPING_EXPRESSION); the
+    // reference evaluates them as constant 0 (every row is the base
+    // grouping) — grouping-sets.test's plain-GROUP-BY block
+    def zeroPlainGrouping(
+        agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate)
+        : org.apache.spark.sql.catalyst.plans.logical.Aggregate = {
+      import org.apache.spark.sql.catalyst.expressions.{BaseGroupingSets}
+      val hasSets = agg.groupingExpressions.exists(ge =>
+        ge.exists(_.isInstanceOf[BaseGroupingSets]))
+      if (hasSets) agg
+      else agg.transformExpressionsUp {
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase) == Seq("grouping") =>
+          Cast(Literal(0), org.apache.spark.sql.types.ByteType)
+        case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase) == Seq("grouping_id") =>
+          Literal(0L)
+      }
+    }
     plan.transformUpWithSubqueries {
+      case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if agg.aggregateExpressions.exists(_.exists {
+            case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+              Seq(Seq("grouping"), Seq("grouping_id"))
+                .contains(f.nameParts.map(_.toLowerCase))
+            case _ => false
+          }) =>
+        zeroPlainGrouping(agg).transformExpressionsUp(pf)
       // Impala accepts a bare NULL predicate (`WHERE NULL` ≡ no rows,
       // empty.test); Spark's analyzer requires BOOLEAN
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
@@ -962,15 +1007,85 @@ object ImpalaDialect {
 
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftSession.tune(spark)
-    val df = org.apache.spark.sql.graft.Bridge.ofRows(spark,
-      preAnalysisFix(org.apache.spark.sql.graft.Bridge.parsePlan(spark,
-        rewrite(NestedRefs.rewrite(spark, text)))))
-    val analyzed = df.queryExecution.analyzed
-    val fixed = analyzed.transformUpWithSubqueries {
-      case p => p.transformExpressionsUp(impalaExpr)
+    val parsed = preAnalysisFix(org.apache.spark.sql.graft.Bridge.parsePlan(
+      spark, rewrite(NestedRefs.rewrite(spark, text))))
+    def finish(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+        : DataFrame = {
+      val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, plan)
+      val analyzed = df.queryExecution.analyzed
+      val fixed = analyzed.transformUpWithSubqueries {
+        case p => p.transformExpressionsUp(impalaExpr)
+      }
+      if (fixed eq analyzed) df
+      else org.apache.spark.sql.graft.Bridge.ofRows(spark, fixed)
     }
-    if (fixed eq analyzed) df
-    else org.apache.spark.sql.graft.Bridge.ofRows(spark, fixed)
+    try finish(parsed)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        semanticRecover(spark, parsed) match {
+          case Some(p) => finish(p)
+          case None => throw e
+        }
+    }
+  }
+
+  /** Impala-permissive semantics Spark's analyzer rejects, applied only
+    * when plain analysis fails (so the green path's plans are
+    * untouched): avg(TIMESTAMP) (aggregate-functions-ir.cc
+    * TimestampAvg), BOOLEAN↔numeric comparison/IN coercion (Impala
+    * promotes BOOLEAN to TINYINT — FunctionCallExpr implicit casts),
+    * and grouping()/grouping_id() in a non-grouping-sets GROUP BY
+    * (constant 0 in the reference). The parsed plan is analyzed WITHOUT
+    * checkAnalysis, the coercions applied, and the result re-analyzed
+    * normally — returns None (rethrow the original error) when nothing
+    * applies or analysis itself fails.
+    */
+  private def semanticRecover(spark: SparkSession,
+      parsed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Option[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] = {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, In,
+      ListQuery, Round, UnixMicros}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, Average}
+    import org.apache.spark.sql.types.{BooleanType, ByteType, DoubleType,
+      LongType, NumericType, TimestampType}
+    scala.util.Try {
+      val analyzed = org.apache.spark.sql.graft.Bridge
+        .analyzeNoCheck(spark, parsed)
+      def boolNum(l: Expression, r: Expression): Boolean =
+        l.resolved && r.resolved && l.dataType == BooleanType &&
+          r.dataType.isInstanceOf[NumericType]
+      val pf: PartialFunction[Expression, Expression] = {
+        case ae @ AggregateExpression(
+              avg @ Average(Cast(c, DoubleType, _, _), _), _, _, _, _)
+            if c.resolved && c.dataType == TimestampType =>
+          // avg(TIMESTAMP): Spark implicit-casts to double seconds; the
+          // reference's TimestampAvg renders the mean back as a
+          // timestamp (aggregate-functions-ir.cc)
+          MicrosToTimestamp(Cast(Round(
+            ae.copy(aggregateFunction =
+              avg.copy(child = Cast(UnixMicros(c), DoubleType))),
+            Literal(0)), LongType))
+        case cmp: BinaryComparison if boolNum(cmp.left, cmp.right) =>
+          cmp.withNewChildren(Seq(Cast(cmp.left, ByteType), cmp.right))
+        case cmp: BinaryComparison if boolNum(cmp.right, cmp.left) =>
+          cmp.withNewChildren(Seq(cmp.left, Cast(cmp.right, ByteType)))
+        case in @ In(v, list)
+            if !list.exists(_.isInstanceOf[ListQuery]) &&
+              (v +: list).forall(e => e.resolved &&
+                (e.dataType == BooleanType ||
+                  e.dataType.isInstanceOf[NumericType])) &&
+              (v +: list).exists(_.dataType == BooleanType) &&
+              (v +: list).exists(_.dataType != BooleanType) =>
+          val fix = (e: Expression) =>
+            if (e.dataType == BooleanType) Cast(e, ByteType) else e
+          In(fix(v), list.map(fix))
+      }
+      val step1 = analyzed.transformUpWithSubqueries {
+        case p => p.transformExpressionsUp(pf)
+      }
+      if (step1 eq analyzed) None else Some(step1)
+    }.toOption.flatten
   }
 
   /** Execute an Impala-dialect DML/DDL statement (INSERT … SELECT/VALUES,

@@ -130,7 +130,11 @@ object GoldenQueries extends QueryGroup {
         |    ELSE 'TAKE BACK RETURN' END AS l_shipinstruct,
         |  CASE (l_linenumber % 7) WHEN 0 THEN 'AIR' WHEN 1 THEN 'AIR REG'
         |    WHEN 2 THEN 'SHIP' WHEN 3 THEN 'TRUCK' WHEN 4 THEN 'MAIL'
-        |    WHEN 5 THEN 'RAIL' ELSE 'FOB' END AS l_shipmode
+        |    WHEN 5 THEN 'RAIL' ELSE 'FOB' END AS l_shipmode,
+        |  CASE ((l_orderkey + l_linenumber) % 3)
+        |    WHEN 0 THEN 'carefully final packages'
+        |    WHEN 1 THEN 'quickly ironic deposits'
+        |    ELSE 'pending foxes' END AS l_comment
         |FROM lineitem""".stripMargin,
     "partsupp" ->
       """SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,

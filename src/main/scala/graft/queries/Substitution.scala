@@ -34,6 +34,34 @@ final class SubstitutionCatalog(val subs: Seq[Sub]) {
     frames.foreach { case (n, df) => df.createOrReplaceTempView(n) }
   }
 
+  /** Like [[register]], but the derivation frames are written to
+    * parquet once per fixture dir and served from disk. Load-bearing
+    * where a derivation's expression is too large for codegen (the
+    * TPC-DS item CASE vocabulary exceeds janino's method limit inside
+    * q41's plan, forcing interpreted evaluation): a parquet-backed view
+    * keeps every downstream plan fully codegen'd — and it is the 100 TB
+    * shape anyway (dimensions are materialized tables, not inline
+    * CASE pyramids).
+    */
+  def registerMaterialized(spark: SparkSession, dir: String,
+      cacheRoot: String): Unit = synchronized {
+    import java.nio.file.{Files, Paths}
+    GraftSession.registerAll(spark, dir)
+    val leaf = Paths.get(dir).getFileName.toString
+    val root = s"$cacheRoot/$leaf"
+    if (!Files.exists(Paths.get(root, "_SUCCESS_ALL"))) {
+      Files.createDirectories(Paths.get(root))
+      val frames = subs.map { s => s.table -> spark.sql(s.sparkSql) }
+      frames.foreach { case (n, df) =>
+        df.write.mode("overwrite").parquet(s"$root/$n")
+      }
+      Files.createFile(Paths.get(root, "_SUCCESS_ALL"))
+    }
+    subs.foreach { s =>
+      spark.read.parquet(s"$root/${s.table}").createOrReplaceTempView(s.table)
+    }
+  }
+
   // longest-first so e.g. `partsupp` wins over `part`
   private val token =
     ("\\b(" + subs.map(_.table).sortBy(t => -t.length).mkString("|") + ")\\b").r

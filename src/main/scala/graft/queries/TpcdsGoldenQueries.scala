@@ -378,6 +378,13 @@ object TpcdsGoldenQueries extends QueryGroup {
       val decCols = c.types.zipWithIndex.collect {
         case (t, i) if t == "decimal" => i -> 6
       }.toMap
-      catalog.goldenDef(s"tpcds_q$n", c, decCols)
+      val query = c.query.stripSuffix(";")
+      // materialized star-schema (parquet-backed dims/facts) so every
+      // plan stays inside whole-stage codegen — the inline item CASE
+      // vocabulary otherwise exceeds janino's method limit in q41
+      catalog.goldenDefVia(s"tpcds_q$n", c, c.types, (s, dir) => {
+        catalog.registerMaterialized(s, dir, "/tmp/graft_tpcds")
+        graft.ImpalaDialect.sql(s, query)
+      }, decCols)
     }
 }

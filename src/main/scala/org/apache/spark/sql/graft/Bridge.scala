@@ -26,6 +26,13 @@ object Bridge {
       mode = org.apache.spark.sql.execution.CommandExecutionMode.SKIP)
       .analyzed
 
+  /** Run the analyzer WITHOUT checkAnalysis — for recovery passes that
+    * repair plans Spark's checks would reject (the rules themselves may
+    * still throw on unresolvable input).
+    */
+  def analyzeNoCheck(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
+    spark.asInstanceOf[ClassicSession].sessionState.analyzer.execute(plan)
+
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 

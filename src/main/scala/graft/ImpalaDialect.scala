@@ -55,6 +55,40 @@ object ImpalaDialect {
     sb.toString
   }
 
+  /** Output-direction tokens no Java pattern letter can express —
+    * rendered as expression pieces between date_format segments:
+    * `SSSSS` (zero-padded second of day) and the dotted meridiem
+    * (`A.M.`/`P.M.` render WITH periods —
+    * datetime-iso-sql-format-parser.cc).
+    */
+  private def formatOutputExpr(expr: String, rawFmt: String): String = {
+    val upper = rawFmt.toUpperCase
+    val special = Seq("SSSSS", "A.M.", "P.M.")
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = new StringBuilder
+    def flush(): Unit = if (buf.nonEmpty) {
+      pieces += s"date_format($expr, '${translateFormat(buf.toString).replace("'", "''")}')"
+      buf.clear()
+    }
+    var i = 0
+    while (i < rawFmt.length) {
+      special.find(t => upper.startsWith(t, i)) match {
+        case Some("SSSSS") =>
+          flush()
+          pieces += s"lpad(CAST(hour($expr)*3600 + minute($expr)*60 + second($expr) AS STRING), 5, '0')"
+          i += 5
+        case Some(mer) =>
+          flush()
+          pieces += s"(CASE WHEN hour($expr) < 12 THEN 'A.M.' ELSE 'P.M.' END)"
+          i += mer.length
+        case _ =>
+          buf.append(rawFmt.charAt(i)); i += 1
+      }
+    }
+    flush()
+    if (pieces.length == 1) pieces.head else s"concat(${pieces.mkString(", ")})"
+  }
+
   /** `<expr> AS <type> FORMAT '<fmt>'` tail of a CAST body; the format
     * literal may be single- or double-quoted, the target may carry a
     * length (CHAR(19), VARCHAR(38)).
@@ -117,12 +151,27 @@ object ImpalaDialect {
             case Some(m) =>
               val expr = m.group(1)
               val target = m.group(2).toUpperCase.takeWhile(Character.isLetter)
-              val fmt = translateFormat(
-                Option(m.group(3)).getOrElse(m.group(4))).replace("'", "''")
+              val rawFmt = Option(m.group(3)).getOrElse(m.group(4))
+              val fmt = translateFormat(rawFmt).replace("'", "''")
               out.append(target match {
-                case "TIMESTAMP" => s"to_timestamp($expr, '$fmt')"
+                case "TIMESTAMP" =>
+                  // never-raise parse (Impala casts yield NULL on bad
+                  // input); a 2-digit year under a YYYY token fills
+                  // from the current century
+                  // (datetime-iso-sql-format-parser.cc PrefixYear);
+                  // results clamp to the reference's TimestampValue
+                  // range [1400-01-01, 9999-12-31] → NULL outside
+                  val lenient =
+                    if (fmt.contains("yyyy")) Seq(fmt.replace("yyyy", "yy"))
+                    else Seq.empty
+                  val tries = (fmt +: lenient)
+                    .map(f => s"try_to_timestamp($expr, '$f')")
+                  val parsed =
+                    if (tries.length == 1) tries.head
+                    else s"coalesce(${tries.mkString(", ")})"
+                  s"impala_ts_range($parsed)"
                 case "DATE" => s"to_date($expr, '$fmt')"
-                case _ => s"date_format($expr, '$fmt')"
+                case _ => formatOutputExpr(expr, rawFmt)
               })
             case None => charCastRe.findFirstMatchIn(inner) match {
               case Some(c) =>

@@ -81,6 +81,18 @@ object GraftFunctions {
       Cast(a(0), org.apache.spark.sql.types.TimestampType,
         Some(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)),
       a(1))),
+    // TimestampValue range clamp [1400-01-01, 9999-12-31] → NULL
+    // outside (be/src/runtime/timestamp-value.h) — applied by the
+    // dialect to FORMAT-cast parse results
+    "impala_ts_range" -> (a => {
+      import org.apache.spark.sql.catalyst.expressions.{If, Or, LessThan,
+        GreaterThanOrEqual}
+      val ts = org.apache.spark.sql.types.TimestampType
+      val c = Cast(a.head, ts)
+      If(Or(LessThan(c, Cast(Literal("1400-01-01"), ts)),
+          GreaterThanOrEqual(c, Cast(Literal("10000-01-01"), ts))),
+        Literal.create(null, ts), c)
+    }),
     "ndv_hll" -> (a => NdvHll(a.head)),
     "ds_hll_sketch" -> (a => DsHllSketch(a.head)),
     "ds_hll_sketch_and_estimate" -> (a => DsHllSketchAndEstimate(a.head)),

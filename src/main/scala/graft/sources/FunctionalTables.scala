@@ -329,6 +329,30 @@ object FunctionalTables {
       .createOrReplaceTempView("emptytable")
     registerComplexTypesTbl(spark)
     registerAuxTables(spark)
+    registerSchemaViews(spark)
+  }
+
+  /** The functional schema's VIEWs (functional_schema_template.sql:
+    * 1093-1134): alltypes_view (SELECT *), alltypes_view_sub (renamed
+    * 3-column projection), complex_view (agg-join-having-limit), and
+    * alltypes_hive_view (Hive-created SELECT * — IMPALA-994's
+    * metadata quirk is a catalog artifact; the view body is alltypes).
+    */
+  private def registerSchemaViews(spark: SparkSession): Unit = {
+    spark.sql("SELECT * FROM alltypes").createOrReplaceTempView("alltypes_view")
+    spark.sql(
+      """SELECT int_col AS x, string_col AS y, timestamp_col AS z
+        |FROM alltypes""".stripMargin)
+      .createOrReplaceTempView("alltypes_view_sub")
+    spark.sql(
+      """SELECT COUNT(a.bigint_col) AS abc, b.string_col AS xyz
+        |FROM alltypesagg a INNER JOIN alltypestiny b ON a.id = b.id
+        |WHERE a.bigint_col < 50
+        |GROUP BY b.string_col HAVING COUNT(a.bigint_col) > 1
+        |ORDER BY b.string_col LIMIT 100""".stripMargin)
+      .createOrReplaceTempView("complex_view")
+    spark.sql("SELECT * FROM alltypes")
+      .createOrReplaceTempView("alltypes_hive_view")
   }
 
   /** Smaller auxiliary fixtures referenced by the golden files:

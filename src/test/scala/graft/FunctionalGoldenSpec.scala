@@ -45,7 +45,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "datasketches-hll.test", "datasketches-kll.test",
     "string-escaping.test", "chars.test", "partition-key-scans.test",
     "insert.test", "insert_permutation.test", "insert_null.test",
-    "insert_overwrite.test", "scanners.test")
+    "insert_overwrite.test", "scanners.test", "views.test",
+    "cast_format_from_table.test")
 
   /** Documented engine deltas, each verified against the reference
     * source — cases where Spark's core semantics differ by design and
@@ -419,7 +420,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1445, s"only $pass golden queries passed (floor 1445)")
+    assert(pass >= 1463, s"only $pass golden queries passed (floor 1463)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
     // includes two Spark-analyzer limitations surfaced by the

@@ -57,36 +57,48 @@ object ImpalaDialect {
 
   /** Output-direction tokens no Java pattern letter can express —
     * rendered as expression pieces between date_format segments:
-    * `SSSSS` (zero-padded second of day) and the dotted meridiem
-    * (`A.M.`/`P.M.` render WITH periods —
-    * datetime-iso-sql-format-parser.cc).
+    * `SSSSS` (zero-padded second of day), the dotted meridiem
+    * (`A.M.`/`P.M.` render WITH periods), and the truncated year tokens
+    * `YYY`/`Y` (last 3/1 digits; Java pads but never truncates) —
+    * datetime-iso-sql-format-parser.cc. Tokens match longest-first
+    * against the WHOLE vocabulary so `YYY` never bites into `YYYY`.
     */
   private def formatOutputExpr(expr: String, rawFmt: String): String = {
     val upper = rawFmt.toUpperCase
-    val special = Seq("SSSSS", "A.M.", "P.M.")
+    val specials: Map[String, String] = Map(
+      "SSSSS" ->
+        s"lpad(CAST(hour($expr)*3600 + minute($expr)*60 + second($expr) AS STRING), 5, '0')",
+      "A.M." -> s"(CASE WHEN hour($expr) < 12 THEN 'A.M.' ELSE 'P.M.' END)",
+      "P.M." -> s"(CASE WHEN hour($expr) < 12 THEN 'A.M.' ELSE 'P.M.' END)",
+      "YYY" -> s"substring(lpad(CAST(year($expr) AS STRING), 4, '0'), -3, 3)",
+      "Y" -> s"substring(CAST(year($expr) AS STRING), -1, 1)")
+    // longest-first across pattern tokens AND specials
+    val vocab: Seq[String] =
+      (formatTokens.map(_._1) ++ specials.keys).distinct.sortBy(-_.length)
     val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
     val buf = new StringBuilder
     def flush(): Unit = if (buf.nonEmpty) {
-      pieces += s"date_format($expr, '${translateFormat(buf.toString).replace("'", "''")}')"
+      pieces += s"date_format($expr, '${buf.toString.replace("'", "''")}')"
       buf.clear()
     }
     var i = 0
     while (i < rawFmt.length) {
-      special.find(t => upper.startsWith(t, i)) match {
-        case Some("SSSSS") =>
+      vocab.find(t => upper.startsWith(t, i)) match {
+        case Some(tok) if specials.contains(tok) =>
           flush()
-          pieces += s"lpad(CAST(hour($expr)*3600 + minute($expr)*60 + second($expr) AS STRING), 5, '0')"
-          i += 5
-        case Some(mer) =>
-          flush()
-          pieces += s"(CASE WHEN hour($expr) < 12 THEN 'A.M.' ELSE 'P.M.' END)"
-          i += mer.length
-        case _ =>
+          pieces += specials(tok)
+          i += tok.length
+        case Some(tok) =>
+          buf.append(formatTokens.find(_._1 == tok).get._2)
+          i += tok.length
+        case None =>
           buf.append(rawFmt.charAt(i)); i += 1
       }
     }
     flush()
-    if (pieces.length == 1) pieces.head else s"concat(${pieces.mkString(", ")})"
+    if (pieces.isEmpty) "''"
+    else if (pieces.length == 1) pieces.head
+    else s"concat(${pieces.mkString(", ")})"
   }
 
   /** `<expr> AS <type> FORMAT '<fmt>'` tail of a CAST body; the format
@@ -152,7 +164,16 @@ object ImpalaDialect {
               val expr = m.group(1)
               val target = m.group(2).toUpperCase.takeWhile(Character.isLetter)
               val rawFmt = Option(m.group(3)).getOrElse(m.group(4))
-              val fmt = translateFormat(rawFmt).replace("'", "''")
+              // ISO-SQL parsing treats any run of separator characters
+              // as matching any other run (datetime-iso-sql-format-
+              // parser.cc ProcessSeparators): normalize both the input
+              // string and the format to single dashes
+              val sepClass = """[-/.,:;'' ]+"""
+              def normIn(e: String) =
+                s"regexp_replace(CAST($e AS STRING), '$sepClass', '-')"
+              def sepFmt(f: String) =
+                f.replaceAll("""[-/.,:;' ]+""", "-")
+              val fmt = translateFormat(sepFmt(rawFmt)).replace("'", "''")
               out.append(target match {
                 case "TIMESTAMP" =>
                   // never-raise parse (Impala casts yield NULL on bad
@@ -165,12 +186,12 @@ object ImpalaDialect {
                     if (fmt.contains("yyyy")) Seq(fmt.replace("yyyy", "yy"))
                     else Seq.empty
                   val tries = (fmt +: lenient)
-                    .map(f => s"try_to_timestamp($expr, '$f')")
+                    .map(f => s"try_to_timestamp(${normIn(expr)}, '$f')")
                   val parsed =
                     if (tries.length == 1) tries.head
                     else s"coalesce(${tries.mkString(", ")})"
                   s"impala_ts_range($parsed)"
-                case "DATE" => s"to_date($expr, '$fmt')"
+                case "DATE" => s"try_to_date(${normIn(expr)}, '$fmt')"
                 case _ => formatOutputExpr(expr, rawFmt)
               })
             case None => charCastRe.findFirstMatchIn(inner) match {

@@ -420,7 +420,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1463, s"only $pass golden queries passed (floor 1463)")
+    assert(pass >= 1468, s"only $pass golden queries passed (floor 1468)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket
     // includes two Spark-analyzer limitations surfaced by the
@@ -430,6 +430,6 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // insert_null.test's nullinsert/nullinsert_alt/nullformat_custom
     // tables, whose two-serdes-over-one-location layout is text-format
     // physics a parquet fixture cannot replicate
-    assert(errorSkip <= 21, s"$errorSkip error skips (ceiling 21)")
+    assert(errorSkip <= 16, s"$errorSkip error skips (ceiling 16)")
   }
 }

@@ -43,15 +43,14 @@ def main(sf_dir, out_dir):
         if len(d) != len(s):
             print(f"FAIL {name}: rows duck={len(d)} spark={len(s)}")
             n_fail += 1; continue
-        # value compare as strings (the driver hashes values); DECIMAL
-        # canonicalizes through float so a Spark DECIMAL column compares
-        # equal to DuckDB's float64 client representation, as it does in
-        # the driver's stringified hash
-        import decimal
+        # value compare as strings, DRIVER-STYLE: no canonicalization
+        # beyond str(). The driver hashes stringified values, so a Spark
+        # DECIMAL(38,6) ("0.280000") must NOT silently compare equal to
+        # DuckDB's float64 client value ("0.28") here — collapsing
+        # decimals through float() previously masked exactly the
+        # mismatch the driver's hash gate rejects (28 rows in r6).
         def canon(v):
-            if isinstance(v, decimal.Decimal):
-                return repr(float(v))
-            return repr(v)
+            return str(v)
         mism = []
         for c in d.columns:
             a = d[c].map(canon).tolist(); b = s[c].map(canon).tolist()

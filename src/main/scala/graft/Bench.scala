@@ -46,6 +46,16 @@ object Bench {
     GraftSession.table(spark, sfDir, "documents").count()
     SparkEntry.queries("q1_agg")(spark, sfDir)
       .write.format("noop").mode("overwrite").save()
+    // persisted-index probes: one untimed pass so the min-of-N measures
+    // the steady-state probe cost, not /tmp page-cache state (r6's
+    // q_sim_ann_probe swung 5× on a cold cache)
+    Seq("q_sim_ann_probe", "q_sim_ivf_probe", "q_sim_ivfpq",
+        "q_sim_ann_persisted", "q_sim_ivf_persisted").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => }
+      }
+    }
 
     // min over N runs: planning/JIT noise dominates at this scale, the
     // min is the stable per-query cost (single-run wall time is ±3×).
@@ -77,7 +87,61 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val prev = prevCommitBench(sfDir)
+    val prevJson = prev.map { case (sha, t) =>
+      f""","prev_commit":"$sha","prev_commit_total":$t%.3f"""
+    }.getOrElse("")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$prevJson}""")
     spark.stop()
+  }
+
+  /** Same-session rebench of the PREVIOUS round's commit, so the
+    * emitted JSON is self-contained for band-vs-regression adjudication
+    * (machine speed drifts ~35% between driver runs — r6 adjudication):
+    * checks out the last `round N: verdict…` commit into a /tmp
+    * worktree, runs ITS `graft.Bench` on the same fixture minutes after
+    * the head numbers, and embeds its total. Every failure path
+    * degrades to the head-only JSON (None) — the band is evidence, not
+    * a gate.
+    */
+  private def prevCommitBench(sfDir: String): Option[(String, Double)] = {
+    if (sys.env.contains("GRAFT_BENCH_NO_PREV")) return None
+    try {
+      def git(args: String*): Option[String] = {
+        val p = new ProcessBuilder(("git" +: args): _*)
+          .redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0 && out.nonEmpty) Some(out) else None
+      }
+      val sha = git("log", "-n1", "--format=%H",
+        "--grep=^round [0-9]*: verdict").orElse(
+        git("log", "-n1", "--format=%H", "--grep=^round [0-9]*: end-of-round"))
+        .getOrElse(return None)
+      val head = git("rev-parse", "HEAD").getOrElse("")
+      if (sha == head) return None
+      val dir = new java.io.File(s"/tmp/graft_prev_bench/${sha.take(12)}")
+      if (!dir.isDirectory) {
+        git("worktree", "add", "--detach", dir.getAbsolutePath, sha)
+          .getOrElse(return None)
+      }
+      val pb = new ProcessBuilder("sbt", "-batch", "runMain graft.Bench")
+      pb.directory(dir)
+      pb.environment().put("GRAFT_BENCH_NO_PREV", "1")
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      sys.env.get("SPARK_GRAFT_CPUS")
+        .foreach(pb.environment().put("SPARK_GRAFT_CPUS", _))
+      val proc = pb.start()
+      val outF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        new String(proc.getInputStream.readAllBytes()))
+      val errF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        new String(proc.getErrorStream.readAllBytes()))
+      if (!proc.waitFor(30, java.util.concurrent.TimeUnit.MINUTES)) {
+        proc.destroyForcibly(); return None
+      }
+      val out = outF.get()
+      val totalRe = """"metric":"total","value":([0-9.]+)""".r
+      totalRe.findFirstMatchIn(out + errF.get())
+        .map(m => (sha.take(12), m.group(1).toDouble))
+    } catch { case _: Throwable => None }
   }
 }

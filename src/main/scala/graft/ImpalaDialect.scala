@@ -979,6 +979,27 @@ object ImpalaDialect {
     case e: MicrosToTimestamp => ImpalaTsValid(e)
     case e: MillisToTimestamp => ImpalaTsValid(e)
     case e: SecondsToTimestamp => ImpalaTsValid(e)
+    // Impala DECIMAL_V2 avg(DECIMAL(p,s)) returns DECIMAL(38,
+    // max(s,6)) (FunctionCallExpr.java avg resolution); Spark's result
+    // scale is s+4, which under-reports for s<2 (avg over
+    // decimal(10,0) → 4 digits where Impala shows 6 —
+    // parquet-decimal-formats.test). Recompute at scale 6 and present
+    // as DECIMAL(38,6); s≥2 already yields scale ≥6 and stays native.
+    case ae @ org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateExpression(avg @ org.apache.spark.sql.catalyst
+        .expressions.aggregate.Average(child, _), _, _, _, _)
+        if child.resolved && (child.dataType match {
+          // integer digits must fit DECIMAL(38,6) — avg over
+          // decimal(38,0) extremes keeps Spark's native scale instead
+          // of overflowing (decimal-exprs.test boundary rows)
+          case d: org.apache.spark.sql.types.DecimalType =>
+            d.scale < 2 && d.precision - d.scale <= 32
+          case _ => false
+        }) =>
+      Cast(
+        ae.copy(aggregateFunction = avg.copy(child =
+          Cast(child, org.apache.spark.sql.types.DecimalType(38, 6)))),
+        org.apache.spark.sql.types.DecimalType(38, 6))
     // IMPALA-2184: FromUnixtime range-checks the epoch seconds against
     // the TIMESTAMP validity window and yields NULL outside it
     // (timestamp-functions.cc); Spark silently overflows the ×1e6
@@ -1075,6 +1096,90 @@ object ImpalaDialect {
     }
   }
 
+  /** ROLLUP/CUBE/GROUPING SETS over EMPTY input: the SQL standard (and
+    * the reference — its `()` grouping class is a non-grouping
+    * AggregationNode, which always emits one row on empty input, like
+    * `SELECT count(*)` does) returns the global `()` row; Spark's
+    * grouping-sets lowering groups on the expanded grouping-id column,
+    * so an empty input yields zero groups and NO rows (tpcds q27/q80
+    * at small SF). Post-analysis repair: union the aggregate with a
+    * constants-only `()` row — every aggregate over empty input is a
+    * constant (count→0, sum/avg/min/max→NULL, grouping()→1) — guarded
+    * by `count(*) = 0` over the un-expanded child. The guard is a
+    * count-star aggregate (column-pruned, parquet metadata fast path),
+    * so the extra branch costs no real second scan at scale; when the
+    * input is non-empty the guard row filters out and the original
+    * plan's result is unchanged.
+    */
+  private def emptyGroupingSetRow(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference, NamedExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate._
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand,
+      Filter => LFilter, Project, Union}
+    import org.apache.spark.sql.types.LongType
+
+    def emptyVal(ae: AggregateExpression): Option[Expression] =
+      ae.aggregateFunction match {
+        case _: Count => Some(Literal(0L))
+        case _: Sum | _: Average | _: Min | _: Max | _: First | _: Last |
+            _: StddevPop | _: StddevSamp | _: VariancePop | _: VarianceSamp |
+            _: Skewness | _: Kurtosis | _: Corr | _: CovPopulation |
+            _: CovSample =>
+          Some(Literal.create(null, ae.dataType))
+        case _ => None
+      }
+
+    plan.transformUpWithSubqueries {
+      case agg @ Aggregate(gexprs, aggs, expand: Expand, _)
+          if gexprs.length >= 2 &&
+            gexprs.forall(_.isInstanceOf[AttributeReference]) &&
+            gexprs.last.asInstanceOf[AttributeReference].name ==
+              org.apache.spark.sql.catalyst.expressions.VirtualColumn
+                .groupingIdName => {
+        val n = gexprs.length - 1
+        val allBits = (1L << n) - 1
+        val gid = gexprs.last.asInstanceOf[AttributeReference]
+        val hasEmptySet = expand.projections.exists(p => p.lastOption match {
+          case Some(Literal(v: Long, LongType)) => v == allBits
+          case Some(Literal(v: Int, _)) => v.toLong == allBits
+          case _ => false
+        })
+        val nullCopyIds = gexprs.init
+          .map(_.asInstanceOf[AttributeReference].exprId).toSet
+        val supported = hasEmptySet && aggs.forall(_.collect {
+          case ae: AggregateExpression => emptyVal(ae).isDefined
+        }.forall(identity))
+        if (!supported) agg
+        else {
+          val constRow: Seq[NamedExpression] = aggs.map { ne =>
+            val e = ne match {
+              case a: Alias => a.child
+              case other => other
+            }
+            val const = e.transform {
+              case a: AttributeReference if nullCopyIds(a.exprId) =>
+                Literal.create(null, a.dataType)
+              case a: AttributeReference if a.exprId == gid.exprId =>
+                Literal.create(allBits, a.dataType)
+              case ae: AggregateExpression => emptyVal(ae).get
+            }
+            Alias(const, ne.name)()
+          }
+          val cnt = Alias(Count(Seq(Literal(1))).toAggregateExpression(),
+            "__graft_empty_probe")()
+          val guard = LFilter(
+            org.apache.spark.sql.catalyst.expressions.EqualTo(
+              cnt.toAttribute, Literal(0L)),
+            Aggregate(Nil, Seq(cnt), expand.child))
+          Union(Seq(agg, Project(constRow, guard)))
+        }
+      }
+    }
+  }
+
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftSession.tune(spark)
     val parsed = preAnalysisFix(org.apache.spark.sql.graft.Bridge.parsePlan(
@@ -1083,9 +1188,10 @@ object ImpalaDialect {
         : DataFrame = {
       val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, plan)
       val analyzed = df.queryExecution.analyzed
-      val fixed = analyzed.transformUpWithSubqueries {
+      val fixed0 = analyzed.transformUpWithSubqueries {
         case p => p.transformExpressionsUp(impalaExpr)
       }
+      val fixed = emptyGroupingSetRow(fixed0)
       if (fixed eq analyzed) df
       else org.apache.spark.sql.graft.Bridge.ofRows(spark, fixed)
     }

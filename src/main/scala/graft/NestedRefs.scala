@@ -58,6 +58,18 @@ object NestedRefs {
   }
 
   private val fromRe = """(?i)\bFROM\b""".r
+  private val setOpRe = """(?i)\b(union|intersect|except|minus)\b""".r
+
+  /** Depth-0 unquoted JOIN keyword present? Used to reject a
+    * collJoinRe match whose greedy trailing ON group swallowed a
+    * FOLLOWING join item (`c left join c.c_orders o on (…) join s on
+    * (…)`) — rewriting would emit an invalid filter lambda, so such
+    * chains fall back to the generic path instead. */
+  private def hasTopLevelJoin(s: String): Boolean = {
+    val (d, q) = ImpalaDialect.depthMap(s)
+    """(?i)\bjoin\b""".r.findAllMatchIn(s)
+      .exists(m => !q(m.start) && d(m.start) == 0)
+  }
   private val clauseEnders = Seq("WHERE", "GROUP", "HAVING", "ORDER",
     "LIMIT", "OFFSET", "UNION", "INTERSECT", "EXCEPT", "MINUS", "WINDOW",
     "QUALIFY")
@@ -127,8 +139,14 @@ object NestedRefs {
     val (d, q) = ImpalaDialect.depthMap(s)
     val froms = fromRe.findAllMatchIn(s).toSeq.filter { m =>
       !q(m.start) && d(m.start) == 0 && isKeywordAt(s, m.start, "from") &&
-        // not the FROM of `IS [NOT] DISTINCT FROM`
-        !s.substring(0, m.start).trim.toLowerCase.endsWith("distinct")
+        // not the FROM of `IS [NOT] DISTINCT FROM` — word-bounded, so
+        // an identifier merely ENDING in 'distinct' (`is_distinct`)
+        // does not suppress rewriting for the scope
+        ! {
+          val p = s.substring(0, m.start).trim.toLowerCase
+          p.endsWith("distinct") &&
+            (p.length == 8 || !isWord(p.charAt(p.length - 9)))
+        }
     }
     if (froms.isEmpty) return s
     var out = s
@@ -138,8 +156,16 @@ object NestedRefs {
       val end = clauseEnd(s, start, d, q)
       val clause = s.substring(start, end)
       val (nwOpt, scope) = rewriteFromClause(spark, clause)
-      val regionEnd =
+      // the EXISTS-conversion tail for THIS select ends at the next
+      // depth-0 FROM, but also at any depth-0 set operator — past a
+      // UNION/INTERSECT/EXCEPT the text is the NEXT select's list and
+      // must not be converted under this clause's alias scope
+      val regionLimit =
         if (i + 1 < froms.length) froms(i + 1).start else s.length
+      val regionEnd = setOpRe.findAllMatchIn(s)
+        .find(mm => mm.start >= end && mm.start < regionLimit &&
+          !q(mm.start) && d(mm.start) == 0)
+        .map(_.start).getOrElse(regionLimit)
       if (regionEnd > end) {
         val tail = s.substring(end, regionEnd)
         val newTail = rewriteExists(tail, scope)
@@ -347,7 +373,8 @@ object NestedRefs {
           if (!addCollectionRef(path.split('.').toSeq, alias,
               identity, outer = false))
             baseItems += raw
-        case collJoinRe(left, joinKw, path, alias, cond) =>
+        case collJoinRe(left, joinKw, path, alias, cond)
+            if cond == null || !hasTopLevelJoin(cond) =>
           // left side registers like a plain ref
           val leftHandled = left match {
             case plainItemRe(name, lAlias) =>
@@ -363,11 +390,12 @@ object NestedRefs {
           val elemType = elementTypeOf(scope, segs)
           val outer = joinKw.toLowerCase.contains("left")
           val handled = leftHandled && elemType.isDefined && {
+            val outerNames = outerColsOf(scope)
             val filt: String => String = expr =>
               Option(cond) match {
                 case Some(c) =>
                   val c2 = qualifyCond(c.trim, Option(alias)
-                    .getOrElse(segs.last), elemType.get, "__x")
+                    .getOrElse(segs.last), elemType.get, "__x", outerNames)
                   s"filter($expr, __x -> ($c2))"
                 case None => expr
               }
@@ -436,8 +464,19 @@ object NestedRefs {
     * alone. Mirrors the reference's Path resolution where the implicit
     * `item` names the array element itself.
     */
+  /** Lower-cased column names visible from the enclosing scope's
+    * aliases — bare identifiers in a lambda-bound condition that ALSO
+    * resolve here are left untouched by [[qualifyCond]] rather than
+    * silently rebound to the collection element (outer-reference
+    * shadowing would otherwise change predicate semantics). */
+  private def outerColsOf(scope: Scope): Set[String] =
+    scope.aliases.values.collect {
+      case st: StructType => st.fields.map(_.name.toLowerCase)
+    }.flatten.toSet
+
   private def qualifyCond(cond: String, alias: String,
-      elemType: DataType, lambdaVar: String): String = {
+      elemType: DataType, lambdaVar: String,
+      outerCols: Set[String] = Set.empty): String = {
     def replace(s: String, re: scala.util.matching.Regex,
         f: scala.util.matching.Regex.Match => String): String = {
       val (_, qq) = ImpalaDialect.depthMap(s)
@@ -456,11 +495,13 @@ object NestedRefs {
       ("""(?i)(?<![\w.])""" + a + """\s*\.""").r, _ => lambdaVar + ".")
     elemType match {
       case st: StructType =>
-        st.fields.map(_.name).foreach { f =>
-          val fre = ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(f) +
-            """\b(?!\s*\()""").r
-          out = replace(out, fre, _ => s"$lambdaVar.$f")
-        }
+        st.fields.map(_.name)
+          .filterNot(f => outerCols.contains(f.toLowerCase))
+          .foreach { f =>
+            val fre = ("""(?i)(?<![\w.])""" + java.util.regex.Pattern.quote(f) +
+              """\b(?!\s*\()""").r
+            out = replace(out, fre, _ => s"$lambdaVar.$f")
+          }
       case _ =>
         // scalar elements: the bare implicit `item` is the element
         out = replace(out, """(?i)(?<![\w.])item\b(?!\s*[(.])""".r,
@@ -500,7 +541,7 @@ object NestedRefs {
         val lam = "__x"
         val subAliasName = Option(subAlias).getOrElse(segs.last)
         def qual(e: String): String =
-          qualifyCond(e.trim, subAliasName, elemType, lam)
+          qualifyCond(e.trim, subAliasName, elemType, lam, outerColsOf(scope))
         val filtered = Option(cond) match {
           case Some(c) => s"filter($collExpr, $lam -> (${qual(c)}))"
           case None => collExpr
@@ -602,7 +643,8 @@ object NestedRefs {
                 val repl = Option(cond) match {
                   case Some(c) =>
                     val c2 = qualifyCond(c.trim,
-                      Option(subAlias).getOrElse(segs.last), elemType, "__x")
+                      Option(subAlias).getOrElse(segs.last), elemType, "__x",
+                      outerColsOf(scope))
                     val e = s"coalesce(exists($collExpr, __x -> ($c2)), false)"
                     if (neg) s"(NOT $e)" else s"($e)"
                   case None =>

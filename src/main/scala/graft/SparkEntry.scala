@@ -16,6 +16,8 @@ object SparkEntry {
     TpchQueries,
     GoldenQueries,
     GoldenNestedQueries,
+    GoldenNestedMaskedQueries,
+    NestedFunctionalQueries,
     TpcdsGoldenQueries,
     TpcdsQueries,
     JoinQueries,

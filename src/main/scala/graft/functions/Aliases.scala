@@ -65,7 +65,7 @@ object Aliases {
     "strright" -> (a => call("right", a: _*)),
     "base64encode" -> (a => call("base64", a.head)),
     "base64decode" -> (a => ImpalaBase64Decode(a.head)),
-    "regexp_match_count" -> (a => call("regexp_count", a(0), a(1))),
+    "regexp_match_count" -> (a => regexpMatchCount(a)),
     "regexp_escape" -> (a => call("regexp_replace", a.head,
       str("([.\\\\+*?\\[^\\]$(){}=!<>|:\\-#])"), str("\\\\$1"))),
     "charlength" -> (a => call("char_length", a.head)),
@@ -120,7 +120,11 @@ object Aliases {
         org.apache.spark.sql.types.IntegerType)),
     "utc_timestamp" -> (_ => call("to_utc_timestamp",
       call("current_timestamp"), call("current_timezone"))),
-    "unix_micros_to_utc_timestamp" -> (a => call("timestamp_micros", a.head)),
+    // range-clamped: Impala nullifies outside [1400-01-01,
+    // 9999-12-31.999999] (timestamp-value.h, utc-timestamp-functions
+    // .test) where Spark represents any year
+    "unix_micros_to_utc_timestamp" -> (a =>
+      ImpalaTsValid(call("timestamp_micros", a.head))),
     "utc_to_unix_micros" -> (a => call("unix_micros", a.head)),
     "timestamp_cmp" -> (a => If(Or(IsNull(a(0)), IsNull(a(1))),
       Literal.create(null, org.apache.spark.sql.types.IntegerType),
@@ -171,6 +175,31 @@ object Aliases {
     val scaled = Multiply(Cast(a.head, org.apache.spark.sql.types.DoubleType), scale)
     Divide(If(GreaterThanOrEqual(a.head, lit(0)),
       call("floor", scaled), call("ceil", scaled)), scale)
+  }
+
+  /** regexp_match_count(str, pat[, start_pos[, params]])
+    * (string-functions-ir.cc RegexpMatchCount): 1-based start offset;
+    * params i/c = case-insensitive/sensitive (LAST one wins), m =
+    * multiline anchors, n = '.' matches newline — mapped to the Java
+    * embedded flags (?i)(?m)(?s) on the pattern.
+    */
+  private def regexpMatchCount(a: Seq[Expression]): Expression = {
+    if (a.length <= 2) return call("regexp_count", a(0), a(1))
+    val subject = call("substr", a(0), a(2))
+    if (a.length == 3) return call("regexp_count", subject, a(1))
+    val p = a(3)
+    val rev = call("reverse", p)
+    val ri = call("instr", rev, str("i"))
+    val rc = call("instr", rev, str("c"))
+    val ci = And(GreaterThan(ri, lit(0)),
+      Or(LessThanOrEqual(rc, lit(0)), LessThan(ri, rc)))
+    val prefix = call("concat",
+      If(ci, str("(?i)"), str("")),
+      If(GreaterThan(call("instr", p, str("m")), lit(0)),
+        str("(?m)"), str("")),
+      If(GreaterThan(call("instr", p, str("n")), lit(0)),
+        str("(?s)"), str("")))
+    call("regexp_count", subject, call("concat", prefix, a(1)))
   }
 
   private def n2(a: Seq[Expression]): Expression =

@@ -1,0 +1,118 @@
+package graft.queries
+
+import graft.GoldenTest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.expr
+
+/** The reference's Ranger column-masking demonstration over the nested
+  * TPC-H workload, executed VERBATIM
+  * (`testdata/workloads/tpch_nested/queries/masked-tpch_nested-q*.test`,
+  * runner `tests/authorization/test_ranger.py:1015-1065`
+  * TestRangerColumnMaskingTpchNested).
+  *
+  * The policy set (test_ranger.py:1038-1052): Ranger `MASK` on the PII
+  * name/address columns — customer.c_name/c_address,
+  * supplier.s_name/s_address, part.p_name — and `MASK_SHOW_FIRST_4` on
+  * the phone columns (c_phone/s_phone). Ranger's default MASK
+  * transformer is Impala's `mask(col)` (upper→'X', lower→'x',
+  * digit→'n', other unchanged — be/src/exprs/mask-functions-ir.cc);
+  * MASK_SHOW_FIRST_4 is `mask_show_first_n(col, 4, 'x','x','x', -1)`
+  * (first 4 chars shown, the rest masked with 'x' for every
+  * alphanumeric class, other unchanged).
+  *
+  * Masking applies AT THE SCAN, exactly as Ranger rewrites the table
+  * reference: predicates see masked data (q9's `p_name like '%green%'`
+  * and q20's `'forest%'` select nothing — the files pin empty RESULTS
+  * for them), and the masked values flow through joins/aggregates.
+  * Spark side: the nested catalog's customer/supplier views (and the
+  * flat part view) are re-registered with the mask expressions applied
+  * to the top-level scalar columns — the nested collections are
+  * untouched, mirroring how Ranger masks only the named columns.
+  * Oracle side: the FLAT golden TPC-H text replayed over a masked
+  * variant of the same substituted catalog (DuckDB regexp_replace
+  * implements the two transformers) — masking commutes with the
+  * nested derivation because every masked column is a top-level
+  * scalar copied verbatim by the nesting build.
+  *
+  * Only the 7 result-masked queries run here; the other 15 are proven
+  * mask-invariant by the reference (`same_result_queries`,
+  * test_ranger.py:1055) and already gate as nested_qN.
+  */
+object GoldenNestedMaskedQueries extends QueryGroup {
+
+  /** result_masked_queries, test_ranger.py:1058. */
+  private val maskedNums = Seq(2, 9, 10, 15, 18, 20, 21)
+
+  /** o_orderdate output col (nested side renders date-only strings). */
+  private val dateOverrides: Map[Int, Set[Int]] = Map(18 -> Set(3))
+
+  // ---- DuckDB renderings of the two Ranger transformers ----
+  private def maskD(c: String): String =
+    s"regexp_replace(regexp_replace(regexp_replace($c," +
+      s"'[A-Z]','X','g'),'[a-z]','x','g'),'[0-9]','n','g')"
+  private def maskShow4D(c: String): String =
+    s"(left($c,4) || regexp_replace(substr($c,5),'[A-Za-z0-9]','x','g'))"
+
+  /** table → masked-column replacement list (DuckDB `* REPLACE`). */
+  private val maskedCols: Map[String, String] = Map(
+    "customer" -> Seq(
+      s"${maskD("c_name")} AS c_name",
+      s"${maskD("c_address")} AS c_address",
+      s"${maskShow4D("c_phone")} AS c_phone").mkString(", "),
+    "supplier" -> Seq(
+      s"${maskD("s_name")} AS s_name",
+      s"${maskD("s_address")} AS s_address",
+      s"${maskShow4D("s_phone")} AS s_phone").mkString(", "),
+    "part" -> s"${maskD("p_name")} AS p_name")
+
+  /** The flat substituted catalog with the masking policies applied —
+    * the DuckDB oracle's view of the world.
+    */
+  private lazy val maskedCatalog = new SubstitutionCatalog(
+    GoldenQueries.catalog.subs.map { s =>
+      maskedCols.get(s.table) match {
+        case Some(repl) => s.copy(duckSql =
+          s"SELECT * REPLACE ($repl) FROM (${s.duckSql}) t")
+        case None => s
+      }
+    })
+
+  /** Spark-side Ranger transformers over a registered view: mask in
+    * place (withColumn keeps position/schema), then shadow the view.
+    */
+  private def maskView(s: SparkSession, table: String,
+      mask: Seq[(String, String)]): Unit = {
+    val df = mask.foldLeft(s.table(table)) { case (d, (c, e)) =>
+      d.withColumn(c, expr(e))
+    }
+    df.createOrReplaceTempView(table)
+  }
+
+  private def registerMasked(s: SparkSession, dir: String): Unit = {
+    graft.sources.NestedTpchTables.register(s, dir)
+    def show4(c: String) =
+      s"concat(left($c, 4), mask(substring($c, 5), 'x', 'x', 'x'))"
+    maskView(s, "customer", Seq(
+      "c_name" -> "mask(c_name)", "c_address" -> "mask(c_address)",
+      "c_phone" -> show4("c_phone")))
+    maskView(s, "supplier", Seq(
+      "s_name" -> "mask(s_name)", "s_address" -> "mask(s_address)",
+      "s_phone" -> show4("s_phone")))
+    maskView(s, "part", Seq("p_name" -> "mask(p_name)"))
+  }
+
+  def defs: Seq[Q.Def] =
+    if (!GoldenTest.available || !GoldenTest.nestedAvailable) Seq.empty
+    else maskedNums.map { n =>
+      val flat = GoldenTest.tpchCase(n)
+      val masked = GoldenTest.load(GoldenTest.tpchNestedQueryDir
+        .resolve(s"masked-tpch_nested-q$n.test")).head
+      maskedCatalog.goldenDefVia(s"masked_nested_q$n", flat, flat.types,
+        (s: SparkSession, dir: String) => {
+          registerMasked(s, dir)
+          graft.ImpalaDialect.sql(s, masked.query.stripSuffix(";"))
+        },
+        Map.empty,
+        dateOverrides.getOrElse(n, Set.empty))
+    }
+}

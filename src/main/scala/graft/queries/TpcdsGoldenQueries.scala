@@ -69,7 +69,17 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  ${dec2.format("l_extendedprice")} * CAST(0.80 AS DECIMAL(4,2))
          |    AS ss_ext_wholesale_cost,
          |  ${dec2.format("l_extendedprice")} * ${frac.format("l_discount")}
-         |    AS ss_ext_discount_amt
+         |    AS ss_ext_discount_amt,
+         |  o_custkey AS ss_cdemo_sk,
+         |  o_custkey AS ss_hdemo_sk,
+         |  (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS ss_sold_time_sk,
+         |  1 + l_partkey % 25 AS ss_promo_sk,
+         |  ${dec2.format("l_extendedprice")} * ${frac.format("l_discount")}
+         |    AS ss_coupon_amt,
+         |  ${dec2.format("l_extendedprice")} * ${frac.format("l_tax")}
+         |    AS ss_ext_tax,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.80 AS DECIMAL(4,2))
+         |    AS ss_wholesale_cost
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
     },
     dual("store_returns") { dn =>
@@ -81,7 +91,9 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  CAST(l_quantity AS BIGINT) AS sr_return_quantity,
          |  l_suppkey AS sr_store_sk,
          |  ${dec2.format("l_extendedprice")} AS sr_return_amt,
-         |  ${dec2.format("l_extendedprice")} AS sr_net_loss
+         |  ${dec2.format("l_extendedprice")} AS sr_net_loss,
+         |  o_custkey AS sr_cdemo_sk,
+         |  1 + (l_orderkey + l_linenumber) % 35 AS sr_reason_sk
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_returnflag = 'R'""".stripMargin
     },
@@ -110,7 +122,22 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  ${dec2.format("l_extendedprice")} * ${frac.format("l_discount")}
          |    AS cs_ext_discount_amt,
          |  o_custkey AS cs_ship_customer_sk,
-         |  o_custkey AS cs_ship_addr_sk
+         |  o_custkey AS cs_ship_addr_sk,
+         |  o_custkey AS cs_bill_cdemo_sk,
+         |  o_custkey AS cs_bill_hdemo_sk,
+         |  1 + l_suppkey % 5 AS cs_call_center_sk,
+         |  1 + l_partkey % 200 AS cs_catalog_page_sk,
+         |  ${dec2.format("l_extendedprice")} * ${frac.format("l_discount")}
+         |    AS cs_coupon_amt,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.10 AS DECIMAL(4,2))
+         |    AS cs_ext_ship_cost,
+         |  ${dec2.format("l_extendedprice")} * (1 + ${frac.format("l_tax")})
+         |    AS cs_net_paid_inc_tax,
+         |  1 + l_partkey % 25 AS cs_promo_sk,
+         |  l_linenumber % 7 AS cs_ship_mode_sk,
+         |  (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS cs_sold_time_sk,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.80 AS DECIMAL(4,2))
+         |    AS cs_wholesale_cost
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_linenumber % 3 = 2""".stripMargin
     },
@@ -125,7 +152,15 @@ object TpcdsGoldenQueries extends QueryGroup {
          |    AS cr_refunded_cash,
          |  ${dec2.format("l_extendedprice")} AS cr_return_amount,
          |  ${dec2.format("l_extendedprice")} * (1 + ${frac.format("l_tax")})
-         |    AS cr_return_amt_inc_tax
+         |    AS cr_return_amt_inc_tax,
+         |  1 + l_suppkey % 5 AS cr_call_center_sk,
+         |  1 + l_partkey % 200 AS cr_catalog_page_sk,
+         |  ${dec2.format("l_extendedprice")} AS cr_net_loss,
+         |  CAST(l_quantity AS BIGINT) AS cr_return_quantity,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.20 AS DECIMAL(4,2))
+         |    AS cr_reversed_charge,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.30 AS DECIMAL(4,2))
+         |    AS cr_store_credit
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_linenumber % 3 = 2 AND l_returnflag = 'R'""".stripMargin
     },
@@ -138,7 +173,18 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  o_custkey AS wr_returning_addr_sk,
          |  ${dec2.format("l_extendedprice")} AS wr_return_amt,
          |  ${dec2.format("l_extendedprice")} * (1 + ${frac.format("l_tax")})
-         |    AS wr_return_amt_inc_tax
+         |    AS wr_return_amt_inc_tax,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.05 AS DECIMAL(4,2))
+         |    AS wr_fee,
+         |  ${dec2.format("l_extendedprice")} AS wr_net_loss,
+         |  1 + (l_orderkey + l_linenumber) % 35 AS wr_reason_sk,
+         |  o_custkey AS wr_refunded_addr_sk,
+         |  ${dec2.format("l_extendedprice")} * ${frac.format("l_discount")}
+         |    AS wr_refunded_cash,
+         |  o_custkey AS wr_refunded_cdemo_sk,
+         |  CAST(l_quantity AS BIGINT) AS wr_return_quantity,
+         |  o_custkey AS wr_returning_cdemo_sk,
+         |  1 + l_orderkey % 25 AS wr_web_page_sk
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_linenumber % 3 = 1 AND l_returnflag = 'R'""".stripMargin
     },
@@ -167,7 +213,16 @@ object TpcdsGoldenQueries extends QueryGroup {
          |  o_custkey AS ws_ship_customer_sk,
          |  ${dec2.format("l_extendedprice")} * (1 - ${frac.format("l_discount")})
          |    AS ws_net_profit,
-         |  ${dec2.format("l_extendedprice")} AS ws_net_paid
+         |  ${dec2.format("l_extendedprice")} AS ws_net_paid,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.10 AS DECIMAL(4,2))
+         |    AS ws_ext_ship_cost,
+         |  1 + l_partkey % 25 AS ws_promo_sk,
+         |  o_custkey AS ws_ship_addr_sk,
+         |  o_custkey AS ws_ship_hdemo_sk,
+         |  (l_orderkey * 7919 + l_linenumber * 131) % 86400 AS ws_sold_time_sk,
+         |  1 + l_orderkey % 25 AS ws_web_page_sk,
+         |  ${dec2.format("l_extendedprice")} * CAST(0.80 AS DECIMAL(4,2))
+         |    AS ws_wholesale_cost
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_linenumber % 3 = 1""".stripMargin
     },
@@ -184,7 +239,8 @@ object TpcdsGoldenQueries extends QueryGroup {
           |  CAST(floor(datediff(cal_d, DATE '1990-01-01') / 7) AS INT) + 100
           |    AS d_week_seq,
           |  '' || year(cal_d) || 'Q' || quarter(cal_d) AS d_quarter_name,
-          |  date_format(cal_d, 'EEEE') AS d_day_name
+          |  date_format(cal_d, 'EEEE') AS d_day_name,
+          |  dayofweek(cal_d) - 1 AS d_dow
           |FROM (SELECT explode(sequence(DATE '1995-01-01', DATE '2002-06-30',
           |  interval 1 day)) AS cal_d)""".stripMargin,
       duckSql =
@@ -199,7 +255,8 @@ object TpcdsGoldenQueries extends QueryGroup {
           |  CAST(floor(datediff('day', DATE '1990-01-01', cal_d) / 7) AS INT) + 100
           |    AS d_week_seq,
           |  '' || year(cal_d) || 'Q' || quarter(cal_d) AS d_quarter_name,
-          |  dayname(cal_d) AS d_day_name
+          |  dayname(cal_d) AS d_day_name,
+          |  dayofweek(cal_d) AS d_dow
           |FROM (SELECT CAST(range AS DATE) AS cal_d
           |      FROM range(DATE '1995-01-01', DATE '2002-07-01',
           |        INTERVAL 1 DAY))""".stripMargin),
@@ -254,6 +311,7 @@ object TpcdsGoldenQueries extends QueryGroup {
         |  (1 + s_suppkey % 5) AS s_company_id,
         |  'Unknown' AS s_company_name,
         |  (1 + s_suppkey % 10) AS s_market_id,
+        |  200 + (s_suppkey % 5) * 50 AS s_number_employees,
         |  '' || (100 + s_suppkey) AS s_street_number,
         |  'Main' AS s_street_name,
         |  'St' AS s_street_type,
@@ -286,7 +344,12 @@ object TpcdsGoldenQueries extends QueryGroup {
         |  1940 + (c_custkey % 60) AS c_birth_year,
         |  'login_' || c_custkey AS c_login,
         |  'c' || c_custkey || '@example.com' AS c_email_address,
-        |  c_custkey AS c_current_addr_sk
+        |  c_custkey AS c_current_addr_sk,
+        |  c_custkey AS c_current_cdemo_sk,
+        |  c_custkey AS c_current_hdemo_sk,
+        |  '2002-' || (1 + c_custkey % 12) || '-15' AS c_last_review_date,
+        |  2556 + (c_custkey * 17) % 1461 AS c_first_sales_date_sk,
+        |  2556 + (c_custkey * 31) % 1461 AS c_first_shipto_date_sk
         |FROM customer""".stripMargin),
     Sub("customer_address",
       """SELECT c_custkey AS ca_address_sk,
@@ -311,13 +374,19 @@ object TpcdsGoldenQueries extends QueryGroup {
       """SELECT r_regionkey AS w_warehouse_sk,
         |  'Warehouse ' || r_name AS w_warehouse_name,
         |  CASE r_regionkey WHEN 0 THEN 'GA' WHEN 1 THEN 'IL' WHEN 2 THEN 'TN'
-        |    WHEN 3 THEN 'SD' ELSE 'AL' END AS w_state
+        |    WHEN 3 THEN 'SD' ELSE 'AL' END AS w_state,
+        |  10007 * (1 + r_regionkey) AS w_warehouse_sq_ft,
+        |  'City_' || r_regionkey AS w_city,
+        |  'County_' || r_regionkey AS w_county,
+        |  'United States' AS w_country
         |FROM region""".stripMargin),
     Sub("ship_mode",
       """SELECT n_nationkey AS sm_ship_mode_sk,
         |  CASE n_nationkey WHEN 0 THEN 'EXPRESS' WHEN 1 THEN 'OVERNIGHT'
         |    WHEN 2 THEN 'REGULAR' WHEN 3 THEN 'TWO DAY' WHEN 4 THEN 'LIBRARY'
-        |    WHEN 5 THEN 'NEXT DAY' ELSE 'SEA' END AS sm_type
+        |    WHEN 5 THEN 'NEXT DAY' ELSE 'SEA' END AS sm_type,
+        |  CASE (n_nationkey % 3) WHEN 0 THEN 'DHL' WHEN 1 THEN 'BARIAN'
+        |    ELSE 'UPS' END AS sm_carrier
         |FROM nation WHERE n_nationkey < 7""".stripMargin),
     Sub("web_site",
       """SELECT r_regionkey AS web_site_sk,
@@ -325,6 +394,110 @@ object TpcdsGoldenQueries extends QueryGroup {
         |  'site_' || r_regionkey AS web_name,
         |  'pri' AS web_company_name
         |FROM region WHERE r_regionkey < 3""".stripMargin),
+    // ---- round-7 dims: the inventory/demographics/time tranche ----
+    // inventory spans calendar 2000-2001 (day keys dn('2000-01-01')
+    // .. +730) so q21's 2000-03-11 ±30d window, q22's month_seq
+    // 1212..1223 (calendar 2001) and q39's d_year=2001 moy 1/2 all
+    // land on data; quantity is heavy-tailed (×21 on one orderkey in
+    // five) so q39's cov = stddev/mean > 1 selects a real subset and
+    // q37/q82's `between 100 and 500` band is populated.
+    dual("inventory") { dn =>
+      s"""SELECT
+         |  l_partkey AS inv_item_sk,
+         |  l_suppkey % 5 AS inv_warehouse_sk,
+         |  ${dn("DATE '2000-01-01'")} +
+         |    ((l_orderkey * 7 + l_linenumber * 131) % 731) AS inv_date_sk,
+         |  CAST(l_quantity AS BIGINT) *
+         |    (CASE WHEN l_orderkey % 5 = 0 THEN 21 ELSE 1 END)
+         |    AS inv_quantity_on_hand
+         |FROM lineitem""".stripMargin
+    },
+    Sub("customer_demographics",
+      """SELECT c_custkey AS cd_demo_sk,
+        |  CASE WHEN c_custkey % 2 = 0 THEN 'M' ELSE 'F' END AS cd_gender,
+        |  CASE (c_custkey % 5) WHEN 0 THEN 'M' WHEN 1 THEN 'S'
+        |    WHEN 2 THEN 'D' WHEN 3 THEN 'W' ELSE 'U' END AS cd_marital_status,
+        |  CASE (c_custkey % 7) WHEN 0 THEN 'Primary' WHEN 1 THEN 'Secondary'
+        |    WHEN 2 THEN 'College' WHEN 3 THEN '2 yr Degree'
+        |    WHEN 4 THEN '4 yr Degree' WHEN 5 THEN 'Advanced Degree'
+        |    ELSE 'Unknown' END AS cd_education_status,
+        |  500 * (1 + c_custkey % 20) AS cd_purchase_estimate,
+        |  CASE (c_custkey % 4) WHEN 0 THEN 'Low Risk' WHEN 1 THEN 'Good'
+        |    WHEN 2 THEN 'High Risk' ELSE 'Unknown' END AS cd_credit_rating,
+        |  c_custkey % 7 AS cd_dep_count,
+        |  (c_custkey * 3) % 7 AS cd_dep_employed_count,
+        |  (c_custkey * 5) % 7 AS cd_dep_college_count
+        |FROM customer""".stripMargin),
+    Sub("household_demographics",
+      """SELECT c_custkey AS hd_demo_sk,
+        |  1 + (c_custkey % 20) AS hd_income_band_sk,
+        |  CASE (c_custkey % 6) WHEN 0 THEN '>10000' WHEN 1 THEN '5001-10000'
+        |    WHEN 2 THEN '1001-5000' WHEN 3 THEN '501-1000'
+        |    WHEN 4 THEN '0-500' ELSE 'Unknown' END AS hd_buy_potential,
+        |  c_custkey % 10 AS hd_dep_count,
+        |  (c_custkey * 7) % 5 AS hd_vehicle_count
+        |FROM customer""".stripMargin),
+    // full-day second grid; t_time_sk = seconds past midnight, which is
+    // exactly how the real generator keys it
+    Sub("time_dim",
+      sparkSql =
+        """SELECT k AS t_time_sk, k AS t_time,
+          |  CAST(floor(k / 3600) AS INT) AS t_hour,
+          |  CAST(floor((k % 3600) / 60) AS INT) AS t_minute,
+          |  CASE WHEN k >= 6*3600 AND k < 9*3600 THEN 'breakfast'
+          |       WHEN k >= 17*3600 AND k < 20*3600 THEN 'dinner'
+          |       ELSE NULL END AS t_meal_time
+          |FROM (SELECT explode(sequence(0, 86399)) AS k)""".stripMargin,
+      duckSql =
+        """SELECT k AS t_time_sk, k AS t_time,
+          |  CAST(floor(k / 3600) AS INT) AS t_hour,
+          |  CAST(floor((k % 3600) / 60) AS INT) AS t_minute,
+          |  CASE WHEN k >= 6*3600 AND k < 9*3600 THEN 'breakfast'
+          |       WHEN k >= 17*3600 AND k < 20*3600 THEN 'dinner'
+          |       ELSE NULL END AS t_meal_time
+          |FROM (SELECT CAST(range AS BIGINT) AS k
+          |      FROM range(0, 86400))""".stripMargin),
+    Sub("promotion",
+      """SELECT n_nationkey + 1 AS p_promo_sk,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN 'N' ELSE 'Y'
+        |    END AS p_channel_dmail,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN 'N' ELSE 'Y'
+        |    END AS p_channel_email,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN 'N' ELSE 'Y'
+        |    END AS p_channel_tv,
+        |  CASE WHEN n_nationkey % 7 = 0 THEN 'N' ELSE 'Y'
+        |    END AS p_channel_event
+        |FROM nation""".stripMargin),
+    // 35 reasons so q93's literal `r_reason_desc = 'reason 28'` hits
+    Sub("reason",
+      """SELECT p_partkey AS r_reason_sk,
+        |  'reason ' || p_partkey AS r_reason_desc
+        |FROM part WHERE p_partkey <= 35""".stripMargin),
+    // every center sits in Williamson County: q16's IN-list filter is
+    // the workload's only cc_county predicate
+    Sub("call_center",
+      """SELECT r_regionkey + 1 AS cc_call_center_sk,
+        |  'CC_' || (r_regionkey + 1) AS cc_call_center_id,
+        |  'Call center ' || (r_regionkey + 1) AS cc_name,
+        |  'Williamson County' AS cc_county,
+        |  'Manager_' || (r_regionkey + 1) AS cc_manager
+        |FROM region""".stripMargin),
+    Sub("catalog_page",
+      """SELECT p_partkey AS cp_catalog_page_sk,
+        |  'PAGE_' || p_partkey AS cp_catalog_page_id
+        |FROM part WHERE p_partkey <= 200""".stripMargin),
+    // 20 bands of width 10k: q84's `lower >= 38128 AND upper <=
+    // 38128+50000` selects bands 4..8
+    Sub("income_band",
+      """SELECT n_nationkey + 1 AS ib_income_band_sk,
+        |  n_nationkey * 10000 AS ib_lower_bound,
+        |  n_nationkey * 10000 + 9999 AS ib_upper_bound
+        |FROM nation WHERE n_nationkey < 20""".stripMargin),
+    // char counts straddle q90's 5000..5200 band
+    Sub("web_page",
+      """SELECT n_nationkey + 1 AS wp_web_page_sk,
+        |  4900 + (n_nationkey % 10) * 50 AS wp_char_count
+        |FROM nation""".stripMargin),
   ))
 
   private val queryDir = Paths.get(
@@ -333,8 +506,16 @@ object TpcdsGoldenQueries extends QueryGroup {
 
   def available: Boolean = Files.isDirectory(queryDir)
 
-  def tpcdsCase(n: String): GoldenTest.Case =
-    GoldenTest.load(queryDir.resolve(s"tpcds-q$n.test")).head
+  def tpcdsCase(n: String): GoldenTest.Case = {
+    // some workload members only ship as the decimal_v2 variant; the
+    // query text is what matters here (RESULTS come from the DuckDB
+    // oracle, not the inline rows), so fall back when the plain file
+    // is absent
+    val plain = queryDir.resolve(s"tpcds-q$n.test")
+    val f = if (Files.exists(plain)) plain
+            else queryDir.resolve(s"tpcds-decimal_v2-q$n.test")
+    GoldenTest.load(f).head
+  }
 
   /** All division-free workload members whose tables derive from the
     * fixture: the original five plus q19 (zip-prefix anti-match join),
@@ -367,9 +548,48 @@ object TpcdsGoldenQueries extends QueryGroup {
       "24-1", "24-2", "44", "47", "51", "51a", "53", "54", "63", "65",
       "67a", "70a", "74", "76", "81", "89", "98")
 
+  /** Round-7 widening: the inventory/demographics/time tranche over
+    * the ten new dims (inventory, customer/household_demographics,
+    * time_dim, promotion, reason, call_center, catalog_page,
+    * income_band, web_page) plus every previously table-blocked
+    * member. Exclusions after measurement live in [[excludedNums]].
+    */
+  val round7Nums: Seq[String] =
+    Seq("5", "7", "9", "10a", "13", "16", "18", "18a", "21", "22", "22a",
+      "26", "27", "28", "30", "31", "34", "35a", "36", "37", "39-1",
+      "39-2", "45", "46", "48", "49", "57", "61", "64", "66", "67",
+      "68", "69", "70", "71", "72", "73", "75", "77", "77a", "78",
+      "79", "80", "80a", "82", "83", "84", "85", "86", "88", "90",
+      "91", "93", "94", "95", "96", "99")
+
+  /** Measured exclusions (kept out of the gate with cause): q72's
+    * trailing `ORDER BY d_week_seq` binds the select-list alias in
+    * Impala/Spark but is an ambiguous-input error in DuckDB's binder
+    * (three date_dim instances in scope) — an oracle-side parse
+    * limitation, same family as r6's q8/q58/q86a. q64: same binder
+    * limitation on `b_street_number` (cs1/cs2 both expose the alias;
+    * Impala/Spark bind the select-list name, DuckDB errors).
+    */
+  val excludedNums: Set[String] = Set("72", "64")
+
+  /** DuckDB-side half-up repair: DuckDB's decimal→decimal CAST rounds
+    * an exact half DOWN (6.1650→6.16) where Impala's DECIMAL_V2 and
+    * Spark round half AWAY (6.17 — `be/src/runtime/decimal-value`
+    * round_half_up), so `avg(cast(x as decimal(12,2)))` queries (q18
+    * family) diverge by 0.01 exactly at the boundary. DuckDB's
+    * `round()` IS half-away, so rounding before the cast reproduces
+    * the engines' semantics; applied only to simple column operands.
+    */
+  private val castDecRe =
+    """(?i)cast\(\s*([a-z_][a-z_0-9.]*)\s+as\s+decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*\)""".r
+  private def duckHalfUpCasts(sql: String): String =
+    castDecRe.replaceAllIn(sql, m =>
+      s"cast(round(${m.group(1)}, ${m.group(3)}) as decimal(${m.group(2)},${m.group(3)}))")
+
   def defs: Seq[Q.Def] =
     if (!available) Seq.empty
-    else (nums ++ candidateNums).map { n =>
+    else (nums ++ candidateNums ++ round7Nums.filterNot(excludedNums))
+      .map { n =>
       val c = tpcdsCase(n)
       // every decimal output column → DECIMAL(38,6) on both engines:
       // exact-decimal sums are unchanged by the rounding, and avg /
@@ -382,9 +602,10 @@ object TpcdsGoldenQueries extends QueryGroup {
       // materialized star-schema (parquet-backed dims/facts) so every
       // plan stays inside whole-stage codegen — the inline item CASE
       // vocabulary otherwise exceeds janino's method limit in q41
-      catalog.goldenDefVia(s"tpcds_q$n", c, c.types, (s, dir) => {
+      val d = catalog.goldenDefVia(s"tpcds_q$n", c, c.types, (s, dir) => {
         catalog.registerMaterialized(s, dir, "/tmp/graft_tpcds")
         graft.ImpalaDialect.sql(s, query)
       }, decCols)
+      d.copy(oracle = d.oracle.map(duckHalfUpCasts))
     }
 }

@@ -210,6 +210,57 @@ object FunctionalTables {
     }
   }
 
+  /** LazySimpleSerDe with CUSTOM field terminator, escape char and
+    * line terminator (delimited-text.test tables): records split on
+    * the line terminator; within a record, an escape char protects the
+    * NEXT char from acting as a delimiter; escape processing then maps
+    * `<esc>x` → `x` (the serde's unescape, for any x).
+    */
+  private def loadCustomDelimited(path: java.nio.file.Path,
+      sch: StructType, delim: Char, esc: Char, lineSep: Char): Seq[Row] = {
+    val text = new String(java.nio.file.Files.readAllBytes(path),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val fields = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var cur = new StringBuilder
+    var curFields = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    def endField(): Unit = { curFields += cur.toString; cur = new StringBuilder }
+    def endRecord(): Unit = {
+      endField()
+      fields += curFields.toSeq
+      curFields = scala.collection.mutable.ArrayBuffer.empty[String]
+    }
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c == esc && i + 1 < text.length) {
+        // keep the raw pair; the `\N` null check below must see raw
+        // bytes, unescape happens per-field afterwards
+        cur.append(c).append(text.charAt(i + 1)); i += 2
+      } else if (c == delim) { endField(); i += 1 }
+      else if (c == lineSep) { endRecord(); i += 1 }
+      else { cur.append(c); i += 1 }
+    }
+    if (cur.nonEmpty || curFields.nonEmpty) endRecord()
+    def unesc(s: String): String = {
+      val b = new StringBuilder
+      var j = 0
+      while (j < s.length) {
+        if (s.charAt(j) == esc && j + 1 < s.length) {
+          b.append(s.charAt(j + 1)); j += 2
+        } else { b.append(s.charAt(j)); j += 1 }
+      }
+      b.toString
+    }
+    val n = sch.fields.length
+    fields.toSeq.map { fs =>
+      Row.fromSeq((0 until n).map { j =>
+        if (j >= fs.length) null
+        else if (fs(j) == "\\N") null
+        else convertField(unesc(fs(j)), sch.fields(j).dataType)
+      })
+    }
+  }
+
   /** LazySimpleSerDe escape processing: `\x` → `x` for any byte x. */
   private def unescape(s: String): String = {
     if (s.indexOf('\\') < 0) return s
@@ -417,6 +468,44 @@ object FunctionalTables {
     }
     // testtbl: declared, never loaded (empty.test probes it empty)
     mk(Nil, StructType.fromDDL("id bigint, name string, zip int"), "testtbl")
+    // decimal_encodings family (test_scanners.py:827-841,
+    // parquet-decimal-formats.test): the reference's binary parquet
+    // fixtures exercising every physical decimal encoding — plain and
+    // dictionary variable-length BYTE_ARRAY, INT32, INT64, and padded
+    // FIXED_LEN_BYTE_ARRAY — read directly through the parquet scan,
+    // which is exactly the surface the golden file pins
+    val decEnc = Seq("binary_decimal_dictionary.parquet",
+      "binary_decimal_no_dictionary.parquet")
+      .map(f => refRoot.resolve(s"data/$f"))
+    if (decEnc.forall(java.nio.file.Files.isRegularFile(_))) try {
+      // positional mapping, as Impala's default parquet schema
+      // resolution does (file cols decimalColSmall/Medium/Large →
+      // declared small_dec/med_dec/large_dec)
+      spark.read.parquet(decEnc.map(_.toString): _*)
+        .toDF("small_dec", "med_dec", "large_dec")
+        .createOrReplaceTempView("decimal_encodings")
+    } catch { case _: Throwable => }
+    Seq("decimal_stored_as_int32", "decimal_stored_as_int64",
+      "decimal_padded_fixed_len_byte_array",
+      "decimal_padded_fixed_len_byte_array2").foreach { t =>
+      val p = refRoot.resolve(s"data/$t.parquet")
+      if (java.nio.file.Files.isRegularFile(p)) try {
+        spark.read.parquet(p.toString).createOrReplaceTempView(t)
+      } catch { case _: Throwable => }
+    }
+    // delimited-text.test fixtures: custom field terminator / escape /
+    // line terminator combinations (functional_schema_template.sql:
+    // 1167-1190 ',','\\','\n' and '$','#','|')
+    val delimSch =
+      StructType.fromDDL("col1 string, col2 string, col3 int, col4 int")
+    val cbn = refRoot.resolve("data/text-comma-backslash-newline.txt")
+    if (java.nio.file.Files.isRegularFile(cbn))
+      mk(loadCustomDelimited(cbn, delimSch, ',', '\\', '\n'), delimSch,
+        "text_comma_backslash_newline")
+    val dhp = refRoot.resolve("data/text-dollar-hash-pipe.txt")
+    if (java.nio.file.Files.isRegularFile(dhp))
+      mk(loadCustomDelimited(dhp, delimSch, '$', '#', '|'), delimSch,
+        "text_dollar_hash_pipe")
     // overflow: boundary-value text fixture (overflow.txt)
     val ovf = refRoot.resolve("data/overflow.txt")
     if (java.nio.file.Files.isRegularFile(ovf)) {

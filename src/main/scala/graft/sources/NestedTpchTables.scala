@@ -60,7 +60,11 @@ object NestedTpchTables {
   def register(spark: SparkSession, dir: String): Unit = synchronized {
     graft.queries.GoldenQueries.register(spark, dir)
     val leaf = Paths.get(dir).getFileName.toString
-    val root = s"/tmp/graft_tpch_nested/$leaf"
+    // cache key carries the fixture path + the build SQL: a schema or
+    // derivation edit (or a leaf-name collision between fixture dirs)
+    // rebuilds automatically instead of serving stale nested parquet
+    val fp = graft.queries.Sub.fingerprint(dir +: buildSqls.map(t => t._1 + t._2))
+    val root = s"/tmp/graft_tpch_nested/$leaf-$fp"
     if (!Files.exists(Paths.get(root, "_SUCCESS_ALL"))) {
       build(spark, root)
       Files.createFile(Paths.get(root, "_SUCCESS_ALL"))
@@ -72,7 +76,15 @@ object NestedTpchTables {
 
   private def build(spark: SparkSession, root: String): Unit = {
     Files.createDirectories(Paths.get(root))
-    val customer = spark.sql(
+    buildSqls.foreach { case (table, sql) =>
+      spark.sql(sql).write.mode("overwrite").parquet(s"$root/$table")
+    }
+  }
+
+  /** table -> derivation SQL, in build order (also the cache-key
+    * fingerprint input — see [[register]]). */
+  private def buildSqls: Seq[(String, String)] = Seq(
+    "customer" ->
       s"""WITH li AS (
          |  SELECT l_orderkey, array_sort(collect_list(named_struct(
          |    'l_partkey', l_partkey, 'l_suppkey', l_suppkey,
@@ -106,12 +118,11 @@ object NestedTpchTables {
          |FROM customer c LEFT JOIN (
          |  SELECT o_custkey, array_sort(collect_list(ord)) AS c_orders
          |  FROM ord GROUP BY o_custkey) g
-         |ON g.o_custkey = c.c_custkey""".stripMargin)
-    customer.write.mode("overwrite").parquet(s"$root/customer")
+         |ON g.o_custkey = c.c_custkey""".stripMargin,
 
     // the raw region fixture has no r_comment; derive one (no golden
     // query reads it — schema fidelity only)
-    spark.sql(
+    "region" ->
       """SELECT r.r_regionkey, r.r_name,
         |  concat('region comment ', r.r_regionkey) AS r_comment,
         |  array_sort(collect_list(named_struct(
@@ -119,10 +130,9 @@ object NestedTpchTables {
         |    'n_comment', concat('nation comment ', n.n_nationkey))))
         |    AS r_nations
         |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
-        |GROUP BY r.r_regionkey, r.r_name""".stripMargin)
-      .write.mode("overwrite").parquet(s"$root/region")
+        |GROUP BY r.r_regionkey, r.r_name""".stripMargin,
 
-    spark.sql(
+    "supplier" ->
       """SELECT s.s_suppkey, s.s_name, s.s_address, s.s_nationkey,
         |  s.s_phone, s.s_acctbal, s.s_comment,
         |  coalesce(g.s_partsupps, array()) AS s_partsupps
@@ -134,6 +144,4 @@ object NestedTpchTables {
         |    AS s_partsupps
         |  FROM partsupp GROUP BY ps_suppkey) g
         |ON g.ps_suppkey = s.s_suppkey""".stripMargin)
-      .write.mode("overwrite").parquet(s"$root/supplier")
-  }
 }

@@ -46,7 +46,15 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "string-escaping.test", "chars.test", "partition-key-scans.test",
     "insert.test", "insert_permutation.test", "insert_null.test",
     "insert_overwrite.test", "scanners.test", "views.test",
-    "cast_format_from_table.test")
+    "cast_format_from_table.test",
+    // round 7: scanner physical formats, runtime filters, utc
+    // conversions, exhaustive join shapes
+    "parquet-decimal-formats.test", "delimited-text.test",
+    "semi-joins-exhaustive.test", "utc-timestamp-functions.test",
+    "runtime_filters.test", "parquet-filtering.test",
+    "bloom_filters.test", "parquet-stats-agg.test",
+    "single-node-joins-with-limits-exhaustive.test",
+    "single-node-nlj-exhaustive.test")
 
   /** Documented engine deltas, each verified against the reference
     * source — cases where Spark's core semantics differ by design and
@@ -99,7 +107,14 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     ("exprs.test", 167) -> "INTERVAL ... NANOSECONDS (Impala ns timestamps; Spark µs — SURVEY §7.4)",
     ("exprs.test", 168) -> "INTERVAL ... NANOSECONDS (Impala ns timestamps; Spark µs — SURVEY §7.4)",
     ("exprs.test", 170) -> "INTERVAL ... NANOSECONDS (Impala ns timestamps; Spark µs — SURVEY §7.4)",
-    ("exprs.test", 172) -> "INTERVAL 2147483647 YEARS overflow (Impala nullifies out-of-range; Spark's interval literal itself overflows)")
+    ("exprs.test", 172) -> "INTERVAL 2147483647 YEARS overflow (Impala nullifies out-of-range; Spark's interval literal itself overflows)",
+    ("parquet-filtering.test", 24) -> "RESULTS bound to the reference's sparse-orderkey TPC-H load (l_orderkey 50 is a generator gap at SF1; the driver fixture's dense orderkeys populate it)",
+    ("parquet-filtering.test", 43) -> "customer_multiblock fixture absent (binary multiblock nested-TPC-H load artifact, not in testdata/data)")
+
+  // test-runner substitution variables are ALL-CAPS ($ORIGINAL_DB,
+  // $NAMENODE, $IMPALA_HOME…) — a literal '$' inside a string value
+  // (delimited-text.test's '$'-delimited data) is NOT a variable
+  private val runnerVarRe = """\$[A-Z_][A-Z_0-9]*""".r
 
   private val dbPrefix =
     """`?\b(?:functional(?:_[a-z0-9]+)*|tpch(?:_[a-z0-9]+)*|insert_permutation_test)`?\.""".r
@@ -143,6 +158,23 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private def isNeutralSet(s: String): Boolean =
     neutralSetRe.matches(s) || decimalV2TrueRe.matches(s)
 
+  // SET timezone=Z [+ SET use_local_tz_for_unix_timestamp_conversions=1]
+  // (utc-timestamp-functions.test): Impala renders unix-epoch
+  // conversions in UTC unless the flag asks for the session timezone;
+  // Spark's from_unixtime/unix_timestamp/cast(int as ts) always render
+  // in the session timezone — so the pair maps onto
+  // spark.sql.session.timeZone=Z, and a tz set WITHOUT the flag keeps
+  // the session in UTC (matching Impala's default UTC conversions).
+  private val timezoneSetRe =
+    """(?is)^set\s+timezone\s*=\s*["']?([^"';]+?)["']?\s*$""".r
+  private val localTzFlagRe =
+    """(?is)^set\s+use_local_tz_for_unix_timestamp_conversions\s*=\s*(1|true)\s*$""".r
+  private def isSessionSet(s: String): Boolean =
+    timezoneSetRe.matches(s) || localTzFlagRe.matches(s)
+  private def sessionTzOf(prefix: Seq[String]): Option[String] =
+    if (!prefix.exists(localTzFlagRe.matches)) None
+    else prefix.collectFirst { case timezoneSetRe(z) => z.trim }
+
   // Impala: `truncate [table] name`; Spark requires the TABLE keyword
   private val truncateRe =
     """(?is)^\s*truncate\s+(?:table\s+)?([A-Za-z_]\w*)\s*$""".r
@@ -176,7 +208,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // test-runner variables ($ORIGINAL_DB, $NAMENODE …) can't resolve —
     // skip BEFORE the drop-first step, or `create table X like
     // $ORIGINAL_DB.X` would drop the fixture it can't recreate
-    if (raw.contains("$")) return
+    if (runnerVarRe.findFirstIn(raw).isDefined) return
     val s = dbPrefix.replaceAllIn(raw, "")
     try s match {
       case createViewRe(name, body) =>
@@ -282,9 +314,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     else if (prefix.exists(decimalV2FalseRe.matches))
       Some("documented delta: legacy DECIMAL_V2=false arithmetic")
     else if (prefix.nonEmpty &&
-        !prefix.forall(s => isSetupStmt(s) || isNeutralSet(s)))
+        !prefix.forall(s => isSetupStmt(s) || isNeutralSet(s) ||
+          isSessionSet(s)))
       Some("multi-statement")
-    else if (c.query.contains("$")) Some("test-runner variable")
+    else if (runnerVarRe.findFirstIn(c.query).isDefined)
+      Some("test-runner variable")
     else if (c.sections.contains("CATCH")) Some("error-path block")
     else if (c.sections.contains("DML_RESULTS")) Some("dml block")
     else if (!c.sections.contains("RESULTS")) Some("no RESULTS section")
@@ -346,8 +380,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     sources.FunctionalTables.register(spark)
     // tpch./tpch_parquet.-prefixed queries run over the substituted
     // golden catalog (value-stable rows only — rows whose RESULTS are
-    // bound to the reference's TPC-H-scale load are documented deltas)
-    queries.GoldenQueries.register(spark, "/root/testdata/sf0.01")
+    // bound to the reference's TPC-H-scale load are documented deltas);
+    // tpch_nested_parquet. customer/region/supplier resolve to the
+    // derived nested catalog (parquet-filtering's nested blocks),
+    // whose top-level columns equal the flat views
+    sources.NestedTpchTables.register(spark, "/root/testdata/sf0.01")
     var pass = 0
     var skip = 0
     var errorSkip = 0
@@ -371,13 +408,30 @@ class FunctionalGoldenSpec extends SparkSpecBase {
             skipReasons(effective) = skipReasons.getOrElse(effective, 0) + 1
           case None =>
             prefix.filter(isSetupStmt).foreach(execSetupStmt(spark, _))
+            sessionTzOf(prefix).foreach(z =>
+              spark.conf.set("spark.sql.session.timeZone", z))
             val sql = dbPrefix.replaceAllIn(queryStmt, "")
             try {
-              val df = ImpalaDialect.sql(spark, sql)
-              val schemaTokens = df.schema.map(f => typeToken(f.dataType))
+              val df0 = ImpalaDialect.sql(spark, sql)
+              val schemaTokens = df0.schema.map(f => typeToken(f.dataType))
               val types =
                 if (c.types.isEmpty) schemaTokens
-                else c.types.padTo(df.columns.length, "string")
+                else c.types.padTo(df0.columns.length, "string")
+              // under a non-UTC session tz, TIMESTAMP outputs must
+              // render as session-tz wall clock (Impala timestamps are
+              // tz-naive) — format engine-side, where the session tz
+              // applies; the raw java.sql.Timestamp render would use
+              // the JVM zone instead
+              val df = if (sessionTzOf(prefix).isEmpty) df0
+                else df0.select(df0.schema.fields.zipWithIndex.map {
+                  case (fl, j) if fl.dataType ==
+                      org.apache.spark.sql.types.TimestampType =>
+                    org.apache.spark.sql.functions.date_format(
+                      org.apache.spark.sql.functions.col(df0.columns(j)),
+                      "yyyy-MM-dd HH:mm:ss").as(fl.name)
+                  case (fl, j) =>
+                    org.apache.spark.sql.functions.col(df0.columns(j))
+                }.toSeq: _*)
               val actual = df.collect().toSeq.map { r =>
                 (0 until r.length).map(j => GoldenResult.render(r.get(j), types(j)))
               }
@@ -400,6 +454,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
                 if (sys.env.contains("GRAFT_GOLDEN_VERBOSE"))
                   info(s"ERRSKIP $f[$i] ${key}\n  q: " +
                     sql.replaceAll("\\s+", " ").take(200))
+            } finally {
+              spark.conf.set("spark.sql.session.timeZone", "UTC")
             }
         }
       }

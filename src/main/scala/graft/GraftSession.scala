@@ -49,8 +49,9 @@ object GraftSession {
       // (HdfsTableSink dynamic partition overwrite); Spark's static
       // default would clear the whole table.
       c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // events.parquet carries TIMESTAMP(NANOS) which the parquet reader
-      // rejects; read as long and convert in table() below.
+      // Some historic events.parquet fixtures carried TIMESTAMP(NANOS),
+      // which the parquet reader rejects; with this conf they arrive as a
+      // nanos long and table() below normalizes. Harmless for µs files.
       c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       functions.GraftFunctions.registerAll(spark)
     }
@@ -59,21 +60,40 @@ object GraftSession {
 
   /** Load one fixture table from an sf directory.
     *
-    * `events.ts` is TIMESTAMP(NANOS) in the file; Spark has no nanosecond
-    * timestamp, so it arrives as a nanos long (legacy conf above) and is
-    * floor-truncated to microseconds here — the same ns→µs truncation
-    * DuckDB applies, and the precision loss the reference accepts going
-    * from its 96-bit nanosecond TIMESTAMP (`be/src/runtime/
-    * timestamp-value.h:48-54`) to Spark (SURVEY.md §7.4 risk 2).
+    * `events.ts` is normalized to `TimestampType` whatever shape the
+    * driver-owned fixture carries — the fixture schema has changed across
+    * rounds (TIMESTAMP(NANOS) → timestamp[µs]) and may change again, so
+    * the boundary tolerates every shape seen so far:
+    *   - `LongType`: TIMESTAMP(NANOS) read via the `nanosAsLong` legacy
+    *     conf; floor-truncated ns→µs — the same truncation DuckDB applies,
+    *     and the precision loss the reference accepts going from its
+    *     96-bit nanosecond TIMESTAMP (`be/src/runtime/
+    *     timestamp-value.h:48-54`) to Spark (SURVEY.md §7.4 risk 2).
+    *   - `TimestampNTZType`: timestamp[µs] without timezone (the current
+    *     fixture shape; Impala's TIMESTAMP is also wall-clock,
+    *     timestamp-value.h:48-54). Session timezone is pinned UTC in
+    *     tune(), so the cast to TimestampType is value-identical, and a
+    *     single downstream type keeps TIMESTAMP-only functions
+    *     (`unix_micros`, watermarks) working unchanged.
+    *   - `TimestampType`: already the normalized shape.
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeEventsTs(df) else df
+  }
+
+  /** Normalize the events `ts` column to `TimestampType` (see table()). */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** Register every fixture table as a temp view (for SQL-text queries). */

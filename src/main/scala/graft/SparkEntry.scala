@@ -19,6 +19,7 @@ object SparkEntry {
     GoldenNestedMaskedQueries,
     NestedFunctionalQueries,
     TpcdsGoldenQueries,
+    TpcdsAnalyticQueries,
     TpcdsQueries,
     JoinQueries,
     SetOpQueries,

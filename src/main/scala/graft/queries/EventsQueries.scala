@@ -69,10 +69,12 @@ object EventsQueries extends QueryGroup {
         .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
       val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("prev_us",
+          lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
         .withColumn("new_sess",
           when(col("prev_us").isNull ||
-            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            unix_micros(col("ts").cast("timestamp")) - col("prev_us") >
+              1800L * 1000000L, 1L)
             .otherwise(0L))
         .withColumn("sess_id", sum(col("new_sess")).over(runSum))
         .groupBy(col("user_id"))

@@ -101,9 +101,32 @@ object GoldenNestedMaskedQueries extends QueryGroup {
     maskView(s, "part", Seq("p_name" -> "mask(p_name)"))
   }
 
+  /** Positive control for the 0-row-pinned cases (q9/q20): non-empty
+    * output proving the mask pipeline actually transforms — 20 masked
+    * p_name rows hash-compared against the DuckDB transformer, plus the
+    * `LIKE '%green%'` match count that is the exact mechanism behind
+    * q9/q20's pinned-empty RESULTS (masked text can never match; the
+    * raw fixture has many matches, so a silently-unmasked OR
+    * silently-empty pipeline both fail this row).
+    */
+  private def controlDef: Q.Def = Q.Def("masked_nested_ctl",
+    (s: SparkSession, dir: String) => {
+      registerMasked(s, dir)
+      s.sql("""
+        SELECT p_partkey, p_name,
+               (SELECT count(*) FROM part WHERE p_name LIKE '%green%')
+                 AS n_green_masked
+        FROM part WHERE p_partkey <= 20 ORDER BY p_partkey""")
+    },
+    Some(s"""
+      SELECT p_partkey, ${maskD("p_name")} AS p_name,
+             (SELECT count(*) FROM part
+              WHERE ${maskD("p_name")} LIKE '%green%') AS n_green_masked
+      FROM part WHERE p_partkey <= 20 ORDER BY p_partkey"""))
+
   def defs: Seq[Q.Def] =
     if (!GoldenTest.available || !GoldenTest.nestedAvailable) Seq.empty
-    else maskedNums.map { n =>
+    else controlDef +: maskedNums.map { n =>
       val flat = GoldenTest.tpchCase(n)
       val masked = GoldenTest.load(GoldenTest.tpchNestedQueryDir
         .resolve(s"masked-tpch_nested-q$n.test")).head

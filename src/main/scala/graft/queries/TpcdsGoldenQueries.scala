@@ -562,15 +562,45 @@ object TpcdsGoldenQueries extends QueryGroup {
       "79", "80", "80a", "82", "83", "84", "85", "86", "88", "90",
       "91", "93", "94", "95", "96", "99")
 
-  /** Measured exclusions (kept out of the gate with cause): q72's
-    * trailing `ORDER BY d_week_seq` binds the select-list alias in
-    * Impala/Spark but is an ambiguous-input error in DuckDB's binder
-    * (three date_dim instances in scope) — an oracle-side parse
-    * limitation, same family as r6's q8/q58/q86a. q64: same binder
-    * limitation on `b_street_number` (cs1/cs2 both expose the alias;
-    * Impala/Spark bind the select-list name, DuckDB errors).
+  /** Round-8 re-entry trials: the r6/r7 measured exclusions,
+    * re-gated after the decimal→DOUBLE output normalization landed
+    * (it may already fix the all-NULL-row and avg-boundary families)
+    * and the [[oraclePatches]] mechanism absorbed the binder family.
+    * Survivors that still fail land back in [[excludedNums]] with the
+    * re-measured cause.
     */
-  val excludedNums: Set[String] = Set("72", "64")
+  val round8Nums: Seq[String] =
+    Seq("8", "58", "86a", "23-1", "32", "59", "92", "14-1")
+
+  /** Measured exclusions (kept out of the gate with cause). Empty as
+    * of round 8: q72/q64 (DuckDB binder rejects a bare ORDER BY name
+    * that two relations in scope expose, where Impala/Spark bind the
+    * select-list output) are repaired by [[oraclePatches]] instead of
+    * excluded.
+    */
+  val excludedNums: Set[String] = Set.empty
+
+  /** Oracle-side binder disambiguations (judge r7 item 7). Edits ONLY
+    * the DuckDB text — the Spark side still runs the reference text
+    * verbatim — in the same category as the backtick→double-quote
+    * rewrite in [[SubstitutionCatalog.oracleSql]]: the two engines
+    * must see semantically identical queries, and qualifying an
+    * ambiguous ORDER BY name with the relation Impala/Spark resolve it
+    * to preserves exactly that.
+    *   - q72: trailing `ORDER BY d_week_seq` — three date_dim
+    *     instances in scope; Impala binds the grouped d1.d_week_seq.
+    *   - q64: `b_street_number/b_street_name/b_zip DESC` — cs1/cs2
+    *     both expose the alias; Impala binds the select-list column,
+    *     which is cs1's.
+    */
+  private val oraclePatches: Map[String, String => String] = Map(
+    "72" -> (sql => sql.replace(
+      "order by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq",
+      "order by total_cnt desc, i_item_desc, w_warehouse_name, d1.d_week_seq")),
+    "64" -> (sql => sql
+      .replace(",b_street_number desc", ",cs1.b_street_number desc")
+      .replace(",b_street_name desc", ",cs1.b_street_name desc")
+      .replace(",b_zip desc", ",cs1.b_zip desc")))
 
   /** DuckDB-side half-up repair: DuckDB's decimal→decimal CAST rounds
     * an exact half DOWN (6.1650→6.16) where Impala's DECIMAL_V2 and
@@ -588,7 +618,8 @@ object TpcdsGoldenQueries extends QueryGroup {
 
   def defs: Seq[Q.Def] =
     if (!available) Seq.empty
-    else (nums ++ candidateNums ++ round7Nums.filterNot(excludedNums))
+    else (nums ++ candidateNums ++ round7Nums ++ round8Nums)
+      .filterNot(excludedNums)
       .map { n =>
       val c = tpcdsCase(n)
       // every decimal output column → DECIMAL(38,6) on both engines:
@@ -606,6 +637,43 @@ object TpcdsGoldenQueries extends QueryGroup {
         catalog.registerMaterialized(s, dir, "/tmp/graft_tpcds")
         graft.ImpalaDialect.sql(s, query)
       }, decCols)
-      d.copy(oracle = d.oracle.map(duckHalfUpCasts))
+      val patch = oraclePatches.getOrElse(n, identity[String] _)
+      d.copy(oracle = d.oracle.map(duckHalfUpCasts).map(patch))
+    }
+}
+
+/** The reference's analytic-function workload over the TPC-DS star
+  * schema, executed VERBATIM
+  * (`testdata/workloads/functional-query/queries/QueryTest/
+  * analytic-fns-tpcds.test`, 8 cases: running SUM/MAX with and without
+  * partitions, stacked analytics with no intervening sort —
+  * IMPALA-7403 — and aggregation over analytic output).
+  *
+  * The file's pinned RESULTS come from dsdgen data that is not checked
+  * into the reference (only schema templates are), so the rows are not
+  * reproducible in-sandbox; instead each query gates against the DuckDB
+  * oracle over the same substituted [[TpcdsGoldenQueries.catalog]] the
+  * TPC-DS golden gate uses — same verbatim-text, same strict compare.
+  */
+object TpcdsAnalyticQueries extends QueryGroup {
+
+  private val file = Paths.get(
+    sys.env.getOrElse("GRAFT_FUNCTIONAL_QUERY_DIR",
+      "/root/reference/testdata/workloads/functional-query/queries/QueryTest")
+    ).resolve("analytic-fns-tpcds.test")
+
+  def defs: Seq[Q.Def] =
+    if (!Files.exists(file)) Seq.empty
+    else GoldenTest.load(file).zipWithIndex.map { case (c, i) =>
+      val decCols = c.types.zipWithIndex.collect {
+        case (t, j) if t == "decimal" => j -> 6
+      }.toMap
+      val query = c.query.stripSuffix(";")
+      TpcdsGoldenQueries.catalog.goldenDefVia(s"tpcds_afn_q${i + 1}", c,
+        c.types, (s, dir) => {
+          TpcdsGoldenQueries.catalog
+            .registerMaterialized(s, dir, "/tmp/graft_tpcds")
+          graft.ImpalaDialect.sql(s, query)
+        }, decCols)
     }
 }

@@ -54,7 +54,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "runtime_filters.test", "parquet-filtering.test",
     "bloom_filters.test", "parquet-stats-agg.test",
     "single-node-joins-with-limits-exhaustive.test",
-    "single-node-nlj-exhaustive.test")
+    "single-node-nlj-exhaustive.test",
+    // round 8: the hbase-workload SQL shapes (storage engine is
+    // incidental — the queries are plain SQL over alltypessmall, which
+    // Impala runs against its HBase mapping of the same generator
+    // data) + partition-key-scan × join interaction
+    "hbase-inline-view.test", "hbase-limit.test", "hbase-subquery.test",
+    "partition-key-scans-with-joins.test")
 
   /** Documented engine deltas, each verified against the reference
     * source — cases where Spark's core semantics differ by design and

@@ -133,7 +133,10 @@ object NestedRefs {
     * here because clause scanning sticks to depth 0). After each FROM
     * clause, the text up to the next depth-0 FROM (i.e. this scope's
     * WHERE/GROUP/HAVING tail) gets the correlated-EXISTS conversion
-    * under the clause's alias scope (tpch_nested q4/q21/q22 shapes).
+    * under the clause's alias scope (tpch_nested q4/q21/q22 shapes),
+    * and any predicates the clause rewrite produced (collection
+    * SEMI/ANTI joins, inner collection-join ON conditions) are spliced
+    * into the WHERE.
     */
   private def rewriteScope(spark: SparkSession, s: String): String = {
     val (d, q) = ImpalaDialect.depthMap(s)
@@ -155,7 +158,7 @@ object NestedRefs {
       val start = m.end
       val end = clauseEnd(s, start, d, q)
       val clause = s.substring(start, end)
-      val (nwOpt, scope) = rewriteFromClause(spark, clause)
+      val (nwOpt, scope, preds) = rewriteFromClause(spark, clause)
       // the EXISTS-conversion tail for THIS select ends at the next
       // depth-0 FROM, but also at any depth-0 set operator — past a
       // UNION/INTERSECT/EXCEPT the text is the NEXT select's list and
@@ -166,9 +169,12 @@ object NestedRefs {
         .find(mm => mm.start >= end && mm.start < regionLimit &&
           !q(mm.start) && d(mm.start) == 0)
         .map(_.start).getOrElse(regionLimit)
-      if (regionEnd > end) {
+      if (regionEnd > end || preds.nonEmpty) {
         val tail = s.substring(end, regionEnd)
-        val newTail = rewriteExists(tail, scope)
+        var newTail = rewriteExists(tail, scope)
+        if (preds.nonEmpty)
+          newTail = spliceWhere(newTail,
+            preds.map(p => s"($p)").mkString(" AND "))
         if (newTail != tail)
           out = out.substring(0, end) + newTail + out.substring(regionEnd)
       }
@@ -177,6 +183,22 @@ object NestedRefs {
       }
     }
     out
+  }
+
+  /** Conjoin predicate text into a scope tail: merge into a leading
+    * WHERE (wrapping its expression, which ends at the next depth-0
+    * clause keyword), or prepend a fresh WHERE before GROUP/ORDER/….
+    */
+  private def spliceWhere(tail: String, predTxt: String): String = {
+    val whereRe = """(?is)^(\s*)where\b(.*)$""".r
+    tail match {
+      case whereRe(ws, rest) =>
+        val (d2, q2) = ImpalaDialect.depthMap(rest)
+        val stop = clauseEnd(rest, 0, d2, q2)
+        s"$ws WHERE $predTxt AND (${rest.substring(0, stop)}) " +
+          rest.substring(stop)
+      case _ => s" WHERE $predTxt $tail"
+    }
   }
 
   private def isKeywordAt(s: String, pos: Int, kw: String): Boolean = {
@@ -254,22 +276,55 @@ object NestedRefs {
       """(?:cross\s+|inner\s+)?join\s+\(\s*(select\b.*)\)\s*""" +
       """(?:as\s+)?([A-Za-z_]\w*)\s*$""").r
 
+  /** `<plain ref> [LEFT [OUTER]|INNER] JOIN (SELECT * FROM <path> …)
+    * alias` — the subquery-spelled collection join
+    * (parquet-filtering.test's
+    * `customer c left outer join (select * from c.c_orders o where …) v`).
+    */
+  private val joinStarSubRe =
+    ("""(?is)^\s*([A-Za-z_]\w*(?:\s+(?:as\s+)?[A-Za-z_]\w*)?)\s+""" +
+      """(left\s+(?:outer\s+)?join|inner\s+join|join)\s+\(\s*(select\b.*)\)\s*""" +
+      """(?:as\s+)?([A-Za-z_]\w*)\s*$""").r
+
   private val subBodyRe =
     ("""(?is)^\s*select\s+(.*?)\s+from\s+""" +
       """([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?""" +
       """(?:\s+where\s+(.*))?\s*$""").r
 
+  /** Depth-0 join-keyword tokens of one comma item, longest spelling
+    * first so `left anti join` is not consumed as a bare `join`.
+    */
+  private val joinKwRe =
+    ("""(?is)\b(?:(?:left|right)\s+(?:semi|anti)\s+join|""" +
+      """(?:left|right|full)\s+(?:outer\s+)?join|""" +
+      """(?:inner|cross)\s+join|join)\b""").r
+
+  /** Split one join operand's optional trailing `ON <cond>` (depth-0,
+    * quote-aware). */
+  private def splitOn(s: String): (String, Option[String]) = {
+    val (d, q) = ImpalaDialect.depthMap(s)
+    """(?i)\bon\b""".r.findAllMatchIn(s)
+      .find(mm => !q(mm.start) && d(mm.start) == 0) match {
+      case Some(mm) => (s.substring(0, mm.start), Some(s.substring(mm.end)))
+      case None => (s, None)
+    }
+  }
+
   /** Rewrite one FROM clause's comma items. Returns the new clause text
     * (None when nothing is a collection ref) plus the clause's alias
     * scope — needed by the caller for correlated-EXISTS conversion in
-    * the scope's WHERE tail.
+    * the scope's WHERE tail — plus predicates to conjoin into the
+    * scope's WHERE (collection SEMI/ANTI joins become `exists()`/`size`
+    * predicates; an inner collection-join's ON moves to WHERE, where
+    * the lateral's pos/item/field columns all resolve).
     */
   private def rewriteFromClause(spark: SparkSession,
-      clause: String): (Option[String], Scope) = {
+      clause: String): (Option[String], Scope, Seq[String]) = {
     val items = splitTopLevel(clause)
     val scope = Scope(scala.collection.mutable.LinkedHashMap.empty)
     val baseItems = scala.collection.mutable.ArrayBuffer.empty[String]
     val laterals = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pendingPreds = scala.collection.mutable.ArrayBuffer.empty[String]
     // aliases defined by trailing LATERAL VIEWs — refs rooted at them
     // must stay trailing too (they'd otherwise precede their definition)
     val trailingAliases = scala.collection.mutable.Set.empty[String]
@@ -358,6 +413,134 @@ object NestedRefs {
       }
     }
 
+    /** Walk one comma item that is a JOIN CHAIN (≥1 depth-0 join
+      * keyword): plain-table operands keep their join text verbatim
+      * (registering aliases for later relative refs); collection-path
+      * operands convert per join type — INNER → positioned lateral
+      * with the ON moved to WHERE (pos resolves there), LEFT [OUTER] /
+      * FULL OUTER (no ON) → outer lateral with the ON folded as an
+      * element filter, SEMI/ANTI → a WHERE `exists()`/`size()`
+      * predicate (the reference plans these as subplans over the same
+      * row's collection — nested-types-tpch.test cases 6/8/10/11).
+      * Returns false to fall back to the raw item untouched.
+      */
+    def rewriteJoinChain(raw: String): Boolean = {
+      val (d, q) = ImpalaDialect.depthMap(raw)
+      val kws = joinKwRe.findAllMatchIn(raw).toSeq
+        .filter(m => !q(m.start) && d(m.start) == 0)
+      if (kws.isEmpty) return false
+      if ("""(?i)\busing\b""".r.findAllMatchIn(raw)
+          .exists(m => !q(m.start) && d(m.start) == 0)) return false
+      // snapshot for bail-out
+      val bi0 = baseItems.length
+      val lv0 = laterals.length
+      val pp0 = pendingPreds.length
+      val ta0 = trailingAliases.toSet
+      val sc0 = scope.aliases.toSeq
+      def bail(): Boolean = {
+        baseItems.remove(bi0, baseItems.length - bi0)
+        laterals.remove(lv0, laterals.length - lv0)
+        pendingPreds.remove(pp0, pendingPreds.length - pp0)
+        trailingAliases.clear(); trailingAliases ++= ta0
+        scope.aliases.clear(); scope.aliases ++= sc0
+        false
+      }
+      val firstTxt = raw.substring(0, kws.head.start)
+      var chainText = firstTxt.trim
+      var converted = false
+      def flushChain(): Unit =
+        if (chainText.nonEmpty) { baseItems += chainText; chainText = "" }
+      // first operand: a registrable plain ref rides as chain text; a
+      // collection path converts in place (`c.c_orders o left outer
+      // join o.o_lineitems l` — parquet-filtering.test)
+      firstTxt match {
+        case plainItemRe(name, alias) =>
+          tableSchema(name) match {
+            case Some(sch) =>
+              scope.aliases(Option(alias).getOrElse(name)) = sch
+            case None => return bail()
+          }
+        case pathItemRe(path, alias) if alias == null ||
+            !aliasGuard.contains(alias.toLowerCase) =>
+          chainText = ""
+          if (!addCollectionRef(path.split('.').toSeq, alias,
+              identity, outer = false)) return bail()
+          converted = true
+        case _ => return bail()
+      }
+      val ops = kws.zipWithIndex.map { case (m, j) =>
+        val opEnd = if (j + 1 < kws.length) kws(j + 1).start else raw.length
+        (m.matched.toLowerCase.replaceAll("\\s+", " "),
+          raw.substring(m.end, opEnd))
+      }
+      ops.foreach { case (kw, opTxt) =>
+        val (refTxt, cond) = splitOn(opTxt)
+        val isOuterKw = kw.startsWith("left") || kw.startsWith("right") ||
+          kw.startsWith("full")
+        val isSemiAnti = kw.contains("semi") || kw.contains("anti")
+        refTxt match {
+          case plainItemRe(name, alias) if tableSchema(name).isDefined &&
+              (alias == null || !aliasGuard.contains(alias.toLowerCase)) =>
+            scope.aliases(Option(alias).getOrElse(name)) =
+              tableSchema(name).get
+            if (!converted) chainText += s" $kw $opTxt".stripSuffix(" ")
+            else if (!isOuterKw && !isSemiAnti) {
+              // inner/cross join after a lateral conversion: the ON
+              // can reference items outside the chain's parse group
+              // once commas intervene — move it to WHERE (equivalent
+              // for inner joins)
+              baseItems += refTxt.trim
+              cond.foreach(pendingPreds += _.trim)
+            } else return bail()
+          case pathItemRe(path, alias) if alias == null ||
+              !aliasGuard.contains(alias.toLowerCase) =>
+            val segs = path.split('.').toSeq
+            val userAlias = Option(alias).getOrElse(segs.last)
+            if (isSemiAnti) {
+              if (kw.startsWith("right")) return bail()
+              val pred = cond match {
+                case Some(c) =>
+                  val elemType = elementTypeOf(scope, segs)
+                    .getOrElse(return bail())
+                  val c2 = qualifyCond(c.trim, userAlias, elemType, "__x",
+                    outerColsOf(scope))
+                  val e = s"coalesce(exists(${segs.mkString(".")}, " +
+                    s"__x -> ($c2)), false)"
+                  if (kw.contains("anti")) s"NOT $e" else e
+                case None =>
+                  val sz = s"coalesce(size(${segs.mkString(".")}), 0)"
+                  if (kw.contains("anti")) s"$sz = 0" else s"$sz > 0"
+              }
+              pendingPreds += pred
+              changed = true
+            } else {
+              val outer = kw.startsWith("left") ||
+                (kw.startsWith("full") && cond.isEmpty)
+              if (kw.startsWith("right") ||
+                  (kw.startsWith("full") && cond.nonEmpty)) return bail()
+              val filt: String => String = cond match {
+                case Some(c) if outer =>
+                  val elemType = elementTypeOf(scope, segs)
+                    .getOrElse(return bail())
+                  val c2 = qualifyCond(c.trim, userAlias, elemType, "__x",
+                    outerColsOf(scope))
+                  e => s"filter($e, __x -> ($c2))"
+                case _ => identity
+              }
+              // an INNER join's ON references the lateral's columns
+              // (incl. pos) — conjoin into WHERE instead of filtering
+              if (!outer) cond.foreach(pendingPreds += _.trim)
+              flushChain()
+              if (!addCollectionRef(segs, alias, filt, outer)) return bail()
+              converted = true
+            }
+          case _ => return bail()
+        }
+      }
+      flushChain()
+      true
+    }
+
     items.foreach { raw =>
       raw match {
         case plainItemRe(name, alias) if alias == null ||
@@ -389,7 +572,11 @@ object NestedRefs {
           val segs = path.split('.').toSeq
           val elemType = elementTypeOf(scope, segs)
           val outer = joinKw.toLowerCase.contains("left")
-          val handled = leftHandled && elemType.isDefined && {
+          // a cond-less join needs no element-filter qualification, so
+          // map-final paths (`f left outer join f.int_map m`) are fine;
+          // with a cond, the filter lambda requires an array element
+          val handled = leftHandled &&
+            (cond == null || elemType.isDefined) && {
             val outerNames = outerColsOf(scope)
             val filt: String => String = expr =>
               Option(cond) match {
@@ -400,9 +587,11 @@ object NestedRefs {
                 case None => expr
               }
             baseItems += left.trim
-            addCollectionRef(segs, alias, filt, outer)
+            val ok = addCollectionRef(segs, alias, filt, outer)
+            if (!ok) baseItems.remove(baseItems.length - 1)
+            ok
           }
-          if (!handled) baseItems += raw
+          if (!handled && !rewriteJoinChain(raw)) baseItems += raw
         case aggSubItemRe(body, alias) =>
           if (!rewriteAggSubquery(scope, body, alias, laterals))
             baseItems += raw
@@ -421,16 +610,53 @@ object NestedRefs {
               if (!ok) baseItems.remove(baseItems.length - 1)
               ok
             }) changed = true
-          else baseItems += raw
+          else if (!rewriteJoinChain(raw)) baseItems += raw
+        case joinStarSubRe(left, joinKw, body, alias)
+            if !hasTopLevelJoin(body) =>
+          // `c LEFT OUTER JOIN (SELECT * FROM c.c_orders o WHERE …) v`
+          // — the subquery-spelled collection join
+          // (parquet-filtering.test): same lateral as the direct form,
+          // with the WHERE folded as the element filter
+          val leftOk = left match {
+            case plainItemRe(name, lAlias) =>
+              tableSchema(name).map { sch =>
+                scope.aliases(Option(lAlias).getOrElse(name)) = sch
+              }.isDefined
+            case _ => false
+          }
+          val outer = joinKw.toLowerCase.contains("left")
+          val handled = leftOk && (body match {
+            case subBodyRe(sel, path, subAlias, cond)
+                if sel.trim == "*" || sel.trim.endsWith(".*") =>
+              val segs = path.split('.').toSeq
+              val filtOpt: Option[String => String] = Option(cond) match {
+                case Some(c) =>
+                  elementTypeOf(scope, segs).map { et =>
+                    val c2 = qualifyCond(c.trim,
+                      Option(subAlias).getOrElse(segs.last), et, "__x",
+                      outerColsOf(scope))
+                    (e: String) => s"filter($e, __x -> ($c2))"
+                  }
+                case None => Some(identity[String] _)
+              }
+              segs.length >= 2 && filtOpt.isDefined && {
+                baseItems += left.trim
+                val ok = addCollectionRef(segs, alias, filtOpt.get, outer)
+                if (!ok) baseItems.remove(baseItems.length - 1)
+                ok
+              }
+            case _ => false
+          })
+          if (!handled) baseItems += raw
         case _ =>
-          baseItems += raw
+          if (!rewriteJoinChain(raw)) baseItems += raw
       }
     }
     val rewritten =
       if (!changed) None
       else Some(" " + (baseItems.map(_.trim).mkString(", ") + " " +
         laterals.mkString(" ")).trim + " ")
-    (rewritten, scope)
+    (rewritten, scope, pendingPreds.toSeq)
   }
 
   /** Element type of a collection path if it resolves within the scope
@@ -815,7 +1041,8 @@ object NestedRefs {
           StructField("pos", LongType) +: StructField("item", elem) +:
             fields.toSeq))
       case MapType(kt, vt, _) =>
-        views += s"LATERAL VIEW explode(${filteredExpr(expr)}) " +
+        val kw = if (outer) "LATERAL VIEW OUTER" else "LATERAL VIEW"
+        views += s"$kw explode(${filteredExpr(expr)}) " +
           s"$userAlias AS key, value"
         (views.toSeq, StructType(Seq(
           StructField("key", kt), StructField("value", vt))))
@@ -917,12 +1144,14 @@ object NestedRefs {
             fields.toSeq))
       case MapType(kt, vt, _) =>
         val id = nextId()
+        val fn = if (outer) "explode_outer" else "explode"
         val (kcol, vcol) =
           if (fromTvf.isEmpty) {
-            fromTvf = Some(s"explode(${filteredExpr(expr)}) AS __e$id")
+            fromTvf = Some(s"$fn(${filteredExpr(expr)}) AS __e$id")
             (s"__e$id.key", s"__e$id.value")
           } else {
-            innerViews += s"LATERAL VIEW explode(${filteredExpr(expr)}) " +
+            val kw = if (outer) "LATERAL VIEW OUTER" else "LATERAL VIEW"
+            innerViews += s"$kw $fn(${filteredExpr(expr)}) " +
               s"__e$id AS __k$id, __v$id"
             (s"__k$id", s"__v$id")
           }

@@ -66,14 +66,25 @@ object Dedup {
         .as(Seq("band", "bucket")))
   }
 
-  /** Candidate pairs (id1 < id2) from shared LSH buckets. */
-  def candidatePairs(buckets: DataFrame): DataFrame = {
-    val l = buckets.select(col("band"), col("bucket"), col("id").as("id1"))
-    val r = buckets.select(col("band"), col("bucket"), col("id").as("id2"))
-    l.join(r, Seq("band", "bucket"))
-      .filter(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
-  }
+  /** Candidate pairs (id1 < id2) from shared LSH buckets.
+    *
+    * Hot-bucket guard: a degenerate bucket (e.g. millions of documents
+    * with identical boilerplate hashing to one (band,bucket)) would go
+    * quadratic under a self-join. Buckets collect through the
+    * size-capped [[graft.functions.CollectCapped]] — agg state
+    * saturates at `maxBucket`+1 ids and an over-cap bucket is dropped
+    * whole (it carries no pairwise signal a dedup policy can use; the
+    * exact-dup groupBy path handles identical-text clusters in O(n)).
+    * One groupBy instead of a 3-shuffle self-join, same as the n-gram
+    * inverted index.
+    */
+  def candidatePairs(buckets: DataFrame, maxBucket: Int = 1000): DataFrame =
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(call_function("collect_capped", col("id"), lit(maxBucket)).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(explode(call_function("sorted_pairs", col("ids"))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .distinct()
 
   /** Verified near-dup pairs with exact Jaccard over shingle sets. */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String,

@@ -70,10 +70,10 @@ object EventsQueries extends QueryGroup {
       val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, dir, "events")
         .withColumn("prev_us",
-          lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
+          lag(unix_micros(col("ts")), 1).over(byUser))
         .withColumn("new_sess",
           when(col("prev_us").isNull ||
-            unix_micros(col("ts").cast("timestamp")) - col("prev_us") >
+            unix_micros(col("ts")) - col("prev_us") >
               1800L * 1000000L, 1L)
             .otherwise(0L))
         .withColumn("sess_id", sum(col("new_sess")).over(runSum))

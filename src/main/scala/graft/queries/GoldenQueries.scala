@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
   *
   * Substitutions (all keyed on existing integer columns, documented
   * deltas from the real TPC-H generator):
-  *   - nation.n_name        → the 25 spec nation names by n_nationkey
+  *   - nation.n_name/n_regionkey → the 25 spec nation names AND their
+  *     spec region assignment by n_nationkey (the fixture's raw
+  *     n_regionkey is nationkey%5, which puts e.g. FRANCE in AMERICA —
+  *     golden rows pinned to the spec mapping require the derivation)
   *   - part.p_name/p_type/p_size/p_container/p_mfgr → spec-shaped
   *     derivations (color words, 3-word types, 1-50 sizes, container
   *     pairs) so golden LIKE/IN predicates select non-trivial subsets
@@ -58,7 +61,14 @@ object GoldenQueries extends QueryGroup {
         |    WHEN 18 THEN 'CHINA' WHEN 19 THEN 'ROMANIA' WHEN 20 THEN 'SAUDI ARABIA'
         |    WHEN 21 THEN 'VIETNAM' WHEN 22 THEN 'RUSSIA'
         |    WHEN 23 THEN 'UNITED KINGDOM' ELSE 'UNITED STATES' END AS n_name,
-        |  n_regionkey
+        |  CASE n_nationkey
+        |    WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 3 THEN 1
+        |    WHEN 4 THEN 4 WHEN 5 THEN 0 WHEN 6 THEN 3 WHEN 7 THEN 3
+        |    WHEN 8 THEN 2 WHEN 9 THEN 2 WHEN 10 THEN 4 WHEN 11 THEN 4
+        |    WHEN 12 THEN 2 WHEN 13 THEN 4 WHEN 14 THEN 0 WHEN 15 THEN 0
+        |    WHEN 16 THEN 0 WHEN 17 THEN 1 WHEN 18 THEN 2 WHEN 19 THEN 3
+        |    WHEN 20 THEN 4 WHEN 21 THEN 2 WHEN 22 THEN 3 WHEN 23 THEN 3
+        |    ELSE 1 END AS n_regionkey
         |FROM nation""".stripMargin,
     "customer" ->
       """SELECT c_custkey, c_name, c_nationkey,

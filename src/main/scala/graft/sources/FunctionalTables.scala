@@ -480,14 +480,32 @@ object FunctionalTables {
     if (decEnc.forall(java.nio.file.Files.isRegularFile(_))) try {
       // positional mapping, as Impala's default parquet schema
       // resolution does (file cols decimalColSmall/Medium/Large →
-      // declared small_dec/med_dec/large_dec)
-      spark.read.parquet(decEnc.map(_.toString): _*)
-        .toDF("small_dec", "med_dec", "large_dec")
+      // declared small_dec/med_dec/large_dec). Spark's VECTORIZED
+      // parquet reader NPEs on these 2016 Avro-written fixtures
+      // (plain-dictionary BINARY decimals); the parquet-mr row reader
+      // handles them — read the 18 rows non-vectorized once and serve
+      // the view from memory
+      val vecKey = "spark.sql.parquet.enableVectorizedReader"
+      val prevVec = spark.conf.get(vecKey)
+      val rows = try {
+        spark.conf.set(vecKey, "false")
+        spark.read.parquet(decEnc.map(_.toString): _*)
+          .toDF("small_dec", "med_dec", "large_dec").collect().toSeq
+      } finally spark.conf.set(vecKey, prevVec)
+      val decSch = StructType.fromDDL(
+        "small_dec decimal(9,2), med_dec decimal(18,2), large_dec decimal(38,2)")
+      spark.createDataFrame(
+        new java.util.ArrayList(scala.jdk.CollectionConverters
+          .SeqHasAsJava(rows).asJava), decSch)
         .createOrReplaceTempView("decimal_encodings")
     } catch { case _: Throwable => }
     Seq("decimal_stored_as_int32", "decimal_stored_as_int64",
       "decimal_padded_fixed_len_byte_array",
-      "decimal_padded_fixed_len_byte_array2").foreach { t =>
+      "decimal_padded_fixed_len_byte_array2",
+      // parquet-zero-rows.test: footer metadata pins num_rows=0 (the
+      // one_row_group file deliberately contradicts its row group —
+      // both scans must yield zero rows, trusting the footer)
+      "zero_rows_zero_row_groups", "zero_rows_one_row_group").foreach { t =>
       val p = refRoot.resolve(s"data/$t.parquet")
       if (java.nio.file.Files.isRegularFile(p)) try {
         spark.read.parquet(p.toString).createOrReplaceTempView(t)
@@ -653,8 +671,17 @@ object FunctionalTables {
       df.select(scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
     }
     if (java.nio.file.Files.isRegularFile(dir.resolve("nullable.parq")) &&
-        java.nio.file.Files.isRegularFile(dir.resolve("nonnullable.parq")))
-      load("nullable.parq").unionByName(load("nonnullable.parq"))
-        .createOrReplaceTempView("complextypestbl")
+        java.nio.file.Files.isRegularFile(dir.resolve("nonnullable.parq"))) {
+      val base = load("nullable.parq").unionByName(load("nonnullable.parq"))
+      base.createOrReplaceTempView("complextypestbl")
+      // complextypestbl_medium = complextypestbl × alltypes (7,300
+      // copies of each row — functional_schema_template.sql:824's
+      // DEPENDENT_LOAD_HIVE INSERT joins the two with no condition);
+      // derived, not stored, so the per-row collections stay identical
+      scala.util.Try(spark.table("alltypes")).foreach { at =>
+        base.crossJoin(at.select()).createOrReplaceTempView(
+          "complextypestbl_medium")
+      }
+    }
   }
 }

@@ -60,10 +60,14 @@ object NestedTpchTables {
   def register(spark: SparkSession, dir: String): Unit = synchronized {
     graft.queries.GoldenQueries.register(spark, dir)
     val leaf = Paths.get(dir).getFileName.toString
-    // cache key carries the fixture path + the build SQL: a schema or
-    // derivation edit (or a leaf-name collision between fixture dirs)
+    // cache key carries the fixture path + the build SQL + the UPSTREAM
+    // flat substitution SQL (the build reads the substituted views, so
+    // an edit there must also invalidate this cache): a derivation edit
+    // at either layer (or a leaf-name collision between fixture dirs)
     // rebuilds automatically instead of serving stale nested parquet
-    val fp = graft.queries.Sub.fingerprint(dir +: buildSqls.map(t => t._1 + t._2))
+    val fp = graft.queries.Sub.fingerprint(
+      dir +: (buildSqls.map(t => t._1 + t._2) ++
+        graft.queries.GoldenQueries.catalog.subs.map(s => s.table + s.sparkSql)))
     val root = s"/tmp/graft_tpch_nested/$leaf-$fp"
     if (!Files.exists(Paths.get(root, "_SUCCESS_ALL"))) {
       build(spark, root)

@@ -60,7 +60,21 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // Impala runs against its HBase mapping of the same generator
     // data) + partition-key-scan × join interaction
     "hbase-inline-view.test", "hbase-limit.test", "hbase-subquery.test",
-    "partition-key-scans-with-joins.test")
+    "partition-key-scans-with-joins.test",
+    // round 9: parquet row-group-stats pruning semantics (the RESULTS
+    // are engine-invariant; the reference's RUNTIME_PROFILE pruning
+    // counters are Impala-runtime-specific extra sections the loader
+    // ignores), zero-row parquet metadata, and the local-timezone
+    // unix-conversion family
+    "parquet-stats.test", "parquet-zero-rows.test",
+    "local-timestamp-functions.test")
+
+  /** Files whose header documents the daemon flag
+    * `-use_local_tz_for_unix_timestamp_conversions=true` — a `SET
+    * timezone` there maps to the session timezone without the per-query
+    * flag appearing in the block.
+    */
+  private val localTzFiles = Set("local-timestamp-functions.test")
 
   /** Documented engine deltas, each verified against the reference
     * source — cases where Spark's core semantics differ by design and
@@ -115,7 +129,40 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     ("exprs.test", 170) -> "INTERVAL ... NANOSECONDS (Impala ns timestamps; Spark µs — SURVEY §7.4)",
     ("exprs.test", 172) -> "INTERVAL 2147483647 YEARS overflow (Impala nullifies out-of-range; Spark's interval literal itself overflows)",
     ("parquet-filtering.test", 24) -> "RESULTS bound to the reference's sparse-orderkey TPC-H load (l_orderkey 50 is a generator gap at SF1; the driver fixture's dense orderkeys populate it)",
-    ("parquet-filtering.test", 43) -> "customer_multiblock fixture absent (binary multiblock nested-TPC-H load artifact, not in testdata/data)")
+    ("parquet-filtering.test", 42) -> "RESULTS bound to the reference's TPC-H SF1 load (150,000 = SF1 customer count; the driver fixture's 1,500 customers produce the same per-customer null-extended count)",
+    ("parquet-filtering.test", 43) -> "customer_multiblock fixture absent (binary multiblock nested-TPC-H load artifact, not in testdata/data)") ++
+    // parquet-stats.test[65-81]: the IMPALA-6527 NaN family — every
+    // mismatching case turns on `val > 0` / `not val >= 0` over NaN,
+    // where Impala follows C++ (NaN compares false everywhere) and
+    // Spark defines NaN = NaN, NaN greatest (SparkSQL NaN semantics —
+    // same delta as the joins.test/top-n.test entries above)
+    Seq(65, 68, 70, 71, 73, 74, 76, 77, 78, 79, 80, 81).map(i =>
+      ("parquet-stats.test", i) ->
+        "NaN comparison semantics (IMPALA-6527 pins C++ NaN-compares-false; Spark NaN = NaN / greatest)").toMap ++
+    // parquet-stats.test[31]: cast(id AS TINYINT) over 0..7299 —
+    // Impala's int→int cast truncates bits (C++ static_cast, so the
+    // count reflects wrapped values); Spark ANSI casts raise on
+    // overflow. Same physical-narrowing family as tnarrow below.
+    Map(("parquet-stats.test", 31) ->
+      "int→int cast overflow: Impala truncates bits (C++ static_cast); Spark ANSI cast errors") ++
+    // parquet-stats.test[82-94]: tnarrow — ALTER ... CHANGE COLUMN to a
+    // NARROWER integer type, then reading old int32/int16 row groups
+    // through the narrowed slot (200 reinterprets to -56). Impala's
+    // column readers truncate stored bits on the fly
+    // (be/src/exec/parquet/parquet-column-readers.cc); Spark's reader
+    // rejects narrowing schema evolution by design, so the
+    // reinterpreted values cannot be produced from the same files
+    Seq(82, 83, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 94).map(i =>
+      ("parquet-stats.test", i) ->
+        "physical int narrowing via ALTER (Impala reinterprets stored bits; Spark rejects narrowing schema evolution)").toMap ++
+    // parquet-zero-rows.test[2,3]: a deliberately corrupt file whose
+    // footer pins num_rows=0 over a non-empty row group — Impala
+    // trusts the footer (0 rows + corruption error); Spark's reader
+    // iterates the row group and returns its row
+    Map(("parquet-zero-rows.test", 2) ->
+        "corrupt num_rows=0 footer: Impala trusts footer and errors; Spark scans the row group",
+      ("parquet-zero-rows.test", 3) ->
+        "corrupt num_rows=0 footer: Impala trusts footer and errors; Spark scans the row group")
 
   // test-runner substitution variables are ALL-CAPS ($ORIGINAL_DB,
   // $NAMENODE, $IMPALA_HOME…) — a literal '$' inside a string value
@@ -151,7 +198,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       """max_row_size|batch_size|num_nodes|mt_dop|disable_codegen\w*|""" +
       """disable_outermost_topn|disable_streaming_preaggregations|""" +
       """runtime_filter\w*|num_scanner_threads|exec_time_limit_s|""" +
-      """s3_skip_insert_staging)\s*=.*""").r
+      """s3_skip_insert_staging|parquet_read_statistics|""" +
+      """enable_expr_rewrites)\s*=.*""").r
   // Spark's decimal arithmetic IS Impala's DECIMAL_V2 (SQL-standard
   // scales, round-half-up); v2=true is therefore also a no-op…
   private val decimalV2TrueRe =
@@ -177,8 +225,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     """(?is)^set\s+use_local_tz_for_unix_timestamp_conversions\s*=\s*(1|true)\s*$""".r
   private def isSessionSet(s: String): Boolean =
     timezoneSetRe.matches(s) || localTzFlagRe.matches(s)
-  private def sessionTzOf(prefix: Seq[String]): Option[String] =
-    if (!prefix.exists(localTzFlagRe.matches)) None
+  private def sessionTzOf(prefix: Seq[String],
+      flagImplied: Boolean = false): Option[String] =
+    if (!flagImplied && !prefix.exists(localTzFlagRe.matches)) None
     else prefix.collectFirst { case timezoneSetRe(z) => z.trim }
 
   // Impala: `truncate [table] name`; Spark requires the TABLE keyword
@@ -396,7 +445,17 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     var errorSkip = 0
     val mismatches = scala.collection.mutable.ArrayBuffer.empty[String]
     val skipReasons = scala.collection.mutable.Map.empty[String, Int]
+    // Impala's HBase mapping of alltypessmall surfaces SELECT * in
+    // row-key-first + alphabetical column order (HBaseTable.java builds
+    // the schema from the column-family map; the .test RESULTS rows are
+    // pinned to that order) — shadow the view with that order for the
+    // hbase-* files, restore the HDFS order for everything else
+    val atsHdfs = spark.table("alltypessmall")
+    val atsHbase = atsHdfs.select(("id" +: atsHdfs.columns.filterNot(_ == "id")
+      .sorted.toSeq).map(org.apache.spark.sql.functions.col): _*)
     files.foreach { f =>
+      (if (f.startsWith("hbase-")) atsHbase else atsHdfs)
+        .createOrReplaceTempView("alltypessmall")
       val cases = GoldenTest.load(dir.resolve(f))
       cases.zipWithIndex.foreach { case (c, i) =>
         val stmts = splitStmts(c.query)
@@ -410,11 +469,19 @@ class FunctionalGoldenSpec extends SparkSpecBase {
               if (reason == "non-select" &&
                   runSetup(spark, c.query.stripSuffix(";")))
                 "setup block executed"
-              else reason
+              else {
+                // a documented-delta block may still carry the SETUP
+                // for later blocks (parquet-stats' create-insert-select
+                // NaN probes) — run its setup even though the result
+                // compare is skipped
+                if (reason.startsWith("documented delta"))
+                  prefix.filter(isSetupStmt).foreach(execSetupStmt(spark, _))
+                reason
+              }
             skipReasons(effective) = skipReasons.getOrElse(effective, 0) + 1
           case None =>
             prefix.filter(isSetupStmt).foreach(execSetupStmt(spark, _))
-            sessionTzOf(prefix).foreach(z =>
+            sessionTzOf(prefix, localTzFiles(f)).foreach(z =>
               spark.conf.set("spark.sql.session.timeZone", z))
             val sql = dbPrefix.replaceAllIn(queryStmt, "")
             try {
@@ -428,7 +495,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
               // tz-naive) — format engine-side, where the session tz
               // applies; the raw java.sql.Timestamp render would use
               // the JVM zone instead
-              val df = if (sessionTzOf(prefix).isEmpty) df0
+              val df = if (sessionTzOf(prefix, localTzFiles(f)).isEmpty) df0
                 else df0.select(df0.schema.fields.zipWithIndex.map {
                   case (fl, j) if fl.dataType ==
                       org.apache.spark.sql.types.TimestampType =>
@@ -482,16 +549,19 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1468, s"only $pass golden queries passed (floor 1468)")
+    assert(pass >= 1635, s"only $pass golden queries passed (floor 1635)")
     // ceiling on execution-error skips: new analysis/runtime errors on
-    // previously-running queries cannot hide inside the skip bucket
-    // includes two Spark-analyzer limitations surfaced by the
-    // SET-prefix unlock — a window function in ORDER BY outside the
-    // select list (analytic-fns.test) and a correlated EXISTS whose
-    // subquery groups by ROLLUP (grouping-sets.test) — plus
-    // insert_null.test's nullinsert/nullinsert_alt/nullformat_custom
-    // tables, whose two-serdes-over-one-location layout is text-format
-    // physics a parquet fixture cannot replicate
-    assert(errorSkip <= 16, s"$errorSkip error skips (ceiling 16)")
+    // previously-running queries cannot hide inside the skip bucket.
+    // The 15: Spark-analyzer limitations (correlated EXISTS grouping
+    // by ROLLUP + grouping() on expressions — grouping-sets.test[5,6];
+    // window fn in ORDER BY outside the select list —
+    // analytic-fns.test[60]; sliding avg over DECIMAL(38,*) window —
+    // decimal-exprs.test[34]; FORMAT "RRRR" — date.test[85];
+    // WITH-clause column-alias arity — with-clause.test[3]), correlated
+    // collection refs inside WITH subqueries (nested-types-with-clause
+    // [0-3], outer-to-inner-joins[19]'s per-row FULL OUTER ON),
+    // insert_null.test's two-serdes-over-one-location text tables
+    // [2,3,17], and misc.test[8]'s unsupported_types table
+    assert(errorSkip <= 15, s"$errorSkip error skips (ceiling 15)")
   }
 }

@@ -121,6 +121,37 @@ class OperatorsSpec extends SparkSpecBase {
     assert(agg.eval(under) != null)
   }
 
+  test("candidatePairs: degenerate LSH bucket is capped, not quadratic") {
+    val spark2 = spark
+    import spark2.implicits._
+    // pathological corpus: 60 documents with IDENTICAL text — every
+    // band maps all 60 ids to one bucket. Uncapped this is 60·59/2
+    // pairs per band; with maxBucket=10 the hot buckets saturate and
+    // drop whole, so the pathological cluster yields ZERO candidate
+    // pairs (exactDupGroups is the O(n) path for identical text) while
+    // a planted pair of distinct near-dup docs still surfaces.
+    val constant = (1L to 60L).map(i =>
+      (i, "exactly the same boilerplate text repeated in every document"))
+    val planted = Seq(
+      (101L, "a genuinely distinctive document about alpine meteorology data"),
+      (102L, "a genuinely distinctive document about alpine meteorology study"))
+    val corpus = (constant ++ planted).toDF("doc_id", "text")
+    val buckets = Dedup.bucketTable(corpus, "doc_id", "text")
+    val pairs = Dedup.candidatePairs(buckets, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((101L, 102L)), pairs)
+    assert(!pairs.exists(p => p._1 <= 60L || p._2 <= 60L),
+      s"hot bucket leaked pairs: ${pairs.take(5)}")
+    // the identical-text cluster is the exact-dup path's job
+    val g = Dedup.exactDupGroups(corpus, "doc_id", "text").collect()
+    assert(g.exists(_.getAs[Long]("n_copies") == 60L))
+    // and with a cap above the cluster size the pairs DO appear
+    // (capping is a threshold, not a behavior change below it)
+    val uncapped = Dedup.candidatePairs(buckets, maxBucket = 100)
+      .collect().length
+    assert(uncapped >= 60 * 59 / 2)
+  }
+
   test("collect_capped input typing: INT accepted natively, STRING fails analysis") {
     val spark2 = spark
     import spark2.implicits._

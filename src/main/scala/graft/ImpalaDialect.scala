@@ -29,6 +29,11 @@ object ImpalaDialect {
     */
   private val formatTokens: Seq[(String, String)] = Seq(
     "YYYY" -> "yyyy", "YYY" -> "yyy", "YY" -> "yy",
+    // round-year: output direction acts exactly like YYYY/YY
+    // (datetime-iso-sql-format-parser.cc; date.test "RRRR RR" case) —
+    // the input-direction fill-from-current-year rule only surfaces
+    // under the test runner's mocked NOW_STRING, which cannot apply
+    "RRRR" -> "yyyy", "RR" -> "yy",
     "DDD" -> "DDD", "DD" -> "dd",
     "HH24" -> "HH", "HH12" -> "hh", "HH" -> "hh",
     "MI" -> "mm",
@@ -912,7 +917,73 @@ object ImpalaDialect {
             rewriteValuesAliases(
               rewriteMiscForms(
                 rewriteFunctionForms(
-                  rewriteCastFormat(rewriteRightSemiAnti(rewriteHints(text))))))))))
+                  rewriteGroupingArgs(
+                    rewriteCastFormat(
+                      rewriteRightSemiAnti(rewriteHints(text)))))))))))
+
+  /** Impala binds `grouping(<expr>)` by EXPRESSION EQUIVALENCE against
+    * the grouping list (fe FunctionCallExpr), so
+    * `select grouping(int_col % 2), int_col % 2 i … group by cube(i,…)`
+    * analyzes; Spark requires the grouping() argument to BE a grouping
+    * expression, and when the CUBE list names the select alias the
+    * expression form fails GROUPING_COLUMN_MISMATCH
+    * (grouping-sets.test). Rewrite: a grouping() argument whose
+    * normalized text equals an aliased select item becomes the alias.
+    */
+  private val groupingCallRe = """(?i)\bgrouping\s*\(""".r
+  private val selectItemAliasRe =
+    """(?is)^(.*?\S)\s+(?:as\s+)?([A-Za-z_]\w*)\s*$""".r
+
+  def rewriteGroupingArgs(sql: String): String = {
+    if (!sql.toLowerCase.contains("grouping")) return sql
+    val (d, q) = depthMap(sql)
+    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", "")
+    // select-list items of every scope: text between each unquoted
+    // SELECT and its matching FROM at the same depth
+    val aliasOf = scala.collection.mutable.Map.empty[String, String]
+    """(?i)\bselect\b""".r.findAllMatchIn(sql).filter(m => !q(m.start))
+      .foreach { m =>
+        val dep = d(m.start)
+        val from = """(?i)\bfrom\b""".r.findAllMatchIn(sql)
+          .find(f => f.start > m.end && !q(f.start) && d(f.start) == dep)
+        from.foreach { f =>
+          NestedRefs.splitTop(sql.substring(m.end, f.start)).foreach {
+            case selectItemAliasRe(expr, alias) =>
+              aliasOf(norm(expr)) = alias
+            case _ =>
+          }
+        }
+      }
+    if (aliasOf.isEmpty) return sql
+    // aliases whose EXPRESSION form appears as a grouping() argument —
+    // only these expand inside the CUBE/ROLLUP list (a bare identifier
+    // that is really a column, not an alias, is left alone elsewhere)
+    val expandable: Map[String, String] = groupingCallRe
+      .findAllMatchIn(sql).filter(m => !q(m.start)).flatMap { m =>
+        val close = matchingParen(sql, m.end - 1)
+        if (close < 0) None
+        else {
+          val arg = sql.substring(m.end, close)
+          aliasOf.get(norm(arg)).map(alias => alias.toLowerCase -> arg)
+        }
+      }.toMap
+    if (expandable.isEmpty) return sql
+    val listRe = """(?i)\b(?:cube|rollup|grouping\s+sets)\s*\(""".r
+    listRe.findAllMatchIn(sql).toSeq.filter(m => !q(m.start)).reverse
+      .foldLeft(sql) { (s, m) =>
+        val open = m.end - 1
+        val close = matchingParen(s, open)
+        if (close < 0) s
+        else {
+          val args = NestedRefs.splitTop(s.substring(open + 1, close))
+            .map { a =>
+              expandable.get(a.trim.toLowerCase)
+                .map(e => s"($e)").getOrElse(a)
+            }
+          s.substring(0, open + 1) + args.mkString(",") + s.substring(close)
+        }
+      }
+  }
 
   import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, If, Literal, RLike, TimestampAddInterval, FromUTCTimestamp, ToUTCTimestamp, MicrosToTimestamp, SecondsToTimestamp, MillisToTimestamp, TimestampAddYMInterval, DatetimeSub, EvalMode, Divide, Remainder, IntegralDivide, FromUnixTime, And, GreaterThanOrEqual, LessThanOrEqual}
   import org.apache.spark.sql.types.{DoubleType, FloatType, StringType, TimestampType}

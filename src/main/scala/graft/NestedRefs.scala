@@ -81,17 +81,30 @@ object NestedRefs {
     "right", "full", "cross", "where", "group", "order", "limit",
     "union", "intersect", "except", "tablesample")
 
-  def rewrite(spark: SparkSession, sql: String): String = {
+  /** Mutable marker threaded through a correlated-subquery rewrite:
+    * set when a collection path resolved through the OUTER scope (the
+    * enclosing FROM's aliases) — the caller must then mark the
+    * subquery LATERAL. */
+  private final class UsedOuter { var value = false }
+
+  def rewrite(spark: SparkSession, sql: String): String =
+    rewriteInternal(spark, sql, Nil, new UsedOuter)
+
+  private def rewriteInternal(spark: SparkSession, sql: String,
+      outer: Seq[(String, DataType)], used: UsedOuter): String = {
     val lower = sql.toLowerCase
     if (!lower.contains("from") || !sql.contains(".")) return sql
-    val recursed = recurseParens(spark, sql)
-    rewriteScope(spark, recursed)
+    val recursed = recurseParens(spark, sql, outer, used)
+    rewriteScope(spark, recursed, outer, used)
   }
 
   /** Recursively rewrite parenthesized subquery bodies innermost-last
-    * (each recursion re-enters rewrite → its own paren pass).
+    * (each recursion re-enters rewrite → its own paren pass). The
+    * enclosing scopes' aliases ride along so a correlated WITH body
+    * (IMPALA-2414) can resolve `c.c_orders` against the outer FROM.
     */
-  private def recurseParens(spark: SparkSession, s: String): String = {
+  private def recurseParens(spark: SparkSession, s: String,
+      outer: Seq[(String, DataType)], used: UsedOuter): String = {
     val (d, q) = ImpalaDialect.depthMap(s)
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -104,7 +117,7 @@ object NestedRefs {
           val t = inner.trim.toLowerCase
           if (t.startsWith("select") || t.startsWith("with")) {
             sb.append(s, last, i + 1)
-            sb.append(rewrite(spark, inner))
+            sb.append(rewriteInternal(spark, inner, outer, used))
             sb.append(')')
             last = close + 1
             i = close
@@ -138,7 +151,8 @@ object NestedRefs {
     * SEMI/ANTI joins, inner collection-join ON conditions) are spliced
     * into the WHERE.
     */
-  private def rewriteScope(spark: SparkSession, s: String): String = {
+  private def rewriteScope(spark: SparkSession, s: String,
+      outer: Seq[(String, DataType)], used: UsedOuter): String = {
     val (d, q) = ImpalaDialect.depthMap(s)
     val froms = fromRe.findAllMatchIn(s).toSeq.filter { m =>
       !q(m.start) && d(m.start) == 0 && isKeywordAt(s, m.start, "from") &&
@@ -158,7 +172,8 @@ object NestedRefs {
       val start = m.end
       val end = clauseEnd(s, start, d, q)
       val clause = s.substring(start, end)
-      val (nwOpt, scope, preds) = rewriteFromClause(spark, clause)
+      val (nwOpt, scope, preds) =
+        rewriteFromClause(spark, clause, outer, used)
       // the EXISTS-conversion tail for THIS select ends at the next
       // depth-0 FROM, but also at any depth-0 set operator — past a
       // UNION/INTERSECT/EXCEPT the text is the NEXT select's list and
@@ -224,6 +239,10 @@ object NestedRefs {
     }
     s.length
   }
+
+  /** Public top-level comma split (quote/paren-aware) — shared with
+    * ImpalaDialect's select-list scans. */
+  def splitTop(str: String): Seq[String] = splitTopLevel(str)
 
   private def splitTopLevel(str: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -318,8 +337,9 @@ object NestedRefs {
     * predicates; an inner collection-join's ON moves to WHERE, where
     * the lateral's pos/item/field columns all resolve).
     */
-  private def rewriteFromClause(spark: SparkSession,
-      clause: String): (Option[String], Scope, Seq[String]) = {
+  private def rewriteFromClause(spark: SparkSession, clause: String,
+      outer: Seq[(String, DataType)], used: UsedOuter)
+      : (Option[String], Scope, Seq[String]) = {
     val items = splitTopLevel(clause)
     val scope = Scope(scala.collection.mutable.LinkedHashMap.empty)
     val baseItems = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -334,19 +354,30 @@ object NestedRefs {
     def tableSchema(name: String): Option[StructType] =
       Try(spark.table(name).schema).toOption
 
+    def outerLookup(name: String): Option[DataType] =
+      outer.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+
     // Resolve a dotted path against the scope (relative, correlated) or
     // the catalog (absolute — an INDEPENDENT hidden base instance per
     // ref, as in the reference's Path resolution: an explicit alias
     // shadows the table name, and `region.r_nations n1, region.r_nations
-    // n2` are two separate scans, not a shared one). Base-item/lateral
-    // emission happens only once the path is known-walkable.
+    // n2` are two separate scans, not a shared one) — or, inside a
+    // correlated subquery, against the ENCLOSING FROM's aliases
+    // (IMPALA-2414 subplan bodies), which emits a plain derived table
+    // (the enclosing item supplies the LATERAL marking) and raises
+    // `used`. Base-item/lateral emission happens only once the path is
+    // known-walkable.
     def addCollectionRef(segs: Seq[String], alias: String,
         filteredExpr: String => String, outer: Boolean): Boolean = {
       val head = segs.head
+      val correlated = scope.lookup(head).isEmpty &&
+        tableSchema(head).isEmpty && outerLookup(head).isDefined
       val resolved: Option[(Option[String], DataType, Seq[String])] =
         scope.lookup(head) match {
           case Some(t) => Some((None, t, segs.tail))
-          case None => tableSchema(head).map(sch => (Some(head), sch, segs.tail))
+          case None => tableSchema(head).map(sch =>
+              (Some(head), sch, segs.tail))
+            .orElse(outerLookup(head).map(t => (None, t, segs.tail)))
         }
       resolved match {
         case Some((hiddenTbl, baseType0, rest0))
@@ -391,11 +422,15 @@ object NestedRefs {
           // array type") — only that shape goes trailing
           val multiLevelMapFinal = rest.length > 1 &&
             walkFinal(baseType, rest).exists(_.isInstanceOf[MapType])
+          if (correlated &&
+              !(firstIsCollection && !baseIsTrailing && !multiLevelMapFinal))
+            return false // outer-correlated refs need the positioned form
           val rowType =
             if (firstIsCollection && !baseIsTrailing && !multiLevelMapFinal) {
               val (lateralItem, rt) =
                 buildLaterals(baseName, baseType, rest, userAlias,
-                  () => { counter += 1; counter }, filteredExpr, outer)
+                  () => { counter += 1; counter }, filteredExpr, outer,
+                  derivedTable = correlated)
               baseItems += lateralItem
               rt
             } else {
@@ -406,12 +441,35 @@ object NestedRefs {
               trailingAliases += userAlias
               rt
             }
+          if (correlated) used.value = true
           scope.aliases(userAlias) = rowType
           changed = true
           true
         case _ => false
       }
     }
+
+    /** General subplan (reference SubplanNode, `nested-types-subplan
+      * .test` / IMPALA-2414): re-rewrite a FROM-subquery body with THIS
+      * clause's aliases as its outer scope. Some(rewritten) iff the
+      * body resolved a collection ref through them — the caller then
+      * marks the item LATERAL, which is exactly Spark's correlated
+      * subplan (probed: decorrelation handles posexplode over the
+      * outer column under WHERE/ORDER BY/LIMIT/UNION/analytics/aggs).
+      */
+    def subplanLateral(body: String): Option[String] = {
+      val innerUsed = new UsedOuter
+      val b2 = rewriteInternal(spark, body,
+        scope.aliases.toSeq ++ outer, innerUsed)
+      // conservative upward propagation: an inner correlation may span
+      // this clause's aliases OR the enclosing ones — an extra LATERAL
+      // marker on the enclosing item is legal either way
+      if (innerUsed.value) { used.value = true; Some(b2) } else None
+    }
+
+    /** `(SELECT|WITH …) alias` join operand inside a chain. */
+    val subqOperandRe =
+      """(?is)^\s*\(\s*((?:select|with)\b.*)\)\s*(?:as\s+)?([A-Za-z_]\w*)\s*$""".r
 
     /** Walk one comma item that is a JOIN CHAIN (≥1 depth-0 join
       * keyword): plain-table operands keep their join text verbatim
@@ -534,6 +592,18 @@ object NestedRefs {
               if (!addCollectionRef(segs, alias, filt, outer)) return bail()
               converted = true
             }
+          case subqOperandRe(body, alias2)
+              if !isSemiAnti && !kw.startsWith("right") && !converted =>
+            // correlated FROM-subquery join operand (IMPALA-2414 /
+            // subplan): `c join (with w as (… from c.c_orders) …) v`
+            // → `c JOIN LATERAL (…) v`
+            subplanLateral(body) match {
+              case Some(b2) =>
+                chainText += s" $kw LATERAL ($b2) $alias2" +
+                  cond.map(c => s" on $c").getOrElse("")
+                changed = true
+              case None => return bail()
+            }
           case _ => return bail()
         }
       }
@@ -593,9 +663,14 @@ object NestedRefs {
           }
           if (!handled && !rewriteJoinChain(raw)) baseItems += raw
         case aggSubItemRe(body, alias) =>
-          if (!rewriteAggSubquery(scope, body, alias, laterals))
-            baseItems += raw
-          else changed = true
+          if (rewriteAggSubquery(scope, body, alias, laterals))
+            changed = true
+          else subplanLateral(body) match {
+            case Some(b2) =>
+              baseItems += s"LATERAL ($b2) $alias"
+              changed = true
+            case None => baseItems += raw
+          }
         case joinAggSubRe(left, body, alias) =>
           val leftOk = left match {
             case plainItemRe(name, lAlias) =>
@@ -1053,7 +1128,8 @@ object NestedRefs {
 
   private def buildLaterals(baseName: String, baseType: DataType,
       path: Seq[String], userAlias: String, nextId: () => Int,
-      filteredExpr: String => String = identity, outer: Boolean = false)
+      filteredExpr: String => String = identity, outer: Boolean = false,
+      derivedTable: Boolean = false)
       : (String, StructType) = {
     // inner lateral views for intermediate collections (beyond the
     // first, which becomes the subquery's FROM table-function)
@@ -1111,10 +1187,15 @@ object NestedRefs {
       i += 1
     }
 
-    // `expr` now denotes the final collection
+    // `expr` now denotes the final collection. A correlated-subquery
+    // ref emits a plain derived table — the LATERAL marking belongs to
+    // the enclosing subquery item, which is what carries the
+    // correlation (probed: Spark decorrelates posexplode over an outer
+    // column inside JOIN LATERAL, including under ORDER BY/LIMIT).
     def item(proj: String): String = {
       val from = fromTvf.get
-      s"LATERAL (SELECT $proj FROM $from ${innerViews.mkString(" ")}) $userAlias"
+      val kw = if (derivedTable) "" else "LATERAL "
+      s"$kw(SELECT $proj FROM $from ${innerViews.mkString(" ")}) $userAlias"
     }
     cur match {
       case ArrayType(elem, _) =>

@@ -18,6 +18,7 @@ object SparkEntry {
     GoldenNestedQueries,
     GoldenNestedMaskedQueries,
     NestedFunctionalQueries,
+    NestedSubplanQueries,
     TpcdsGoldenQueries,
     TpcdsAnalyticQueries,
     TpcdsQueries,

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.GoldenTest
+import org.apache.spark.sql.SparkSession
+
+/** The reference's SUBPLAN operator shapes over nested collections
+  * (`testdata/workloads/functional-query/queries/QueryTest/
+  * nested-types-subplan.test`, planner `fe/.../planner/SubplanNode
+  * .java`, runtime `be/src/exec/subplan-node.cc`): a FROM-subquery
+  * correlated with a preceding ref's collection, carrying its own
+  * WHERE / ORDER BY+LIMIT / UNION / GROUP BY / analytic — evaluated
+  * per outer row.
+  *
+  * Spark-first translation (graft.NestedRefs): the subquery body keeps
+  * its text, the collection ref becomes a positioned-explode derived
+  * table, and the whole item is marked `LATERAL` — Catalyst's
+  * decorrelation then plans the per-row evaluation (DomainJoin), which
+  * is the scale-correct shape: one Generate + window/agg per customer
+  * partition, no driver loop, no cross join.
+  *
+  * The reference file's inline RESULTS are bound to its SF1 load, so
+  * these gate through the driver's DuckDB oracle over the substituted
+  * catalog: each nested query runs VERBATIM (dialect + NestedRefs)
+  * over the nested catalog while the oracle replays a hand-derived
+  * FLAT equivalent — the nesting build (array_sort of named_struct)
+  * makes `LIMIT k` after ORDER BY o_orderkey deterministic on both
+  * sides. IMPALA-2414's correlated-WITH spelling
+  * (nested-types-with-clause.test[1]) rides the same machinery.
+  */
+object NestedSubplanQueries extends QueryGroup {
+
+  private case class Sq(name: String, nested: String, flat: String,
+      types: Seq[String])
+
+  private val qs = Seq(
+    Sq("subplan_topn",
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c,
+        |  (SELECT * FROM c.c_orders ORDER BY o_orderkey LIMIT 2) v
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer
+        |JOIN (SELECT o_custkey, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_custkey
+        |          ORDER BY o_orderkey) AS rn
+        |      FROM orders) r ON r.o_custkey = c_custkey
+        |WHERE rn <= 2 AND c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+      Seq("bigint", "bigint", "decimal")),
+
+    Sq("subplan_union",
+      """SELECT c_custkey, o_orderkey
+        |FROM customer c,
+        |  (SELECT * FROM c.c_orders WHERE o_orderkey % 2 = 0
+        |   UNION ALL
+        |   SELECT * FROM c.c_orders WHERE o_orderkey % 2 = 1) v
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+      """SELECT c_custkey, o_orderkey
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+      Seq("bigint", "bigint")),
+
+    Sq("subplan_groupagg",
+      """SELECT c_custkey, v.o_orderpriority, v.cnt, v.total
+        |FROM customer c,
+        |  (SELECT o_orderpriority, count(o_orderkey) AS cnt,
+        |          sum(o_totalprice) AS total
+        |   FROM c.c_orders GROUP BY o_orderpriority) v
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderpriority""".stripMargin,
+      """SELECT c_custkey, o_orderpriority,
+        |  count(o_orderkey) AS cnt, sum(o_totalprice) AS total
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey < 100
+        |GROUP BY c_custkey, o_orderpriority
+        |ORDER BY c_custkey, o_orderpriority""".stripMargin,
+      Seq("bigint", "string", "bigint", "decimal")),
+
+    Sq("subplan_analytic",
+      """SELECT c_custkey, v.o_orderkey, v.rk
+        |FROM customer c,
+        |  (SELECT o_orderkey,
+        |          rank() OVER (ORDER BY o_totalprice DESC) AS rk
+        |   FROM c.c_orders) v
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey, rk""".stripMargin,
+      """SELECT c_custkey, o_orderkey,
+        |  rank() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC) AS rk
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey, rk""".stripMargin,
+      Seq("bigint", "bigint", "bigint")),
+
+    Sq("subplan_with_corr",
+      """SELECT c_custkey, o_orderkey
+        |FROM customer c JOIN
+        |  (WITH w2 AS (SELECT o_orderkey FROM c.c_orders)
+        |   SELECT * FROM w2) v
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+      """SELECT c_custkey, o_orderkey
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+      Seq("bigint", "bigint")),
+
+    // non-grouping agg inside the subplan emits a row even for a
+    // customer with an EMPTY collection (nested-types-subplan.test[8]:
+    // `3,0,NULL`) — the HOF fast-path computes it without an explode
+    Sq("subplan_scalar_agg",
+      """SELECT c_custkey, v.cnt, v.total
+        |FROM customer c,
+        |  (SELECT count(o_orderkey) AS cnt, sum(o_totalprice) AS total
+        |   FROM c.c_orders) v
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey, count(o_orderkey) AS cnt,
+        |  sum(o_totalprice) AS total
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey < 100
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+      Seq("bigint", "bigint", "decimal")))
+
+  def defs: Seq[Q.Def] =
+    if (!GoldenTest.available || !GoldenTest.nestedAvailable) Seq.empty
+    else qs.map { sq =>
+      val fake = GoldenTest.Case("", sq.flat, sq.types, 0)
+      GoldenQueries.catalog.goldenDefVia(sq.name, fake, sq.types,
+        (s: SparkSession, dir: String) => {
+          graft.sources.NestedTpchTables.register(s, dir)
+          graft.ImpalaDialect.sql(s, sq.nested)
+        })
+    }
+}

@@ -155,6 +155,15 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     Seq(82, 83, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 94).map(i =>
       ("parquet-stats.test", i) ->
         "physical int narrowing via ALTER (Impala reinterprets stored bits; Spark rejects narrowing schema evolution)").toMap ++
+    // nested-types-with-clause.test[1,2]: the IMPALA-2414 correlated
+    // WITH shapes now execute (NestedRefs subplan laterals — the
+    // equivalent subplan_with_corr row is driver-oracle-gated green),
+    // but the file's 20 pinned rows are customer 4's orders in the
+    // reference's SF1 load; the driver fixture's customer 4 has 9
+    Map(("nested-types-with-clause.test", 1) ->
+        "RESULTS bound to the reference's TPC-H SF1 load (customer 4's 20 SF1 orders; shape verified by the subplan_with_corr oracle row)",
+      ("nested-types-with-clause.test", 2) ->
+        "RESULTS bound to the reference's TPC-H SF1 load (customer 4's 20 SF1 orders; shape verified by the subplan_with_corr oracle row)") ++
     // parquet-zero-rows.test[2,3]: a deliberately corrupt file whose
     // footer pins num_rows=0 over a non-empty row group — Impala
     // trusts the footer (0 rows + corruption error); Spark's reader
@@ -549,7 +558,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1635, s"only $pass golden queries passed (floor 1635)")
+    assert(pass >= 1637, s"only $pass golden queries passed (floor 1637)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // The 15: Spark-analyzer limitations (correlated EXISTS grouping
@@ -562,6 +571,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // [0-3], outer-to-inner-joins[19]'s per-row FULL OUTER ON),
     // insert_null.test's two-serdes-over-one-location text tables
     // [2,3,17], and misc.test[8]'s unsupported_types table
-    assert(errorSkip <= 15, s"$errorSkip error skips (ceiling 15)")
+    // (nested-types-with-clause[1,2] and grouping-sets[6] left this
+    // bucket in r9 — the IMPALA-2414 subplan rewrite executes the
+    // former, the grouping()-alias expansion fixed the latter)
+    assert(errorSkip <= 11, s"$errorSkip error skips (ceiling 11)")
   }
 }

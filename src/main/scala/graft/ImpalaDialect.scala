@@ -918,8 +918,120 @@ object ImpalaDialect {
               rewriteMiscForms(
                 rewriteFunctionForms(
                   rewriteGroupingArgs(
-                    rewriteCastFormat(
-                      rewriteRightSemiAnti(rewriteHints(text)))))))))))
+                    rewriteOrderByWindowOrdinal(
+                      rewriteWithColumnLabels(
+                        rewriteCastFormat(
+                          rewriteRightSemiAnti(rewriteHints(text)))))))))))))
+
+  /** Impala permits a WITH-view column-label list SHORTER than the
+    * view's select list — unlabeled columns keep their own names
+    * (`with t(c1) as (select int_col, bigint_col …)` → labels C1,
+    * BIGINT_COL; with-clause.test, `fe/.../analysis/WithClause.java`).
+    * Spark requires arity match, so pad the label list with the
+    * remaining items' derived names (bare column / trailing alias) —
+    * skipping the rewrite when a remaining item has no clean name.
+    * Over-long label lists are left alone: both engines reject them.
+    */
+  private val withLabelsRe =
+    """(?i)\b(with\s+|,\s*)([A-Za-z_]\w*)\s*\(([^()]*)\)\s*as\s*\(""".r
+
+  def rewriteWithColumnLabels(sql: String): String = {
+    if (!sql.toLowerCase.contains("with")) return sql
+    val (_, q) = depthMap(sql)
+    withLabelsRe.findAllMatchIn(sql).toSeq.filter(m => !q(m.start)).reverse
+      .foldLeft(sql) { (s, m) =>
+        val labels = m.group(3).split(",").map(_.trim).filter(_.nonEmpty)
+        val bodyOpen = m.end - 1
+        val bodyClose = matchingParen(s, bodyOpen)
+        if (bodyClose < 0) s
+        else {
+          val body = s.substring(bodyOpen + 1, bodyClose)
+          val selItems = for {
+            sel <- """(?i)^\s*select\b""".r.findFirstMatchIn(body)
+            fromM <- {
+              val (bd, bq) = depthMap(body)
+              """(?i)\bfrom\b""".r.findAllMatchIn(body)
+                .find(f => !bq(f.start) && bd(f.start) == 0)
+            }
+          } yield NestedRefs.splitTop(body.substring(sel.end, fromM.start))
+            .map(_.trim)
+          selItems match {
+            case Some(items) if items.length > labels.length =>
+              val nameRe = """(?is)^(?:.*?[\s.])?([A-Za-z_]\w*)\s*$""".r
+              val extras = items.drop(labels.length).map {
+                case nameRe(n) => Some(n)
+                case _ => None
+              }
+              if (extras.forall(_.isDefined)) {
+                val full = (labels ++ extras.flatten).mkString(", ")
+                s.substring(0, m.start(3)) + full + s.substring(m.end(3))
+              } else s
+            case _ => s
+          }
+        }
+      }
+  }
+
+  /** Impala allows an ORDER BY item to repeat a select-list ANALYTIC
+    * expression (`… order by percent_rank() over (order by id)` —
+    * analytic-fns.test, IMPALA-2158 family); Spark rejects window
+    * functions in ORDER BY. When an ORDER BY item containing `OVER (`
+    * textually matches a select item, replace it with that item's
+    * ordinal — the binding Impala's analyzer picks.
+    */
+  def rewriteOrderByWindowOrdinal(sql: String): String = {
+    val low = sql.toLowerCase
+    if (!low.contains("over") || !low.contains("order")) return sql
+    val (d, q) = depthMap(sql)
+    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", "")
+    val obRe = """(?i)\border\s+by\b""".r
+    val selRe = """(?i)\bselect\b""".r
+    val fromRe2 = """(?i)\bfrom\b""".r
+    val out = new StringBuilder(sql)
+    obRe.findAllMatchIn(sql).toSeq.filter(m => !q(m.start)).reverse
+      .foreach { m =>
+        val dep = d(m.start)
+        // the scope's select list (skip this ORDER BY when none shares
+        // its depth — e.g. a set-op tail ORDER BY)
+        for {
+          sel <- selRe.findAllMatchIn(sql).toSeq
+            .filter(s => s.start < m.start && !q(s.start) && d(s.start) == dep)
+            .lastOption
+          from <- fromRe2.findAllMatchIn(sql)
+            .find(f => f.start > sel.end && !q(f.start) && d(f.start) == dep)
+        } {
+        val items = NestedRefs.splitTop(sql.substring(sel.end, from.start))
+          .map(_.trim).map(_.stripPrefix("distinct").trim)
+        // the ORDER BY list extent: until depth drops below dep or a
+        // depth-dep LIMIT/OFFSET keyword
+        var end = sql.length
+        val lim = """(?i)\b(limit|offset)\b""".r.findAllMatchIn(sql)
+          .find(l => l.start > m.end && !q(l.start) && d(l.start) == dep)
+        lim.foreach(l => end = l.start)
+        var i = m.end
+        while (i < end) {
+          if (!q(i) && d(i) < dep) { end = i }
+          i += 1
+        }
+        val listTxt = sql.substring(m.end, end)
+        val sortRe = """(?is)^(.*?)(\s+(?:asc|desc))?(\s+nulls\s+(?:first|last))?\s*$""".r
+        val newItems = NestedRefs.splitTop(listTxt).map { raw =>
+          raw match {
+            case sortRe(expr, dir, nulls)
+                if norm(expr).contains("over(") =>
+              val idx = items.indexWhere(it => norm(it) == norm(expr.trim))
+              if (idx >= 0)
+                s" ${idx + 1}${Option(dir).getOrElse("")}${Option(nulls).getOrElse("")}"
+              else raw
+            case _ => raw
+          }
+        }
+        if (newItems != NestedRefs.splitTop(listTxt))
+          out.replace(m.end, end, newItems.mkString(","))
+        }
+      }
+    out.toString
+  }
 
   /** Impala binds `grouping(<expr>)` by EXPRESSION EQUIVALENCE against
     * the grouping list (fe FunctionCallExpr), so
@@ -1071,6 +1183,15 @@ object ImpalaDialect {
         ae.copy(aggregateFunction = avg.copy(child =
           Cast(child, org.apache.spark.sql.types.DecimalType(38, 6)))),
         org.apache.spark.sql.types.DecimalType(38, 6))
+    // …but a windowed avg must keep the AggregateExpression as the
+    // window function: the bottom-up pass above would leave
+    // WindowExpression(Cast(avg…)), which Spark rejects
+    // (UNSUPPORTED_EXPR_FOR_WINDOW — decimal-exprs.test sliding
+    // frames). Hoist the presentation cast outside the OVER.
+    case we @ org.apache.spark.sql.catalyst.expressions.WindowExpression(
+        c @ Cast(ae: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateExpression, _, _, _), _) =>
+      Cast(we.copy(windowFunction = ae), c.dataType)
     // IMPALA-2184: FromUnixtime range-checks the epoch seconds against
     // the TIMESTAMP validity window and yields NULL outside it
     // (timestamp-functions.cc); Spark silently overflows the ×1e6

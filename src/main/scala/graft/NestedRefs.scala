@@ -505,9 +505,37 @@ object NestedRefs {
       }
       val firstTxt = raw.substring(0, kws.head.start)
       var chainText = firstTxt.trim
-      var converted = false
-      def flushChain(): Unit =
-        if (chainText.nonEmpty) { baseItems += chainText; chainText = "" }
+      // once a conversion used the TRAILING-view form, its alias only
+      // resolves at the end of the FROM — further join operands can't
+      // reference chain aliases reliably, so bail
+      var sawTrailing = false
+      // positioned collection conversions stay INSIDE the join chain as
+      // `[CROSS|LEFT …] JOIN LATERAL (…) alias [ON …]` — preserving the
+      // chain's parse group so later ONs still see earlier tables
+      // (nested-types-runtime.test[16]'s `… inner join t1.int_array a1
+      // left outer join t2 on t1.id = t2.id …`)
+      def inlineCollection(segs: Seq[String], alias: String,
+          filt: String => String, outer: Boolean,
+          cond: Option[String]): Boolean = {
+        val bi = baseItems.length
+        if (!addCollectionRef(segs, alias, filt, outer)) return false
+        if (baseItems.length > bi &&
+            baseItems.last.trim.startsWith("LATERAL")) {
+          val lat = baseItems.remove(baseItems.length - 1).trim
+          val joined = cond match {
+            case Some(c) => s" ${if (outer) "LEFT OUTER JOIN" else "JOIN"} $lat ON ($c)"
+            case None if outer => s" LEFT OUTER JOIN $lat ON true"
+            case None => s" CROSS JOIN $lat"
+          }
+          if (chainText.isEmpty) {
+            // leading collection operand: the lateral itself roots the
+            // chain (it references earlier comma items, not the chain)
+            chainText = lat
+            cond.foreach(pendingPreds += _.trim)
+          } else chainText += joined
+        } else sawTrailing = true
+        true
+      }
       // first operand: a registrable plain ref rides as chain text; a
       // collection path converts in place (`c.c_orders o left outer
       // join o.o_lineitems l` — parquet-filtering.test)
@@ -521,9 +549,9 @@ object NestedRefs {
         case pathItemRe(path, alias) if alias == null ||
             !aliasGuard.contains(alias.toLowerCase) =>
           chainText = ""
-          if (!addCollectionRef(path.split('.').toSeq, alias,
-              identity, outer = false)) return bail()
-          converted = true
+          if (!inlineCollection(path.split('.').toSeq, alias,
+              identity, outer = false, None)) return bail()
+          changed = true
         case _ => return bail()
       }
       val ops = kws.zipWithIndex.map { case (m, j) =>
@@ -532,7 +560,13 @@ object NestedRefs {
           raw.substring(m.end, opEnd))
       }
       ops.foreach { case (kw, opTxt) =>
-        val (refTxt, cond) = splitOn(opTxt)
+        if (sawTrailing) return bail()
+        val (refTxt0, cond) = splitOn(opTxt)
+        // a plan hint after the join keyword (`join [broadcast] tbl`)
+        // is transparent here; it stays in the emitted text for plain
+        // refs (rewriteHints lifts it later) and drops for converted
+        // collection refs
+        val refTxt = refTxt0.replaceFirst("^\\s*\\[[^\\]]*\\]", "")
         val isOuterKw = kw.startsWith("left") || kw.startsWith("right") ||
           kw.startsWith("full")
         val isSemiAnti = kw.contains("semi") || kw.contains("anti")
@@ -541,15 +575,7 @@ object NestedRefs {
               (alias == null || !aliasGuard.contains(alias.toLowerCase)) =>
             scope.aliases(Option(alias).getOrElse(name)) =
               tableSchema(name).get
-            if (!converted) chainText += s" $kw $opTxt".stripSuffix(" ")
-            else if (!isOuterKw && !isSemiAnti) {
-              // inner/cross join after a lateral conversion: the ON
-              // can reference items outside the chain's parse group
-              // once commas intervene — move it to WHERE (equivalent
-              // for inner joins)
-              baseItems += refTxt.trim
-              cond.foreach(pendingPreds += _.trim)
-            } else return bail()
+            chainText += s" $kw $opTxt".stripSuffix(" ")
           case pathItemRe(path, alias) if alias == null ||
               !aliasGuard.contains(alias.toLowerCase) =>
             val segs = path.split('.').toSeq
@@ -576,6 +602,9 @@ object NestedRefs {
                 (kw.startsWith("full") && cond.isEmpty)
               if (kw.startsWith("right") ||
                   (kw.startsWith("full") && cond.nonEmpty)) return bail()
+              // LEFT OUTER's ON filters ELEMENTS before null-extension
+              // (fold into the collection); an INNER ON references the
+              // lateral's columns (incl. pos) and rides the JOIN ... ON
               val filt: String => String = cond match {
                 case Some(c) if outer =>
                   val elemType = elementTypeOf(scope, segs)
@@ -585,29 +614,30 @@ object NestedRefs {
                   e => s"filter($e, __x -> ($c2))"
                 case _ => identity
               }
-              // an INNER join's ON references the lateral's columns
-              // (incl. pos) — conjoin into WHERE instead of filtering
-              if (!outer) cond.foreach(pendingPreds += _.trim)
-              flushChain()
-              if (!addCollectionRef(segs, alias, filt, outer)) return bail()
-              converted = true
+              val onCond = if (outer) None else cond
+              if (!inlineCollection(segs, alias, filt, outer, onCond))
+                return bail()
             }
           case subqOperandRe(body, alias2)
-              if !isSemiAnti && !kw.startsWith("right") && !converted =>
+              if !isSemiAnti && !kw.startsWith("right") =>
             // correlated FROM-subquery join operand (IMPALA-2414 /
             // subplan): `c join (with w as (… from c.c_orders) …) v`
             // → `c JOIN LATERAL (…) v`
             subplanLateral(body) match {
               case Some(b2) =>
-                chainText += s" $kw LATERAL ($b2) $alias2" +
-                  cond.map(c => s" on $c").getOrElse("")
+                val on = cond.map(c => s" on $c").getOrElse(
+                  if (isOuterKw) " on true" else "")
+                val kwOut =
+                  if (cond.isEmpty && !isOuterKw) "cross join"
+                  else kw
+                chainText += s" $kwOut LATERAL ($b2) $alias2$on"
                 changed = true
               case None => return bail()
             }
           case _ => return bail()
         }
       }
-      flushChain()
+      if (chainText.nonEmpty) baseItems += chainText
       true
     }
 

@@ -67,7 +67,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // ignores), zero-row parquet metadata, and the local-timezone
     // unix-conversion family
     "parquet-stats.test", "parquet-zero-rows.test",
-    "local-timestamp-functions.test")
+    "local-timestamp-functions.test",
+    // round 9b: subplan/collection runtime shapes over the
+    // deterministic complextypestbl fixture (its tpch_nested blocks
+    // are SF1-pinned → documented deltas)
+    "nested-types-runtime.test", "mt-dop-parquet-nested.test")
 
   /** Files whose header documents the daemon flag
     * `-use_local_tz_for_unix_timestamp_conversions=true` — a `SET
@@ -164,6 +168,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         "RESULTS bound to the reference's TPC-H SF1 load (customer 4's 20 SF1 orders; shape verified by the subplan_with_corr oracle row)",
       ("nested-types-with-clause.test", 2) ->
         "RESULTS bound to the reference's TPC-H SF1 load (customer 4's 20 SF1 orders; shape verified by the subplan_with_corr oracle row)") ++
+    // nested-types-runtime.test[20,25]: union-of-subplan and
+    // outer-joined-parent shapes over tpch_nested customer — they
+    // execute, but the pinned counts are the reference's SF1 load
+    Map(("nested-types-runtime.test", 20) ->
+        "RESULTS bound to the reference's TPC-H SF1 load (union-all subplan count)",
+      ("nested-types-runtime.test", 25) ->
+        "RESULTS bound to the reference's TPC-H SF1 load (outer-joined parent collection count)") ++
     // parquet-zero-rows.test[2,3]: a deliberately corrupt file whose
     // footer pins num_rows=0 over a non-empty row group — Impala
     // trusts the footer (0 rows + corruption error); Spark's reader
@@ -558,7 +569,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 1640, s"only $pass golden queries passed (floor 1640)")
+    assert(pass >= 1667, s"only $pass golden queries passed (floor 1667)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // The 8, all genuinely blocked: a correlated EXISTS whose subquery
@@ -568,11 +579,14 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // null-extends BOTH sides within a row), the absent
     // allcomplextypes fixture (nested-types-with-clause[0,3]), and
     // insert_null.test's two-serdes-over-one-location text tables
-    // [2,3,17]. (r9 drained the bucket from 24: nested-ref chains,
+    // [2,3,17] — plus nested-types-runtime[21,22]'s IMPALA-2430/2456
+    // multi-level-path subquery chains over SF1-pinned tpch_nested
+    // rows (they would be documented deltas if executed).
+    // (r9 drained the bucket from 24: nested-ref chains,
     // subplan laterals, IMPALA-2414 WITH correlation, hbase ordering,
     // grouping()-alias expansion, window-ORDER-BY ordinals, windowed
     // decimal avg, RRRR output tokens, WITH label padding,
     // decimal_encodings row-reader, complextypestbl_medium derivation)
-    assert(errorSkip <= 8, s"$errorSkip error skips (ceiling 8)")
+    assert(errorSkip <= 10, s"$errorSkip error skips (ceiling 10)")
   }
 }

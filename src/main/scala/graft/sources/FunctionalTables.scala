@@ -505,12 +505,50 @@ object FunctionalTables {
       // parquet-zero-rows.test: footer metadata pins num_rows=0 (the
       // one_row_group file deliberately contradicts its row group —
       // both scans must yield zero rows, trusting the footer)
-      "zero_rows_zero_row_groups", "zero_rows_one_row_group").foreach { t =>
+      "zero_rows_zero_row_groups", "zero_rows_one_row_group",
+      // IMPALA-6324 (parquet-rle-encoded-bool.test): RLE-encoded
+      // boolean pages; the table schema is the file's own
+      // (test_scanners.py:843-847 create_table_from_parquet)
+      "rle_encoded_bool",
+      // IMPALA-6077 (parquet-def-levels.test): legacy BIT_PACKED
+      // def-level encoding — Impala's scanner rejects materialization
+      // (the CATCH blocks); parquet-mr still decodes it, and the
+      // count(*) block reads only footer metadata either way
+      "alltypes_agg_bitpacked_def_levels").foreach { t =>
       val p = refRoot.resolve(s"data/$t.parquet")
       if (java.nio.file.Files.isRegularFile(p)) try {
         spark.read.parquet(p.toString).createOrReplaceTempView(t)
       } catch { case _: Throwable => }
     }
+    // primitive_type_widening (IMPALA-6373, test_scanners.py:859-868):
+    // the declared schema is one widening step above the file's
+    // physical types — the scan must up-convert on read
+    val ptw = refRoot.resolve("data/primitive_type_widening.parquet")
+    if (java.nio.file.Files.isRegularFile(ptw)) try {
+      val sch = StructType.fromDDL(
+        "a smallint, b int, c bigint, d double, e int, f bigint, " +
+          "g double, h int, i double, j double")
+      val raw = spark.read.parquet(ptw.toString)
+      raw.select(raw.columns.zip(sch.fields).map { case (n, f) =>
+        org.apache.spark.sql.functions.col(s"`$n`")
+          .cast(f.dataType).as(f.name)
+      }.toSeq: _*).createOrReplaceTempView("primitive_type_widening")
+    } catch { case _: Throwable => }
+    // manynulls: the functional template's derived load
+    // (functional_schema_template.sql:2744-2748 — id with nullcol
+    // nulled out in alternating 500-row runs of alltypesagg), the
+    // scanners-many-nulls clustered-null fixture
+    spark.sql(
+      """SELECT id, IF((id DIV 500) % 2 = 0, NULL, id) AS nullcol
+        |FROM alltypesagg""".stripMargin)
+      .createOrReplaceTempView("manynulls")
+    // widerow: one row whose string_col is 10 MiB
+    // (functional_schema_template.sql:1234-1242; widerow.txt is a
+    // load-time generated artifact absent under testdata/data, so the
+    // row is synthesized at the documented length — wide-row.test
+    // asserts only length(string_col) = 10485760)
+    mk(Seq(Row("w" * (10 * 1024 * 1024))),
+      StructType.fromDDL("string_col string"), "widerow")
     // delimited-text.test fixtures: custom field terminator / escape /
     // line terminator combinations (functional_schema_template.sql:
     // 1167-1190 ',','\\','\n' and '$','#','|')

@@ -675,6 +675,131 @@ object FunctionalTables {
         |    ELSE date_add(CAST(timestamp_col AS DATE), 5) END AS date_col
         |FROM alltypes WHERE id < 500""".stripMargin)
       .createOrReplaceTempView("alltypes_date_partition")
+    // decimal_rtf_tbl / decimal_rtf_tiny_tbl (functional_schema_template
+    // .sql:1936/2015): comma-delimited decimal matrices loaded into the
+    // dpc=1 partition — the build/probe pair behind the runtime
+    // min-max-filter workloads (decimal_min_max_filters.test et al.)
+    val rtfSch = StructType.fromDDL(
+      "d5_0 decimal(5,0), d5_1 decimal(5,1), d5_3 decimal(5,3), " +
+        "d5_5 decimal(5,5), d9_0 decimal(9,0), d9_1 decimal(9,1), " +
+        "d9_5 decimal(9,5), d9_9 decimal(9,9), d14_0 decimal(14,0), " +
+        "d14_1 decimal(14,1), d14_7 decimal(14,7), d14_14 decimal(14,14), " +
+        "d18_0 decimal(18,0), d18_1 decimal(18,1), d18_9 decimal(18,9), " +
+        "d18_18 decimal(18,18), d28_0 decimal(28,0), d28_1 decimal(28,1), " +
+        "d28_14 decimal(28,14), d28_28 decimal(28,28), d38_0 decimal(38,0), " +
+        "d38_1 decimal(38,1), d38_19 decimal(38,19), d38_38 decimal(38,38), " +
+        "dpc decimal(9,0)")
+    Seq("decimal_rtf_tbl", "decimal_rtf_tiny_tbl").foreach { t =>
+      val p = refRoot.resolve(s"data/$t.txt")
+      if (java.nio.file.Files.isRegularFile(p))
+        mk(loadTextSerde(p, rtfSch, extra = Seq(java.math.BigDecimal.ONE)),
+          rtfSch, t)
+    }
+    // overflow_strict: the same overflow.txt rows converted under
+    // Impala's --strict_mode text scanning (be/src/util/string-parser.h
+    // PARSE_OVERFLOW → NULL + per-column error) — strict-mode.test's
+    // RESULTS pin NULLs where the default load saturates; the spec
+    // shadows `overflow` with this view for that file only
+    if (java.nio.file.Files.isRegularFile(ovf)) {
+      val sch = StructType.fromDDL(
+        "tinyint_col tinyint, smallint_col smallint, int_col int, " +
+          "bigint_col bigint, float_col float, double_col double, " +
+          "decimal0_col decimal(13,4), decimal1_col decimal(38,0), " +
+          "decimal2_col decimal(38,38)")
+      def strictConv(raw: String, t: DataType): Any = try t match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          val bi = BigInt(raw.trim)
+          t match {
+            case ByteType =>
+              if (!bi.isValidByte) null else bi.toByte
+            case ShortType =>
+              if (!bi.isValidShort) null else bi.toShort
+            case IntegerType =>
+              if (!bi.isValidInt) null else bi.toInt
+            case _ =>
+              if (!bi.isValidLong) null else bi.toLong
+          }
+        case FloatType =>
+          val v = raw.trim.toFloat; if (v.isInfinite) null else v
+        case DoubleType =>
+          val v = raw.trim.toDouble; if (v.isInfinite) null else v
+        case d: DecimalType =>
+          // setScale WITHOUT a rounding mode: a value needing rounding
+          // (underflow like 9e-39 into scale 38) errors → NULL
+          val bd = new java.math.BigDecimal(raw.trim).setScale(d.scale)
+          if (bd.precision > d.precision) null else bd
+        case _ => raw
+      } catch { case _: Exception => null }
+      val strictRows = new String(java.nio.file.Files.readAllBytes(ovf),
+          java.nio.charset.StandardCharsets.UTF_8)
+        .split("\n").toSeq.filter(_.nonEmpty).map { line =>
+          Row.fromSeq(line.split(",", -1).toSeq.zip(sch.fields)
+            .map { case (f, fl) => strictConv(f, fl.dataType) })
+        }
+      mk(strictRows, sch, "overflow_strict")
+    }
+    // imp_901: the hash-collision regression target
+    // (aggregation_no_codegen_only.test) — a real catalog table so the
+    // block's own INSERT lands before its GROUP BY probe
+    try {
+      spark.sql("DROP TABLE IF EXISTS imp_901")
+      spark.sql("CREATE TABLE imp_901 (col tinyint) USING PARQUET")
+    } catch { case _: Throwable => } // no writable warehouse: skip
+    registerInt64TimestampTables(spark, refRoot)
+  }
+
+  /** IMPALA-5050 int64-timestamp fixtures (`tests/query_test/
+    * test_scanners.py:887-935`): each parquet file doubles as a
+    * TIMESTAMP table and a BIGINT table — Impala re-declares the same
+    * file with BIGINT columns and reads the raw int64 values. The
+    * bigint twins are derived by converting the timestamp columns back
+    * to their epoch int64s UNDER UTC and materializing the handful of
+    * rows, so later per-query session-timezone changes cannot shift
+    * them (isAdjustedToUTC=false columns arrive as TIMESTAMP_NTZ, whose
+    * raw int64 is the wall-clock epoch — cast to TIMESTAMP under the
+    * UTC registration session reproduces it exactly).
+    */
+  private def registerInt64TimestampTables(spark: SparkSession,
+      refRoot: java.nio.file.Path): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val canonical = Seq("new_logical_milli_utc", "new_logical_milli_local",
+      "new_logical_micro_utc", "new_logical_micro_local")
+    def bigintTwin(df: DataFrame): DataFrame = {
+      val cols = df.schema.fields.map { f =>
+        val unit = if (f.name.toLowerCase.contains("milli")) "unix_millis"
+          else "unix_micros"
+        f.dataType match {
+          case TimestampType => expr(s"$unit(`${f.name}`)").as(f.name)
+          case TimestampNTZType =>
+            expr(s"$unit(cast(`${f.name}` as timestamp))").as(f.name)
+          case _ => col(s"`${f.name}`")
+        }
+      }
+      val out = df.select(
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(cols): _*)
+      spark.createDataFrame(new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            out.collect().toSeq).asJava), out.schema)
+    }
+    val plain = refRoot.resolve("data/int64_timestamps_plain.parquet")
+    if (java.nio.file.Files.isRegularFile(plain)) try {
+      val df = spark.read.parquet(plain.toString).toDF(canonical: _*)
+      df.createOrReplaceTempView("int64_timestamps_plain")
+      bigintTwin(df).createOrReplaceTempView("int64_bigints_plain")
+    } catch { case _: Throwable => }
+    val dict = refRoot.resolve("data/int64_timestamps_dict.parquet")
+    if (java.nio.file.Files.isRegularFile(dict)) try {
+      val df = spark.read.parquet(dict.toString).toDF("id" +: canonical: _*)
+      df.createOrReplaceTempView("int64_timestamps_dict")
+      bigintTwin(df).createOrReplaceTempView("int64_bigints_dict")
+    } catch { case _: Throwable => }
+    Seq("int64_timestamps_at_dst_changes", "int64_timestamps_nano")
+      .foreach { t =>
+        val p = refRoot.resolve(s"data/$t.parquet")
+        if (java.nio.file.Files.isRegularFile(p)) try {
+          spark.read.parquet(p.toString).createOrReplaceTempView(t)
+        } catch { case _: Throwable => }
+      }
   }
 
   /** `functional_parquet.complextypestbl` — registered straight from

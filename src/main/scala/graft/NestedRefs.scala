@@ -85,7 +85,51 @@ object NestedRefs {
     * set when a collection path resolved through the OUTER scope (the
     * enclosing FROM's aliases) — the caller must then mark the
     * subquery LATERAL. */
-  private final class UsedOuter { var value = false }
+  /** Correlation marker threaded through a rewrite: `value` notes that
+    * an enclosing scope's alias was consumed (the caller marks its item
+    * LATERAL). `flattens` carries struct-prefix flatten REQUESTS from a
+    * correlated body upward: (outer alias, struct path segs, generated
+    * column) — Spark's decorrelator rejects struct-typed correlated
+    * attributes, so `t.nested_struct.c.d.item` inside a subplan needs
+    * the outer item wrapped as
+    * `(SELECT *, nested_struct.c.d AS __cp_… FROM tbl) t` first; the
+    * generated name is a pure function of the path, so repeated
+    * requests are idempotent.
+    */
+  private final class UsedOuter {
+    var value = false
+    val flattens =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String], String)]
+  }
+
+  private def flattenGenName(path: Seq[String]): String =
+    "__cp_" + path.map(_.toLowerCase).mkString("_")
+
+  /** Smallest prefix of `path` that walks STRUCT fields only and lands
+    * on a collection: Some(prefix length, collection type). Length 1
+    * means the first segment already is the collection (no flatten
+    * needed); None when a non-struct step intervenes first.
+    */
+  private def structPrefix(base: DataType,
+      path: Seq[String]): Option[(Int, DataType)] = {
+    var cur: DataType = base
+    var i = 0
+    while (i < path.length) {
+      cur match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(path(i))) match {
+            case Some(f) => f.dataType match {
+              case c @ (_: ArrayType | _: MapType) => return Some((i + 1, c))
+              case other => cur = other
+            }
+            case None => return None
+          }
+        case _ => return None
+      }
+      i += 1
+    }
+    None
+  }
 
   def rewrite(spark: SparkSession, sql: String): String =
     rewriteInternal(spark, sql, Nil, new UsedOuter)
@@ -93,7 +137,10 @@ object NestedRefs {
   private def rewriteInternal(spark: SparkSession, sql: String,
       outer: Seq[(String, DataType)], used: UsedOuter): String = {
     val lower = sql.toLowerCase
-    if (!lower.contains("from") || !sql.contains(".")) return sql
+    // "*" rides along for the complex-star expansion (a lone `select *`
+    // over a complex-typed table has no dot anywhere)
+    if (!lower.contains("from") || !(sql.contains(".") || sql.contains("*")))
+      return sql
     val recursed = recurseParens(spark, sql, outer, used)
     rewriteScope(spark, recursed, outer, used)
   }
@@ -196,8 +243,108 @@ object NestedRefs {
       nwOpt.foreach { nw =>
         out = out.substring(0, start) + nw + out.substring(end)
       }
+      // Impala star expansion (fe StarExpr): complex-typed columns
+      // (arrays, maps, structs) never expand from `*`, and
+      // `<struct path>.*` expands the struct's SCALAR fields only
+      // (ranger_column_masking_complex_types.test pins both). Applied
+      // last for this scope — the edit region precedes the clause, so
+      // the positions used above stay valid.
+      expandComplexStar(s, m.start, d, q, scope).foreach {
+        case (selStart, repl) =>
+          out = out.substring(0, selStart) + repl + out.substring(m.start)
+      }
     }
     out
+  }
+
+  private val selKwRe = """(?i)\bselect\b""".r
+  private val qualStarRe = """^([A-Za-z_][\w.]*)\.\*$""".r
+  private def isComplexType(t: DataType): Boolean = t match {
+    case _: ArrayType | _: MapType | _: StructType => true
+    case _ => false
+  }
+
+  /** Rewrite the SELECT list ending at `fromPos` when it carries `*`
+    * over a complex-typed single-table scope, or `qual.*` struct-path
+    * items. Some((listStart, newListText)) iff something expanded.
+    */
+  private def expandComplexStar(s: String, fromPos: Int, d: Array[Int],
+      q: Array[Boolean], scope: Scope): Option[(Int, String)] = {
+    val selM = selKwRe.findAllMatchIn(s).toSeq
+      .filter(mm => mm.end <= fromPos && !q(mm.start) && d(mm.start) == 0 &&
+        isKeywordAt(s, mm.start, "select"))
+      .lastOption.getOrElse(return None)
+    val listTxt = s.substring(selM.end, fromPos)
+    val headKwRe = """(?is)^\s*(distinct|all|straight_join)\b""".r
+    var prefixEnd = 0
+    var look = true
+    while (look) headKwRe.findFirstMatchIn(listTxt.substring(prefixEnd)) match {
+      case Some(h) => prefixEnd += h.end
+      case None => look = false
+    }
+    val items = splitTop(listTxt.substring(prefixEnd))
+    val singleAlias: Option[(String, StructType)] = scope.aliases.toSeq match {
+      case Seq((al, st: StructType)) => Some((al, st))
+      case _ => None
+    }
+    def scalarFields(st: StructType): Seq[StructField] =
+      st.fields.toSeq.filterNot(f => isComplexType(f.dataType))
+    def walkStructPath(root: StructType, segs: Seq[String]): Option[StructType] = {
+      var cur: DataType = root
+      segs.foreach { seg =>
+        cur match {
+          case st: StructType =>
+            st.fields.find(_.name.equalsIgnoreCase(seg)) match {
+              case Some(f) => cur = f.dataType
+              case None => return None
+            }
+          case _ => return None
+        }
+      }
+      cur match { case st: StructType => Some(st); case _ => None }
+    }
+    var changed = false
+    val newItems = items.map(_.trim).map {
+      case "*" =>
+        singleAlias match {
+          case Some((al, st)) if st.fields.exists(f => isComplexType(f.dataType)) =>
+            changed = true
+            scalarFields(st).map(f => s"$al.${f.name}").mkString(", ")
+          case _ => "*"
+        }
+      case it @ qualStarRe(qual) =>
+        val segs = qual.split('.').toSeq
+        // root: a scope alias, or (single-table FROM) a column of it
+        val resolved: Option[(String, StructType, Seq[String])] =
+          scope.aliases.collectFirst {
+            case (al, st: StructType) if al.equalsIgnoreCase(segs.head) =>
+              (al, st, segs.tail)
+          }.orElse(singleAlias.collect {
+            case (al, st) if st.fields.exists(_.name.equalsIgnoreCase(segs.head)) =>
+              (al, st, segs)
+          })
+        resolved match {
+          case Some((al, st, rest)) if rest.isEmpty =>
+            if (st.fields.exists(f => isComplexType(f.dataType))) {
+              changed = true
+              scalarFields(st).map(f => s"$al.${f.name}").mkString(", ")
+            } else it
+          case Some((al, st, rest)) =>
+            walkStructPath(st, rest) match {
+              case Some(inner) =>
+                changed = true
+                scalarFields(inner)
+                  .map(f => s"$al.${rest.mkString(".")}.${f.name} AS ${f.name}")
+                  .mkString(", ")
+              case None => it
+            }
+          case None => it
+        }
+      case other => other
+    }
+    if (!changed) None
+    else Some((selM.end,
+      listTxt.substring(0, prefixEnd) + " " + newItems.mkString(", ") + " "))
   }
 
   /** Conjoin predicate text into a scope tail: merge into a leading
@@ -368,7 +515,8 @@ object NestedRefs {
     // `used`. Base-item/lateral emission happens only once the path is
     // known-walkable.
     def addCollectionRef(segs: Seq[String], alias: String,
-        filteredExpr: String => String, outer: Boolean): Boolean = {
+        filteredExpr: String => String, outer: Boolean,
+        forceTrailing: Boolean = false): Boolean = {
       val head = segs.head
       val correlated = scope.lookup(head).isEmpty &&
         tableSchema(head).isEmpty && outerLookup(head).isDefined
@@ -400,7 +548,26 @@ object NestedRefs {
               baseItems += s"(SELECT $rootCol AS __b$counter FROM $tn) $h"
               (h, StructType(Seq(StructField(s"__b$counter", rootType))),
                 s"__b$counter" +: rest0.tail)
-            case None => (head, baseType0, rest0)
+            case None =>
+              // a CORRELATED path that rides through structs before its
+              // first collection can't correlate as-is (struct-typed
+              // correlated attribute) — request a flatten of the struct
+              // prefix onto the outer item (subplanLateral applies it)
+              // and continue against the generated array/map column
+              val flat =
+                if (!correlated) None
+                else structPrefix(baseType0, rest0).filter(_._1 >= 2)
+              flat match {
+                case Some((j, collType)) =>
+                  val pathSegs = rest0.take(j)
+                  val gen = flattenGenName(pathSegs)
+                  if (!used.flattens.exists(f =>
+                      f._1.equalsIgnoreCase(head) && f._3 == gen))
+                    used.flattens += ((head, pathSegs, gen))
+                  (head, StructType(Seq(StructField(gen, collType))),
+                    gen +: rest0.drop(j))
+                case None => (head, baseType0, rest0)
+              }
           }
           val userAlias = Option(alias).getOrElse(segs.last)
           // Positioned lateral subqueries need the correlated column
@@ -426,7 +593,8 @@ object NestedRefs {
               !(firstIsCollection && !baseIsTrailing && !multiLevelMapFinal))
             return false // outer-correlated refs need the positioned form
           val rowType =
-            if (firstIsCollection && !baseIsTrailing && !multiLevelMapFinal) {
+            if (firstIsCollection && !baseIsTrailing && !multiLevelMapFinal &&
+                !forceTrailing) {
               val (lateralItem, rt) =
                 buildLaterals(baseName, baseType, rest, userAlias,
                   () => { counter += 1; counter }, filteredExpr, outer,
@@ -461,10 +629,34 @@ object NestedRefs {
       val innerUsed = new UsedOuter
       val b2 = rewriteInternal(spark, body,
         scope.aliases.toSeq ++ outer, innerUsed)
+      if (!innerUsed.value) return None
+      // struct-prefix flatten requests from the body: wrap THIS
+      // clause's plain base items as `(SELECT *, path AS __cp_… FROM
+      // tbl) alias`; requests naming an enclosing scope's alias ride
+      // further up with `used`
+      innerUsed.flattens.groupBy(_._1.toLowerCase).foreach {
+        case (_, reqs) =>
+          val al = reqs.head._1
+          val idx = baseItems.indexWhere {
+            case plainItemRe(name, a) =>
+              Option(a).getOrElse(name).equalsIgnoreCase(al)
+            case _ => false
+          }
+          if (idx < 0) used.flattens ++= reqs
+          else baseItems(idx) match {
+            case plainItemRe(name, _) =>
+              val projs = reqs.map { case (_, p, g) =>
+                s"${p.mkString(".")} AS $g" }
+              baseItems(idx) =
+                s"(SELECT *, ${projs.mkString(", ")} FROM $name) $al"
+            case _ =>
+          }
+      }
       // conservative upward propagation: an inner correlation may span
       // this clause's aliases OR the enclosing ones — an extra LATERAL
       // marker on the enclosing item is legal either way
-      if (innerUsed.value) { used.value = true; Some(b2) } else None
+      used.value = true
+      Some(b2)
     }
 
     /** `(SELECT|WITH …) alias` join operand inside a chain. */
@@ -560,7 +752,6 @@ object NestedRefs {
           raw.substring(m.end, opEnd))
       }
       ops.foreach { case (kw, opTxt) =>
-        if (sawTrailing) return bail()
         val (refTxt0, cond) = splitOn(opTxt)
         // a plan hint after the join keyword (`join [broadcast] tbl`)
         // is transparent here; it stays in the emitted text for plain
@@ -573,6 +764,9 @@ object NestedRefs {
         refTxt match {
           case plainItemRe(name, alias) if tableSchema(name).isDefined &&
               (alias == null || !aliasGuard.contains(alias.toLowerCase)) =>
+            // chain text can't continue past a trailing LATERAL VIEW —
+            // the view's alias resolves only at the end of the FROM
+            if (sawTrailing) return bail()
             scope.aliases(Option(alias).getOrElse(name)) =
               tableSchema(name).get
             chainText += s" $kw $opTxt".stripSuffix(" ")
@@ -600,8 +794,13 @@ object NestedRefs {
             } else {
               val outer = kw.startsWith("left") ||
                 (kw.startsWith("full") && cond.isEmpty)
-              if (kw.startsWith("right") ||
-                  (kw.startsWith("full") && cond.nonEmpty)) return bail()
+              // RIGHT JOIN against the row's own collection: every
+              // element's parent IS its row, so no element is ever
+              // null-extended — the cond-less form is the inner
+              // lateral (ranger_column_masking_complex_types.test's
+              // `complextypestbl t right join t.int_array a`)
+              if ((kw.startsWith("right") || kw.startsWith("full")) &&
+                  cond.nonEmpty) return bail()
               // LEFT OUTER's ON filters ELEMENTS before null-extension
               // (fold into the collection); an INNER ON references the
               // lateral's columns (incl. pos) and rides the JOIN ... ON
@@ -614,12 +813,25 @@ object NestedRefs {
                   e => s"filter($e, __x -> ($c2))"
                 case _ => identity
               }
-              val onCond = if (outer) None else cond
-              if (!inlineCollection(segs, alias, filt, outer, onCond))
-                return bail()
+              if (sawTrailing) {
+                // once an operand landed as a trailing LATERAL VIEW,
+                // later collection operands join the same trailing
+                // sequence (views resolve left-to-right and WHERE sees
+                // their aliases) — an inner ON becomes a WHERE pred
+                // there, like the positioned form's
+                if (!addCollectionRef(segs, alias, filt, outer,
+                    forceTrailing = true)) return bail()
+                if (!outer) cond.foreach(pendingPreds += _.trim)
+                changed = true
+              } else {
+                val onCond = if (outer) None else cond
+                if (!inlineCollection(segs, alias, filt, outer, onCond))
+                  return bail()
+              }
             }
           case subqOperandRe(body, alias2)
               if !isSemiAnti && !kw.startsWith("right") =>
+            if (sawTrailing) return bail()
             // correlated FROM-subquery join operand (IMPALA-2414 /
             // subplan): `c join (with w as (… from c.c_orders) …) v`
             // → `c JOIN LATERAL (…) v`

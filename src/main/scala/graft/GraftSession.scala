@@ -49,6 +49,17 @@ object GraftSession {
       // (HdfsTableSink dynamic partition overwrite); Spark's static
       // default would clear the whole table.
       c.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // Impala reads/writes dates and timestamps on the proleptic
+      // Gregorian calendar with no hybrid-calendar rebase
+      // (runtime/date-value.h, IMPALA-8953); CORRECTED is exactly that
+      // — and without it Spark refuses to WRITE pre-1582 dates at all
+      // (hive2-pre-gregorian-date.test's INSERT of 1582-10-04).
+      c.set("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
+      c.set("spark.sql.parquet.datetimeRebaseModeInRead", "CORRECTED")
+      c.set("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
+      c.set("spark.sql.parquet.int96RebaseModeInRead", "CORRECTED")
+      c.set("spark.sql.avro.datetimeRebaseModeInWrite", "CORRECTED")
+      c.set("spark.sql.avro.datetimeRebaseModeInRead", "CORRECTED")
       // Some historic events.parquet fixtures carried TIMESTAMP(NANOS),
       // which the parquet reader rejects; with this conf they arrive as a
       // nanos long and table() below normalizes. Harmless for µs files.

@@ -287,6 +287,9 @@ object FunctionalTables {
 
   private val dateRe = """(\d{1,4})-(\d{1,2})-(\d{1,2})""".r
 
+  private val tsRe =
+    """(\d{1,4})-(\d{1,2})-(\d{1,2})(?:[ T](\d{1,2}:\d{1,2}:\d{1,2})(?:\.(\d+))?)?""".r
+
   private def convertField(raw: String, t: DataType): Any = {
     if (raw == "\\N") return null
     try t match {
@@ -318,6 +321,25 @@ object FunctionalTables {
       case DateType => raw.trim match {
         case dateRe(y, m, dd) =>
           java.sql.Date.valueOf(java.time.LocalDate.of(y.toInt, m.toInt, dd.toInt))
+        case _ => null
+      }
+      // Impala text-scanner TIMESTAMP conversion: `yyyy-MM-dd
+      // [HH:mm:ss[.fraction]]`; a dateless (time-only) or malformed
+      // value converts to NULL with a per-row error
+      // (be/src/runtime/timestamp-parse-util.cc)
+      case TimestampType => raw.trim match {
+        case tsRe(y, m, dd, hms, frac) =>
+          val ldt = java.time.LocalDateTime.of(y.toInt, m.toInt, dd.toInt,
+            0, 0, 0).plusNanos(0)
+          val base = Option(hms) match {
+            case Some(t) =>
+              val Array(h, mi, s) = t.split(":").map(_.toInt)
+              ldt.withHour(h).withMinute(mi).withSecond(s)
+            case None => ldt
+          }
+          val nanos = Option(frac)
+            .map(f => f.padTo(9, '0').take(9).toLong).getOrElse(0L)
+          java.sql.Timestamp.valueOf(base.plusNanos(nanos / 1000 * 1000))
         case _ => null
       }
       case _ => raw
@@ -855,6 +877,106 @@ object FunctionalTables {
       ct.withColumn("part", lit(1))
         .unionByName(ct.withColumn("part", lit(2)))
         .createOrReplaceTempView("complextypes_partitioned")
+    }
+    registerTimestampEdgeTables(spark, refRoot)
+  }
+
+  /** Round-9f edge fixtures: scanner range/calendar conversion tables
+    * (out-of-range timestamps/dates, pre-Gregorian Hive-2 files,
+    * dateless timestamps), the bzip2 text fixtures, and the
+    * missing-newline text loads. Impala's scanner converts values
+    * outside TIMESTAMP 1400-01-01..9999-12-31 / DATE
+    * 0001-01-01..9999-12-31 to NULL with a per-row error
+    * (be/src/exec/parquet/parquet-column-readers.cc,
+    * runtime/date-value.h) — replicated as range CASEs over the same
+    * binary fixtures.
+    */
+  private def registerTimestampEdgeTables(spark: SparkSession,
+      refRoot: java.nio.file.Path): Unit = {
+    def mk(rows: Seq[Row], sch: StructType, name: String): Unit =
+      spark.createDataFrame(new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), sch)
+        .createOrReplaceTempView(name)
+    def exists(rel: String) =
+      java.nio.file.Files.isRegularFile(refRoot.resolve(rel))
+    // out_of_range_timestamp (IMPALA-4363): int96 values outside the
+    // representable range → NULL
+    if (exists("data/out_of_range_timestamp.parquet")) try {
+      spark.read.parquet(
+          refRoot.resolve("data/out_of_range_timestamp.parquet").toString)
+        .selectExpr("""CASE WHEN ts < TIMESTAMP'1400-01-01 00:00:00'
+            OR ts > TIMESTAMP'9999-12-31 23:59:59.999999'
+            THEN NULL ELSE ts END AS ts""")
+        .createOrReplaceTempView("out_of_range_timestamp")
+    } catch { case _: Throwable => }
+    if (exists("data/out_of_range_time_of_day.parquet")) try {
+      spark.read.parquet(
+          refRoot.resolve("data/out_of_range_time_of_day.parquet").toString)
+        .createOrReplaceTempView("out_of_range_time_of_day")
+    } catch { case _: Throwable => }
+    // out_of_range_date: the raw int32 epoch-days include year-0 and
+    // year-10000 values that parquet-mr's hybrid date path mangles —
+    // read the physical INT32 and apply Impala's range rule directly
+    // (valid epoch-day range -719162 = 0001-01-01 .. 2932896 =
+    // 9999-12-31)
+    if (exists("data/out_of_range_date.parquet")) try {
+      spark.read.schema(StructType.fromDDL("v int"))
+        .parquet(refRoot.resolve("data/out_of_range_date.parquet").toString)
+        .selectExpr("""CASE WHEN v BETWEEN -719162 AND 2932896
+            THEN date_add(DATE'1970-01-01', v) ELSE NULL END AS v""")
+        .createOrReplaceTempView("out_of_range_date")
+    } catch { case _: Throwable => }
+    if (exists("data/hive2_pre_gregorian.parquet")) try {
+      spark.read.parquet(
+          refRoot.resolve("data/hive2_pre_gregorian.parquet").toString)
+        .createOrReplaceTempView("hive2_pre_gregorian")
+    } catch { case _: Throwable => }
+    // dateless timestamps: the fixture stores time-only values with
+    // int96 julian day 0 (wall date 4714 BC), far below Impala's
+    // 1400-01-01 floor — the same scanner range rule nulls them
+    // (IMPALA-7088 removed dateless parsing)
+    if (exists("data/dateless_timestamps.parq")) try {
+      spark.read.parquet(
+          refRoot.resolve("data/dateless_timestamps.parq").toString)
+        .selectExpr("""CASE WHEN t < TIMESTAMP'1400-01-01 00:00:00'
+            OR t > TIMESTAMP'9999-12-31 23:59:59.999999'
+            THEN NULL ELSE t END AS t""")
+        .createOrReplaceTempView("timestamp_table")
+    } catch { case _: Throwable => }
+    if (exists("data/dateless_timestamps.txt")) {
+      val sch = StructType.fromDDL("t timestamp")
+      mk(loadTextSerde(refRoot.resolve("data/dateless_timestamps.txt"), sch),
+        sch, "timestamp_text_table")
+    }
+    // bzip2 text fixtures (text-bzip-scan.test): 1M-row number files;
+    // Spark's text source decompresses bz2 (multi-stream included)
+    // natively
+    Seq("bzip2_tbl" -> "data/data-bzip2.bz2",
+        "multistream_bzip2_tbl" -> "data/data-pbzip2.bz2").foreach {
+      case (name, rel) =>
+        if (exists(rel)) try {
+          spark.read.text(refRoot.resolve(rel).toString).toDF("col")
+            .createOrReplaceTempView(name)
+        } catch { case _: Throwable => }
+    }
+    // table_no_newline(_part): files whose last record has no trailing
+    // newline; the _part union adds the ragged missing-columns file
+    // as the 2015 partition (functional_schema_template.sql:2282-2295)
+    val tnSch = StructType.fromDDL(
+      "id int, col_1 boolean, col_2 double, col_3 timestamp")
+    if (exists("data/table_no_newline.csv")) {
+      val base = loadTextSerde(
+        refRoot.resolve("data/table_no_newline.csv"), tnSch)
+      mk(base, tnSch, "table_no_newline")
+      if (exists("data/table_missing_columns.csv")) {
+        val partSch = StructType(
+          tnSch.fields ++ StructType.fromDDL("year int, month int").fields)
+        val p2010 = base.map(r => Row.fromSeq(r.toSeq ++ Seq(2010, 3)))
+        val p2015 = loadTextSerde(
+          refRoot.resolve("data/table_missing_columns.csv"), tnSch)
+          .map(r => Row.fromSeq(r.toSeq ++ Seq(2015, 3)))
+        mk(p2010 ++ p2015, partSch, "table_no_newline_part")
+      }
     }
   }
 

@@ -115,7 +115,17 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "ranger_column_masking_complex_types.test",
     "nested-types-basic-partitioned.test",
     "nested-types-parquet-stats.test",
-    "nested-types-parquet-page-index.test")
+    "nested-types-parquet-page-index.test",
+    // round 9f: mt-dop workload shapes (the dop SETs are
+    // execution-neutral), spill-boundary sorts, bzip2 text decompress,
+    // scanner range/calendar conversion fixtures (out-of-range
+    // timestamps/dates → NULL, pre-Gregorian Hive-2 files, dateless
+    // timestamps), and missing-trailing-newline text loads
+    "mt-dop.test", "joins_mt_dop.test", "single-node-large-sorts.test",
+    "text-bzip-scan.test", "out-of-range-timestamp-continue-on-error.test",
+    "out-of-range-date.test", "hive2-pre-gregorian-date.test",
+    "dateless_timestamp_parquet.test", "dateless_timestamp_text.test",
+    "hdfs-text-scan.test")
 
   /** Files whose header documents the daemon flag
     * `-use_local_tz_for_unix_timestamp_conversions=true` — a `SET
@@ -281,15 +291,41 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       // pre-Hive-0.9 RCFile is a legacy row format (SURVEY §2.1 oos);
       // no RCFile serde in a Hive-less Spark session
       ("hdfs-scan-node.test", 12) ->
-        "old_rcfile_table: pre-Hive-0.9 RCFile serde fixture (legacy row format, out of scope per SURVEY §2.1)")
+        "old_rcfile_table: pre-Hive-0.9 RCFile serde fixture (legacy row format, out of scope per SURVEY §2.1)") ++
+    // round 9f additions
+    Map(
+      // large_bzip2.bz2 / its multistream twin are load-time artifacts
+      // (testdata/bin generated) absent from the sandbox fixtures —
+      // only the blocks over them skip; the data-bzip2/data-pbzip2
+      // blocks run for real
+      ("text-bzip-scan.test", 3) -> "large_bzip2.bz2 load artifact absent from sandbox fixtures",
+      ("text-bzip-scan.test", 4) -> "large_bzip2.bz2 load artifact absent from sandbox fixtures",
+      ("text-bzip-scan.test", 5) -> "large_multistream_bzip2.bz2 load artifact absent from sandbox fixtures",
+      ("text-bzip-scan.test", 8) -> "large_multistream_bzip2.bz2 load artifact absent from sandbox fixtures",
+      ("text-bzip-scan.test", 9) -> "large_multistream_bzip2.bz2 load artifact absent from sandbox fixtures",
+      // IMPALA-7595: int96 nanos-of-day outside [0, 24h) — parquet-mr
+      // normalizes into the adjacent day, losing the invalid marker
+      // Impala NULLs on; the pinned row also carries a ns-precision
+      // boundary value (…23:59:59.999999999)
+      ("out-of-range-timestamp-continue-on-error.test", 1) ->
+        "int96 time-of-day outside [0,24h): parquet-mr normalizes to the adjacent day; Impala NULLs (+ns boundary render)",
+      // Hive-2 pre-Gregorian parquet: Impala reads the stored julian
+      // day proleptically (1582-10-04 → 1582-10-14); parquet-mr's
+      // hybrid rebase lands on 1582-10-15
+      ("hive2-pre-gregorian-date.test", 0) ->
+        "pre-Gregorian parquet date: Impala proleptic raw read vs parquet-mr hybrid rebase (one day apart)")
 
   // test-runner substitution variables are ALL-CAPS ($ORIGINAL_DB,
   // $NAMENODE, $IMPALA_HOME…) — a literal '$' inside a string value
   // (delimited-text.test's '$'-delimited data) is NOT a variable
   private val runnerVarRe = """\$[A-Z_][A-Z_0-9]*""".r
 
+  // $DATABASE is the runner's per-test unique database holding
+  // create_table_and_copy_files fixtures — the fixture tables register
+  // under their bare names here, so the prefix strips like functional.
   private val dbPrefix =
-    """`?\b(?:functional(?:_[a-z0-9]+)*|tpch(?:_[a-z0-9]+)*|insert_permutation_test)`?\.""".r
+    ("""`?(?:\b(?:functional(?:_[a-z0-9]+)*|tpch(?:_[a-z0-9]+)*|""" +
+      """insert_permutation_test)|\$DATABASE)`?\.""").r
 
   private val createViewRe =
     """(?is)^\s*create\s+view\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s+as\s+(.*)$""".r
@@ -304,9 +340,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private def stripLineComments(block: String): String =
     block.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
 
+  // db prefixes (incl. $DATABASE) strip here so the runner-variable
+  // eligibility check sees the resolvable bare-name form
   private def splitStmts(block: String): Seq[String] =
-    stripLineComments(block).split(";").map(_.trim)
-      .filter(_.nonEmpty).toSeq
+    dbPrefix.replaceAllIn(stripLineComments(block), "").split(";")
+      .map(_.trim).filter(_.nonEmpty).toSeq
 
   // a WITH-prefixed INSERT is DML, not a result-bearing SELECT
   // (insert.test's `with t1 as (...) insert into ...` blocks)
@@ -424,6 +462,19 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           if spark.catalog.tableExists(table) =>
         execPermInsert(spark, mode, table, cols,
           Option(parts).getOrElse(""), source)
+      case bareValuesInsertRe(mode, table, values)
+          if spark.catalog.tableExists(table) =>
+        // Impala implicitly casts VALUES literals to the column types
+        // (e.g. string dates into DATE); Spark's ANSI store assignment
+        // refuses STRING→DATE, so cast per position explicitly
+        val schema = spark.table(table).schema
+        val src = ImpalaDialect.sql(spark, s"SELECT * FROM ($values)")
+        val out = src.select(src.columns.zip(schema.fields).map {
+          case (c, f) => org.apache.spark.sql.functions.col(c)
+            .cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+        out.write.mode(if (mode.equalsIgnoreCase("overwrite")) "overwrite"
+          else "append").insertInto(table)
       case _ =>
         s match {
           case createTableRe(name) => spark.sql(s"DROP TABLE IF EXISTS $name")
@@ -449,6 +500,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private val permInsertRe =
     ("""(?is)^\s*insert\s+(into|overwrite)\s+(?:table\s+)?([A-Za-z_]\w*)""" +
       """\s*\(([^)]*)\)\s*(?:partition\s*\(([^)]*)\))?\s*(.*)$""").r
+
+  // `INSERT INTO t VALUES (…)` without a column list — positional
+  private val bareValuesInsertRe =
+    ("""(?is)^\s*insert\s+(into|overwrite)\s+(?:table\s+)?([A-Za-z_]\w*)""" +
+      """\s+(values\b.*)$""").r
 
   private def execPermInsert(spark: org.apache.spark.sql.SparkSession,
       mode: String, table: String, colsTxt: String, partTxt: String,
@@ -687,16 +743,28 @@ class FunctionalGoldenSpec extends SparkSpecBase {
               // positionally-unique names first: a join's SELECT * can
               // expose duplicate column names, which a by-name select
               // would reject as ambiguous
+              val tzSet = sessionTzOf(prefix, localTzFiles(f)).nonEmpty
+              val hasDate = df0.schema.exists(_.dataType ==
+                org.apache.spark.sql.types.DateType)
               val dfU =
-                if (sessionTzOf(prefix, localTzFiles(f)).isEmpty) df0
+                if (!tzSet && !hasDate) df0
                 else df0.toDF(df0.columns.indices.map(j => s"__c$j"): _*)
-              val df = if (sessionTzOf(prefix, localTzFiles(f)).isEmpty) df0
+              val df = if (!tzSet && !hasDate) df0
                 else dfU.select(dfU.schema.fields.zipWithIndex.map {
-                  case (fl, j) if fl.dataType ==
+                  case (fl, j) if tzSet && fl.dataType ==
                       org.apache.spark.sql.types.TimestampType =>
                     org.apache.spark.sql.functions.date_format(
                       org.apache.spark.sql.functions.col(fl.name),
                       "yyyy-MM-dd HH:mm:ss").as(fl.name)
+                  // DATE renders engine-side: collect()'s java.sql.Date
+                  // rebase collapses the 1582 Gregorian gap (proleptic
+                  // 1582-10-05 prints 10-15); a string cast keeps the
+                  // engine's proleptic wall date exactly
+                  case (fl, j) if fl.dataType ==
+                      org.apache.spark.sql.types.DateType =>
+                    org.apache.spark.sql.functions.col(fl.name)
+                      .cast(org.apache.spark.sql.types.StringType)
+                      .as(fl.name)
                   case (fl, j) =>
                     org.apache.spark.sql.functions.col(fl.name)
                 }.toSeq: _*)
@@ -744,7 +812,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 2283, s"only $pass golden queries passed (floor 2283)")
+    assert(pass >= 2313, s"only $pass golden queries passed (floor 2313)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // The 8, all genuinely blocked: a correlated EXISTS whose subquery

@@ -959,6 +959,16 @@ object FunctionalTables {
             .createOrReplaceTempView(name)
         } catch { case _: Throwable => }
     }
+    // max-nesting-depth fixtures (testdata/max_nesting_depth): one row
+    // per 100-level-deep schema, one table per collection kind
+    Seq("struct_tbl" -> "struct", "int_array_tbl" -> "int_array",
+        "struct_array_tbl" -> "struct_array", "int_map_tbl" -> "int_map",
+        "struct_map_tbl" -> "struct_map").foreach { case (name, d) =>
+      val p = refRoot.resolve(s"max_nesting_depth/$d/file.parq")
+      if (java.nio.file.Files.isRegularFile(p)) try {
+        spark.read.parquet(p.toString).createOrReplaceTempView(name)
+      } catch { case _: Throwable => }
+    }
     // table_no_newline(_part): files whose last record has no trailing
     // newline; the _part union adds the ragged missing-columns file
     // as the 2015 partition (functional_schema_template.sql:2282-2295)

@@ -131,7 +131,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // multi-column-family table, plus hdfs×hbase joins
     "hbase-rowkeys.test", "hbase-filters.test", "hbase-scan-node.test",
     "hbase-top-n.test", "joins-against-hbase.test",
-    "hbase-col-filter.test")
+    "hbase-col-filter.test",
+    // round 9h: filter-wait/reservation shapes (their SETs are all
+    // execution-neutral). max-nesting-depth.test stays ungated: its
+    // 100-level dotted paths line-wrap with whitespace around the
+    // dots and need O(depth) lateral chains the rewriter doesn't
+    // support yet (5 of 10 blocks pass; the rest bail)
+    "runtime_filters_wait.test", "runtime_row_filter_reservations.test")
 
   /** Files whose header documents the daemon flag
     * `-use_local_tz_for_unix_timestamp_conversions=true` — a `SET
@@ -903,7 +909,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 2381, s"only $pass golden queries passed (floor 2381)")
+    assert(pass >= 2384, s"only $pass golden queries passed (floor 2384)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // The 8, all genuinely blocked: a correlated EXISTS whose subquery

@@ -124,7 +124,43 @@ object NestedSubplanQueries extends QueryGroup {
         |WHERE c_custkey < 100
         |GROUP BY c_custkey
         |ORDER BY c_custkey""".stripMargin,
-      Seq("bigint", "bigint", "decimal")))
+      Seq("bigint", "bigint", "decimal")),
+
+    // RIGHT JOIN against the row's own collection ≡ the inner lateral:
+    // every element's parent is its own row
+    // (ranger_column_masking_complex_types.test[11] shape)
+    Sq("subplan_right_join_coll",
+      """SELECT c_custkey, o_orderkey
+        |FROM customer c RIGHT JOIN c.c_orders o
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+      """SELECT c_custkey, o_orderkey
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+      Seq("bigint", "bigint")))
+
+  /** Correlated subplan whose collection path rides THROUGH A STRUCT
+    * (`t.info.orders`): Spark's decorrelator rejects struct-typed
+    * correlated attributes, so NestedRefs flattens the struct prefix
+    * onto the outer item — `(SELECT *, info.orders AS __cp_… FROM …) t`
+    * — and correlates on the generated array column
+    * (nested-types-scanner-multiple-materialization.test's
+    * `t.nested_struct.c.d.item` union shape).
+    */
+  private val structPathQ = Sq("subplan_struct_path",
+    """SELECT c_custkey, o_orderkey
+      |FROM customer_info t,
+      |  (SELECT o_orderkey FROM t.info.orders WHERE o_orderkey % 2 = 0
+      |   UNION ALL
+      |   SELECT o_orderkey FROM t.info.orders WHERE o_orderkey % 2 = 1) v
+      |WHERE c_custkey < 100
+      |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    """SELECT c_custkey, o_orderkey
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |WHERE c_custkey < 100
+      |ORDER BY c_custkey, o_orderkey""".stripMargin,
+    Seq("bigint", "bigint"))
 
   def defs: Seq[Q.Def] =
     if (!GoldenTest.available || !GoldenTest.nestedAvailable) Seq.empty
@@ -133,6 +169,18 @@ object NestedSubplanQueries extends QueryGroup {
       GoldenQueries.catalog.goldenDefVia(sq.name, fake, sq.types,
         (s: SparkSession, dir: String) => {
           graft.sources.NestedTpchTables.register(s, dir)
+          graft.ImpalaDialect.sql(s, sq.nested)
+        })
+    } :+ {
+      val sq = structPathQ
+      val fake = GoldenTest.Case("", sq.flat, sq.types, 0)
+      GoldenQueries.catalog.goldenDefVia(sq.name, fake, sq.types,
+        (s: SparkSession, dir: String) => {
+          graft.sources.NestedTpchTables.register(s, dir)
+          s.sql("""SELECT c_custkey,
+              |  named_struct('orders', c_orders) AS info
+              |FROM customer""".stripMargin)
+            .createOrReplaceTempView("customer_info")
           graft.ImpalaDialect.sql(s, sq.nested)
         })
     }

@@ -666,6 +666,40 @@ object FunctionalTables {
       spark.sql(
         """CREATE TABLE insert_overwrite_partitioned (col1 int, col2 int)
           |USING PARQUET PARTITIONED BY (col2)""".stripMargin)
+      // insert_null.test's shared-location pair: nullinsert is a real
+      // table; nullinsert_alt re-reads the same rows as the
+      // ','-delimited escaped-serde TEXT LINES Impala's sink writes
+      // ('\N' nulls, backslashes doubled) — the serialization the
+      // test pins
+      spark.sql("DROP TABLE IF EXISTS nullinsert")
+      spark.sql(
+        """CREATE TABLE nullinsert (str_col1 string, str_col2 string,
+          |str_col3 string, str_col4 string, int_cal int)
+          |USING PARQUET""".stripMargin)
+      def serTxt(c: String) =
+        s"""CASE WHEN $c IS NULL THEN '\\\\N'
+           |ELSE replace($c, '\\\\', '\\\\\\\\') END""".stripMargin
+      spark.sql(
+        s"""SELECT concat_ws(',', ${serTxt("str_col1")},
+           |  ${serTxt("str_col2")}, ${serTxt("str_col3")},
+           |  ${serTxt("str_col4")},
+           |  CASE WHEN int_cal IS NULL THEN '\\\\N'
+           |       ELSE cast(int_cal AS string) END) AS whole_row
+           |FROM nullinsert""".stripMargin)
+        .createOrReplaceTempView("nullinsert_alt")
+      // nullformat_custom (serialization.null.format='xyz'): writes
+      // land in the __store table (the spec redirects the INSERTs);
+      // reads apply the serde rule — a stored 'xyz' string IS the
+      // null marker
+      spark.sql("DROP TABLE IF EXISTS nullformat_custom__store")
+      spark.sql(
+        """CREATE TABLE nullformat_custom__store (id int, a boolean,
+          |b string, c int, d double) USING PARQUET""".stripMargin)
+      spark.sql(
+        """SELECT id, a,
+          |  CASE WHEN b = 'xyz' THEN NULL ELSE b END AS b, c, d
+          |FROM nullformat_custom__store""".stripMargin)
+        .createOrReplaceTempView("nullformat_custom")
     } catch { case _: Throwable => } // no writable warehouse: skip
     // serialized-sketch fixtures (datasketches-hll/kll.test): sketch
     // bytes produced by Hive (datasketches-java) and the reference
@@ -959,6 +993,48 @@ object FunctionalTables {
             .createOrReplaceTempView(name)
         } catch { case _: Throwable => }
     }
+    // unsupported_types (schema template:1583-1599): scalar columns of
+    // types pre-3.0 Impala could not read (DECIMAL-default/DATE/BINARY)
+    // mixed with readable ones — misc.test[8] reads only the readable
+    // three; all six read fine here
+    val unsup = refRoot.resolve("UnsupportedTypes/data.csv")
+    if (java.nio.file.Files.isRegularFile(unsup)) {
+      val sch = StructType.fromDDL(
+        "int_col int, dec_col decimal(9,0), date_col date, " +
+          "str_col string, bin_col binary, bigint_col bigint")
+      val raw = StructType.fromDDL(
+        "int_col int, dec_col decimal(9,0), date_col date, " +
+          "str_col string, bin_str string, bigint_col bigint")
+      val rows = loadTextSerde(unsup, raw).map { r =>
+        Row.fromSeq(r.toSeq.updated(4, Option(r.getString(4))
+          .map(_.getBytes("UTF-8")).orNull))
+      }
+      mk(rows, sch, "unsupported_types")
+    }
+    // allcomplextypes (schema template:717-738): declared with every
+    // collection/struct combination, NEVER LOADED — the reference's
+    // analysis-surface probe; the IMPALA-2414 with-clause blocks pin
+    // empty results over it
+    spark.createDataFrame(new java.util.ArrayList[Row](),
+        StructType.fromDDL(
+          "id int, int_array_col array<int>, " +
+            "array_array_col array<array<int>>, " +
+            "map_array_col array<map<string,int>>, " +
+            "struct_array_col array<struct<f1: bigint, f2: string>>, " +
+            "int_map_col map<string, int>, " +
+            "array_map_col map<string, array<int>>, " +
+            "map_map_col map<string, map<string, int>>, " +
+            "struct_map_col map<string, struct<f1: bigint, f2: string>>, " +
+            "int_struct_col struct<f1: int, f2: int>, " +
+            "complex_struct_col struct<f1: int, f2: array<int>, " +
+            "f3: map<string, int>>, " +
+            "nested_struct_col struct<f1: int, f2: struct<f11: bigint, " +
+            "f12: struct<f21: bigint>>>, " +
+            "complex_nested_struct_col struct<f1: int, " +
+            "f2: array<struct<f11: bigint, " +
+            "f12: map<string, struct<f21: bigint>>>>>, " +
+            "year int, month int"))
+      .createOrReplaceTempView("allcomplextypes")
     // max-nesting-depth fixtures (testdata/max_nesting_depth): one row
     // per 100-level-deep schema, one table per collection kind
     Seq("struct_tbl" -> "struct", "int_array_tbl" -> "int_array",

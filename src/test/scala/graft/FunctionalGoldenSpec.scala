@@ -796,9 +796,16 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       val cases = GoldenTest.load(dir.resolve(f))
       val hbaseFile = f.startsWith("hbase-") || f == "joins-against-hbase.test"
       cases.zipWithIndex.foreach { case (c, i) =>
-        val queryTxt =
+        val queryTxt0 =
           if (hbaseFile) hbaseize(c.query, bareToo = f.startsWith("hbase-"))
           else c.query
+        // nullformat_custom reads through its serde view ('xyz' IS the
+        // null marker); its INSERTs land in the backing store table
+        val queryTxt =
+          if (f != "insert_null.test") queryTxt0
+          else queryTxt0.replaceAll(
+            """(?is)(insert\s+(?:into|overwrite)\s+(?:table\s+)?)nullformat_custom\b""",
+            "$1nullformat_custom__store")
         if (hbaseFile) shadowHbaseViews(stripLineComments(queryTxt))
         val stmts = splitStmts(queryTxt)
         val queryStmt = if (stmts.isEmpty) "" else stmts.last
@@ -909,24 +916,26 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 2384, s"only $pass golden queries passed (floor 2384)")
+    assert(pass >= 2389, s"only $pass golden queries passed (floor 2389)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
-    // The 8, all genuinely blocked: a correlated EXISTS whose subquery
+    // The 5, all genuinely blocked: a correlated EXISTS whose subquery
     // groups by ROLLUP (grouping-sets.test[5] — Spark analyzer
-    // limitation), misc.test[8]'s unsupported_types table,
-    // outer-to-inner-joins[19]'s per-element FULL OUTER ON (Impala
-    // null-extends BOTH sides within a row), the absent
-    // allcomplextypes fixture (nested-types-with-clause[0,3]), and
-    // insert_null.test's two-serdes-over-one-location text tables
-    // [2,3,17] — plus nested-types-runtime[21,22]'s IMPALA-2430/2456
-    // multi-level-path subquery chains over SF1-pinned tpch_nested
-    // rows (they would be documented deltas if executed).
-    // (r9 drained the bucket from 24: nested-ref chains,
-    // subplan laterals, IMPALA-2414 WITH correlation, hbase ordering,
-    // grouping()-alias expansion, window-ORDER-BY ordinals, windowed
-    // decimal avg, RRRR output tokens, WITH label padding,
-    // decimal_encodings row-reader, complextypestbl_medium derivation)
-    assert(errorSkip <= 10, s"$errorSkip error skips (ceiling 10)")
+    // limitation), outer-to-inner-joins[19]'s per-element FULL OUTER
+    // ON (Impala null-extends BOTH sides within a row),
+    // nested-types-with-clause[3]'s multiply-instantiated correlated
+    // WITH views over a map-of-map path, and
+    // nested-types-runtime[21,22]'s IMPALA-2430/2456 multi-level-path
+    // subquery chains over SF1-pinned tpch_nested rows (they would be
+    // documented deltas if executed).
+    // (r9 drained the bucket from 24: nested-ref chains, subplan
+    // laterals, IMPALA-2414 WITH correlation over the now-registered
+    // allcomplextypes, hbase ordering, grouping()-alias expansion,
+    // window-ORDER-BY ordinals, windowed decimal avg, RRRR output
+    // tokens, WITH label padding, decimal_encodings row-reader,
+    // complextypestbl_medium derivation, unsupported_types fixture,
+    // and insert_null's shared-location serde pair emulated as a
+    // store table + serialization views)
+    assert(errorSkip <= 5, s"$errorSkip error skips (ceiling 5)")
   }
 }

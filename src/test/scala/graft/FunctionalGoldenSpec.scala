@@ -137,7 +137,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // 100-level dotted paths line-wrap with whitespace around the
     // dots and need O(depth) lateral chains the rewriter doesn't
     // support yet (5 of 10 blocks pass; the rest bail)
-    "runtime_filters_wait.test", "runtime_row_filter_reservations.test")
+    "runtime_filters_wait.test", "runtime_row_filter_reservations.test",
+    // round 9i: CTAS shapes (join/limit-0/partitioned/rand/null-cast
+    // sources; the describe blocks are non-select or subset-tag skips)
+    "create-table-as-select.test")
 
   /** Files whose header documents the daemon flag
     * `-use_local_tz_for_unix_timestamp_conversions=true` — a `SET
@@ -434,7 +437,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s+like\s+([A-Za-z_]\w*)\s+stored\s+as\s+parquet\s*$""".r
   private val createTableRe =
     """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\b.*""".r
-  private val storedAsParquetRe = """(?i)\bstored\s+as\s+parquet\b""".r
+  // any STORED AS format maps onto parquet here: the physical layout
+  // is incidental to the golden data checks (textfile CTAS contents
+  // equal parquet CTAS contents)
+  private val storedAsParquetRe = """(?i)\bstored\s+as\s+\w+\b""".r
 
   /** Best-effort execution of ONE setup statement (create/drop/insert/
     * truncate), mirroring `impala_test_suite.py`'s sequential statement
@@ -489,7 +495,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           else "append").insertInto(table)
       case _ =>
         s match {
-          case createTableRe(name) => spark.sql(s"DROP TABLE IF EXISTS $name")
+          // drop-first gives each golden file a fresh table — except
+          // when the statement itself says IF NOT EXISTS (the CTAS
+          // no-op probes pin that the existing contents survive)
+          case createTableRe(name)
+              if !"""(?is)\bif\s+not\s+exists\b""".r
+                .findFirstIn(s).isDefined =>
+            spark.sql(s"DROP TABLE IF EXISTS $name")
           case _ =>
         }
         // Impala maps an empty static partition value to the NULL
@@ -497,12 +509,22 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         val s2 = emptyPartValRe.replaceAllIn(
           storedAsParquetRe.replaceAllIn(s, "USING PARQUET"),
           m => m.group(1) + "NULL")
-        ImpalaDialect.exec(spark, s2)
+        // Impala: PARTITIONED BY precedes STORED AS; Spark's grammar
+        // wants USING directly after the name — swap them (the CTAS
+        // `partitioned by (year,month) stored as parquet as select`)
+        val s3 = partThenUsingRe.replaceAllIn(s2,
+          m => java.util.regex.Matcher.quoteReplacement(
+            s"${m.group(1)}${m.group(3)} ${m.group(2)}${m.group(4)}"))
+        ImpalaDialect.exec(spark, s3)
     } catch { case _: Throwable => }
   }
 
   private val emptyPartValRe =
     """(?i)(PARTITION\s*\([^)]*?=\s*)(''|"")(?=\s*[,)])""".r
+
+  private val partThenUsingRe =
+    ("""(?is)^(\s*create\s+table\s+(?:if\s+not\s+exists\s+)?[\w.]+\s+)""" +
+      """(partitioned\s+by\s*\([^)]*\)\s*)(USING\s+\w+)(.*)$""").r
 
   // Impala column-permutation INSERT (InsertStmt.java): an explicit
   // column list (possibly empty, possibly naming partition columns),
@@ -916,7 +938,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 2389, s"only $pass golden queries passed (floor 2389)")
+    assert(pass >= 2396, s"only $pass golden queries passed (floor 2396)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // The 5, all genuinely blocked: a correlated EXISTS whose subquery

@@ -159,11 +159,16 @@ object GoldenResult {
     case ldt: java.time.LocalDateTime =>
       render(java.sql.Timestamp.valueOf(ldt), tpe)
     case s: String if tpe == "string" || tpe == "char" || tpe == "varchar" =>
-      // the reference's goldens escape backslashes and non-printables
-      // ('\\%', 'a\x00b') but do NOT double inner quotes ('quote '')
+      // the reference's goldens pass string cells through Python
+      // unicode_escape (test_result_verifier.py parse_result_rows):
+      // backslash → \\, newline → \n, tab → \t, other non-printables
+      // → \xNN; inner quotes are NOT doubled on our side (tokenize
+      // collapses the golden's '' to ')
       val esc = s.flatMap {
         case '\\' => "\\\\"
-        case c if c < 0x20 && c != '\n' && c != '\t' => f"\\x${c.toInt}%02x"
+        case '\n' => "\\n"
+        case '\t' => "\\t"
+        case c if c < 0x20 => f"\\x${c.toInt}%02x"
         case c => c.toString
       }
       "'" + esc + "'"

@@ -1374,6 +1374,10 @@ object ImpalaDialect {
 
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftSession.tune(spark)
+    ImpalaMeta.describe(spark, text) match {
+      case Some(df) => return df
+      case None =>
+    }
     val parsed = preAnalysisFix(org.apache.spark.sql.graft.Bridge.parsePlan(
       spark, rewrite(NestedRefs.rewrite(spark, text))))
     def finish(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -51,6 +51,12 @@ object NestedRefs {
 
   private case class Scope(
       aliases: scala.collection.mutable.Map[String, DataType]) {
+    /** true iff every FROM item of the clause registered ALL of its
+      * output aliases here — star expansion is only sound then (a
+      * FROM-subquery or unresolvable table contributes columns the
+      * scope can't see, so expanding `*` from `aliases` alone would
+      * silently drop them). */
+    var complete: Boolean = true
     def lookup(name: String): Option[DataType] =
       aliases.collectFirst {
         case (k, v) if k.equalsIgnoreCase(name) => v
@@ -77,6 +83,8 @@ object NestedRefs {
     """(?is)^\s*([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$""".r
   private val plainItemRe =
     """(?is)^\s*([A-Za-z_]\w*)(?:\s+(?:as\s+)?([A-Za-z_]\w*))?\s*$""".r
+  private val wrappedFlatItemRe =
+    """(?is)^\s*\(\s*SELECT\s+\*\s*,\s*(.+?)\s+FROM\s+([A-Za-z_]\w*)\s*\)\s*([A-Za-z_]\w*)\s*$""".r
   private val aliasGuard = Set("on", "using", "join", "inner", "left",
     "right", "full", "cross", "where", "group", "order", "limit",
     "union", "intersect", "except", "tablesample")
@@ -102,8 +110,12 @@ object NestedRefs {
       scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String], String)]
   }
 
+  /** Generated column name for a struct-prefix flatten. Each segment is
+    * length-prefixed so distinct paths never collide (`a_b.c` vs
+    * `a.b_c` would both yield `__cp_a_b_c` under plain '_' joining,
+    * silently binding the second path's rewrite to the first's). */
   private def flattenGenName(path: Seq[String]): String =
-    "__cp_" + path.map(_.toLowerCase).mkString("_")
+    "__cp_" + path.map(s => s"${s.length}${s.toLowerCase}").mkString("_")
 
   /** Smallest prefix of `path` that walks STRUCT fields only and lands
     * on a collection: Some(prefix length, collection type). Length 1
@@ -283,10 +295,26 @@ object NestedRefs {
       case None => look = false
     }
     val items = splitTop(listTxt.substring(prefixEnd))
-    val singleAlias: Option[(String, StructType)] = scope.aliases.toSeq match {
-      case Seq((al, st: StructType)) => Some((al, st))
-      case _ => None
-    }
+    // star expansion from the scope is only sound when the scope saw
+    // EVERY FROM item's aliases — a FROM-subquery or unresolved table
+    // contributes columns the scope can't enumerate, and expanding
+    // would silently drop them from the result
+    val singleAlias: Option[(String, StructType)] =
+      scope.aliases.toSeq match {
+        case Seq((al, st: StructType)) if scope.complete => Some((al, st))
+        case _ => None
+      }
+    // all-struct multi-alias scope (joins/comma lists of registered
+    // tables): the reference expands `*` PER table ref, skipping
+    // complex-typed columns of each (SelectStmt.expandStar)
+    val allAliases: Option[Seq[(String, StructType)]] =
+      if (!scope.complete || scope.aliases.size < 2) None
+      else {
+        val as = scope.aliases.toSeq
+        if (as.forall(_._2.isInstanceOf[StructType]))
+          Some(as.map { case (al, t) => (al, t.asInstanceOf[StructType]) })
+        else None
+      }
     def scalarFields(st: StructType): Seq[StructField] =
       st.fields.toSeq.filterNot(f => isComplexType(f.dataType))
     def walkStructPath(root: StructType, segs: Seq[String]): Option[StructType] = {
@@ -307,10 +335,29 @@ object NestedRefs {
     val newItems = items.map(_.trim).map {
       case "*" =>
         singleAlias match {
-          case Some((al, st)) if st.fields.exists(f => isComplexType(f.dataType)) =>
+          case Some((al, st))
+              if st.fields.exists(f => isComplexType(f.dataType)) &&
+                scalarFields(st).nonEmpty =>
+            // scalarFields empty would emit an unparsable empty list —
+            // the reference raises an analysis error there; we leave
+            // `*` for Spark to resolve (a visible error, not silence)
             changed = true
             scalarFields(st).map(f => s"$al.${f.name}").mkString(", ")
-          case _ => "*"
+          case Some(_) => "*"
+          case None =>
+            allAliases match {
+              case Some(as)
+                  if as.exists(_._2.fields.exists(f =>
+                    isComplexType(f.dataType))) &&
+                    as.exists(a => scalarFields(a._2).nonEmpty) =>
+                changed = true
+                as.flatMap { case (al, st) =>
+                  if (st.fields.exists(f => isComplexType(f.dataType)))
+                    scalarFields(st).map(f => s"$al.${f.name}")
+                  else Seq(s"$al.*")
+                }.mkString(", ")
+              case _ => "*"
+            }
         }
       case it @ qualStarRe(qual) =>
         val segs = qual.split('.').toSeq
@@ -325,18 +372,19 @@ object NestedRefs {
           })
         resolved match {
           case Some((al, st, rest)) if rest.isEmpty =>
-            if (st.fields.exists(f => isComplexType(f.dataType))) {
+            if (st.fields.exists(f => isComplexType(f.dataType)) &&
+                scalarFields(st).nonEmpty) {
               changed = true
               scalarFields(st).map(f => s"$al.${f.name}").mkString(", ")
             } else it
           case Some((al, st, rest)) =>
             walkStructPath(st, rest) match {
-              case Some(inner) =>
+              case Some(inner) if scalarFields(inner).nonEmpty =>
                 changed = true
                 scalarFields(inner)
                   .map(f => s"$al.${rest.mkString(".")}.${f.name} AS ${f.name}")
                   .mkString(", ")
-              case None => it
+              case _ => it
             }
           case None => it
         }
@@ -640,6 +688,7 @@ object NestedRefs {
           val idx = baseItems.indexWhere {
             case plainItemRe(name, a) =>
               Option(a).getOrElse(name).equalsIgnoreCase(al)
+            case wrappedFlatItemRe(_, _, a) => a.equalsIgnoreCase(al)
             case _ => false
           }
           if (idx < 0) used.flattens ++= reqs
@@ -649,6 +698,19 @@ object NestedRefs {
                 s"${p.mkString(".")} AS $g" }
               baseItems(idx) =
                 s"(SELECT *, ${projs.mkString(", ")} FROM $name) $al"
+            case wrappedFlatItemRe(prev, name, _) =>
+              // a second correlated subquery over the same alias with a
+              // DIFFERENT struct-prefix flatten: append its projections
+              // to the existing wrapper instead of missing the match
+              // (which would strand an unresolved __cp_* column)
+              val fresh = reqs.filterNot { case (_, _, g) =>
+                prev.toLowerCase.contains(g.toLowerCase) }
+              if (fresh.nonEmpty) {
+                val projs = fresh.map { case (_, p, g) =>
+                  s"${p.mkString(".")} AS $g" }
+                baseItems(idx) =
+                  s"(SELECT *, $prev, ${projs.mkString(", ")} FROM $name) $al"
+              }
             case _ =>
           }
       }
@@ -843,6 +905,8 @@ object NestedRefs {
                   if (cond.isEmpty && !isOuterKw) "cross join"
                   else kw
                 chainText += s" $kwOut LATERAL ($b2) $alias2$on"
+                // the subquery's output columns aren't in the scope
+                scope.complete = false
                 changed = true
               case None => return bail()
             }
@@ -859,15 +923,19 @@ object NestedRefs {
             !aliasGuard.contains(alias.toLowerCase) =>
           // plain table/view ref — register its schema for later
           // relative refs
-          tableSchema(name).foreach { sch =>
-            scope.aliases(Option(alias).getOrElse(name)) = sch
+          tableSchema(name) match {
+            case Some(sch) =>
+              scope.aliases(Option(alias).getOrElse(name)) = sch
+            case None => scope.complete = false
           }
           baseItems += raw
         case pathItemRe(path, alias) if alias == null ||
             !aliasGuard.contains(alias.toLowerCase) =>
           if (!addCollectionRef(path.split('.').toSeq, alias,
-              identity, outer = false))
+              identity, outer = false)) {
+            scope.complete = false
             baseItems += raw
+          }
         case collJoinRe(left, joinKw, path, alias, cond)
             if cond == null || !hasTopLevelJoin(cond) =>
           // left side registers like a plain ref
@@ -903,15 +971,22 @@ object NestedRefs {
             if (!ok) baseItems.remove(baseItems.length - 1)
             ok
           }
-          if (!handled && !rewriteJoinChain(raw)) baseItems += raw
+          if (!handled && !rewriteJoinChain(raw)) {
+            scope.complete = false
+            baseItems += raw
+          }
         case aggSubItemRe(body, alias) =>
           if (rewriteAggSubquery(scope, body, alias, laterals))
-            changed = true
-          else subplanLateral(body) match {
-            case Some(b2) =>
-              baseItems += s"LATERAL ($b2) $alias"
-              changed = true
-            case None => baseItems += raw
+            changed = true // registers the agg columns under `alias`
+          else {
+            // the subquery's output columns aren't in the scope
+            scope.complete = false
+            subplanLateral(body) match {
+              case Some(b2) =>
+                baseItems += s"LATERAL ($b2) $alias"
+                changed = true
+              case None => baseItems += raw
+            }
           }
         case joinAggSubRe(left, body, alias) =>
           val leftOk = left match {
@@ -927,7 +1002,10 @@ object NestedRefs {
               if (!ok) baseItems.remove(baseItems.length - 1)
               ok
             }) changed = true
-          else if (!rewriteJoinChain(raw)) baseItems += raw
+          else if (!rewriteJoinChain(raw)) {
+            scope.complete = false
+            baseItems += raw
+          }
         case joinStarSubRe(left, joinKw, body, alias)
             if !hasTopLevelJoin(body) =>
           // `c LEFT OUTER JOIN (SELECT * FROM c.c_orders o WHERE …) v`
@@ -964,9 +1042,12 @@ object NestedRefs {
               }
             case _ => false
           })
-          if (!handled) baseItems += raw
+          if (!handled) { scope.complete = false; baseItems += raw }
         case _ =>
-          if (!rewriteJoinChain(raw)) baseItems += raw
+          if (!rewriteJoinChain(raw)) {
+            scope.complete = false
+            baseItems += raw
+          }
       }
     }
     val rewritten =

@@ -161,6 +161,12 @@ object GraftFunctions {
       "hive")
 
   def registerAll(spark: SparkSession): Unit = {
+    // intentional builtin replacements (Impala semantics for hour/round/
+    // date_add/…) — drop the per-function replacement WARN so real
+    // warnings stay visible in bench/driver logs
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.catalyst.analysis.SimpleFunctionRegistry",
+      org.apache.logging.log4j.Level.ERROR)
     Aliases.registerAll(spark)
     val reg = spark.sessionState.functionRegistry
     custom.foreach { case (name, b) =>

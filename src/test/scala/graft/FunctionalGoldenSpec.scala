@@ -364,7 +364,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   // a WITH-prefixed INSERT is DML, not a result-bearing SELECT
   // (insert.test's `with t1 as (...) insert into ...` blocks)
   private def isSetupStmt(s: String): Boolean =
-    """(?is)^(create|drop|insert|truncate)\b.*""".r.matches(s) ||
+    """(?is)^(create|drop|insert|truncate|alter)\b.*""".r.matches(s) ||
       """(?is)^with\b(?:[^']|'[^']*')*?\binsert\s+(into|overwrite)\b.*""".r
         .matches(s)
 
@@ -463,6 +463,29 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     try s match {
       case createViewRe(name, body) =>
         ImpalaDialect.sql(spark, body).createOrReplaceTempView(name)
+      case alterAddPartRe(name, spec) =>
+        // IF NOT EXISTS unconditionally: the duplicate-partition error
+        // path is a CATCH block the harness never executes
+        spark.sql(s"ALTER TABLE $name ADD IF NOT EXISTS PARTITION ($spec)")
+      case alterDropPartRe(name, pred) =>
+        // Impala DROP PARTITION takes a PREDICATE over the partition
+        // columns (fe AlterTableDropPartitionStmt — `p < '1400-1-1'`),
+        // Spark an exact spec; enumerate matching partition values and
+        // drop each
+        val partCols = spark.sql(s"SHOW PARTITIONS $name").collect()
+          .headOption.map(_.getString(0).split('/').map(_.split("=")(0)))
+          .getOrElse(Array.empty[String])
+        if (partCols.nonEmpty) {
+          import org.apache.spark.sql.functions.col
+          spark.table(name)
+            .select(partCols.toSeq.map(col): _*).distinct()
+            .where(pred).collect().foreach { r =>
+              val spec = partCols.zipWithIndex.map { case (c, j) =>
+                s"$c='${String.valueOf(r.get(j)).replace("'", "''")}'"
+              }.mkString(", ")
+              spark.sql(s"ALTER TABLE $name DROP IF EXISTS PARTITION ($spec)")
+            }
+        }
       case truncateRe(name) =>
         spark.sql(s"TRUNCATE TABLE $name").collect()
       case hivePartitionedCreateRe(name, cols, parts)
@@ -593,7 +616,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       prefix: Seq[String]): Option[String] = {
     val q = queryStmt.toLowerCase
     if (isSetupStmt(queryStmt) ||
-        !(q.startsWith("select") || q.startsWith("with") || q.startsWith("values")))
+        !(q.startsWith("select") || q.startsWith("with") ||
+          q.startsWith("values") ||
+          // plain DESCRIBE <path> produces Impala-shaped rows via
+          // ImpalaMeta; FORMATTED/EXTENDED stay out of scope
+          """^describe\s+(?!formatted\b|extended\b)""".r
+            .findFirstIn(q).isDefined))
       Some("non-select")
     else if (prefix.exists(decimalV2FalseRe.matches))
       Some("documented delta: legacy DECIMAL_V2=false arithmetic")
@@ -754,7 +782,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         ("hbase__date_tbl", keyFirst(dt, "id_col"), "id_col")).toSeq
     def shadowHbaseViews(queryTxt: String): Unit =
       hbaseViewBases.foreach { case (vn, df, key) =>
+        // strip string literals first — a column name inside a quoted
+        // literal is not a reference and would over-filter rows whose
+        // cell is NULL in that column
         val low = queryTxt.toLowerCase
+          .replaceAll("'(?:[^'\\\\]|\\\\.)*'", "''")
         // a SELECT-list star expands to every column (count(*) does
         // not — that scan fetches the key family only)
         val selStar =

@@ -123,6 +123,36 @@ class NestedRefsSpec extends SparkSpecBase {
       .asInstanceOf[Set[(Long, Any, Long)]])
   }
 
+  test("star over table + FROM-subquery keeps the subquery's columns") {
+    // scope sees only `t` (the subquery's columns never register), so
+    // `*` must NOT expand to t's scalar columns alone — v.c would be
+    // silently dropped from the result (r9 advice, wrong-results bug)
+    val df = sql1(
+      "select * from complextypestbl t, " +
+        "(select count(*) over () c from complextypestbl) v limit 1")
+    assert(df.columns.map(_.toLowerCase).contains("c"))
+  }
+
+  test("star over a multi-table scope expands per alias, skipping complex columns") {
+    val df = sql1(
+      "select * from complextypestbl t1 join complextypestbl t2 on t1.id = t2.id " +
+        "where t1.id = 1")
+    val cols = df.columns.map(_.toLowerCase)
+    // both sides' scalar id survive; complex columns never expand from *
+    assert(cols.count(_ == "id") == 2)
+    assert(!cols.contains("int_array") && !cols.contains("nested_struct"))
+  }
+
+  test("distinct struct paths never collide in generated flatten names") {
+    // pure-function check on the length-prefixed encoding
+    val m = NestedRefs.getClass.getDeclaredMethods
+      .find(_.getName == "flattenGenName").get
+    m.setAccessible(true)
+    def gen(p: Seq[String]) =
+      m.invoke(NestedRefs, p).asInstanceOf[String]
+    assert(gen(Seq("a_b", "c")) != gen(Seq("a", "b_c")))
+  }
+
   test("correlated EXISTS/NOT EXISTS over a collection become HOFs (q4/q22 shapes)") {
     val ex = sql1(
       "select id from complextypestbl t where " +

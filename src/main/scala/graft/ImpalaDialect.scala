@@ -1374,7 +1374,7 @@ object ImpalaDialect {
 
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftSession.tune(spark)
-    ImpalaMeta.describe(spark, text) match {
+    ImpalaMeta.intercept(spark, text) match {
       case Some(df) => return df
       case None =>
     }

@@ -25,6 +25,60 @@ object ImpalaMeta {
 
   private val describeRe =
     """(?is)^\s*describe\s+(`?[A-Za-z_]\w*`?(?:\.`?[A-Za-z_]\w*`?)*)\s*;?\s*$""".r
+  private val showTablesRe =
+    ("""(?is)^\s*show\s+tables(?:\s+in\s+[A-Za-z_]\w*)?""" +
+      """(?:\s+(?:like\s+)?["']([^"']*)["'])?\s*;?\s*$""").r
+  private val showDatabasesRe =
+    ("""(?is)^\s*show\s+(?:databases|schemas)""" +
+      """(?:\s+(?:like\s+)?["']([^"']*)["'])?\s*;?\s*$""").r
+
+  /** Intercept the catalog-observability statements this formatter
+    * models (plain DESCRIBE, SHOW TABLES/DATABASES). None → not one of
+    * them, caller proceeds with normal parsing.
+    */
+  def intercept(spark: SparkSession, text: String): Option[DataFrame] =
+    text match {
+      case showTablesRe(pattern) =>
+        Some(oneCol(spark, "name",
+          spark.catalog.listTables().collect().map(_.name.toLowerCase)
+            .distinct.sorted.toSeq
+            .filter(matchesPattern(_, Option(pattern)))))
+      case showDatabasesRe(pattern) =>
+        val dbs = Seq( // the reference's standard loaded environments
+          ("default", "Default Hive database"),
+          ("functional", ""), ("tpch", ""), ("tpcds", ""))
+        val hit = dbs.filter(d => matchesPattern(d._1, Option(pattern)))
+        val schema = StructType(Seq(StructField("name", StringType),
+          StructField("comment", StringType)))
+        Some(spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              hit.map(d => Row(d._1, d._2))).asJava), schema))
+      case _ => describe(spark, text)
+    }
+
+  private def oneCol(spark: SparkSession, name: String,
+      vals: Seq[String]): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          vals.map(Row(_))).asJava),
+      StructType(Seq(StructField(name, StringType))))
+
+  /** Impala SHOW pattern: ONLY `*` (any sequence) and `|` (choice) are
+    * meta-characters (IMPALA-3744 — `.`/`%`/`_` are literals);
+    * case-insensitive. No pattern matches everything.
+    */
+  private def matchesPattern(name: String, pattern: Option[String]): Boolean =
+    pattern match {
+      case None => true
+      case Some(p) =>
+        p.split('|').exists { alt =>
+          val rx = alt.toLowerCase.split("\\*", -1)
+            .map(java.util.regex.Pattern.quote).mkString(".*")
+          name.toLowerCase.matches(rx)
+        }
+    }
 
   /** Intercept a plain `DESCRIBE <path>` (no FORMATTED/EXTENDED — those
     * are Hive-metastore layouts out of this formatter's scope). None →
@@ -101,7 +155,13 @@ object ImpalaMeta {
       st.fields.toSeq.map { f =>
         val comment = f.getComment().getOrElse(
           comments.getOrElse((table.toLowerCase, f.name.toLowerCase), ""))
-        (f.name.toLowerCase, typeSql(f.dataType, 0), comment)
+        // CHAR/VARCHAR travel as StringType + Spark's CharVarcharUtils
+        // metadata key — surface the declared type text
+        val t =
+          if (f.metadata.contains("__CHAR_VARCHAR_TYPE_STRING"))
+            f.metadata.getString("__CHAR_VARCHAR_TYPE_STRING").toLowerCase
+          else typeSql(f.dataType, 0)
+        (f.name.toLowerCase, t, comment)
       }
     case ArrayType(e, _) =>
       Seq(("item", typeSql(e, 0), ""), ("pos", "bigint", ""))

@@ -106,8 +106,9 @@ object NestedRefs {
     */
   private final class UsedOuter {
     var value = false
+    // (outer alias, projection SQL, generated column name)
     val flattens =
-      scala.collection.mutable.ArrayBuffer.empty[(String, Seq[String], String)]
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
   }
 
   /** Generated column name for a struct-prefix flatten. Each segment is
@@ -143,8 +144,90 @@ object NestedRefs {
     None
   }
 
+  /** Compose a dotted multi-collection path into ONE array expression
+    * (`map_entries` / `transform` / `flatten`): the result enumerates
+    * the FINAL collection's elements across every intermediate level —
+    * the single-correlated-array shape Spark's decorrelator accepts.
+    * None when the path has no steps past its first collection (the
+    * positioned machinery owns those) or doesn't end on a collection.
+    * NULL intermediate collections are filtered out first (flatten
+    * would otherwise poison the whole row; Impala's INNER unnest skips
+    * them).
+    */
+  private def composeArrayExpr(base: DataType,
+      segs: Seq[String]): Option[(String, DataType)] = {
+    val (j, collType) = structPrefix(base, segs).getOrElse(return None)
+    if (j >= segs.length) return None
+    var (e, elem): (String, DataType) = collType match {
+      case ArrayType(t, _) => (segs.take(j).mkString("."), t)
+      case MapType(k, v, _) =>
+        (s"map_entries(${segs.take(j).mkString(".")})",
+          StructType(Seq(StructField("key", k), StructField("value", v))))
+      case _ => return None
+    }
+    var lastWasCollection = true // the first collection itself
+    var n = 0
+    segs.drop(j).foreach { seg =>
+      n += 1
+      val x = s"__fx$n"
+      elem match {
+        case st: StructType =>
+          val f = st.fields.find(_.name.equalsIgnoreCase(seg))
+            .getOrElse(return None)
+          f.dataType match {
+            case ArrayType(t2, _) =>
+              e = s"flatten(transform(filter($e, $x -> $x.${f.name} " +
+                s"IS NOT NULL), $x -> $x.${f.name}))"
+              elem = t2; lastWasCollection = true
+            case MapType(k2, v2, _) =>
+              e = s"flatten(transform(filter($e, $x -> $x.${f.name} " +
+                s"IS NOT NULL), $x -> map_entries($x.${f.name})))"
+              elem = StructType(Seq(
+                StructField("key", k2), StructField("value", v2)))
+              lastWasCollection = true
+            case other =>
+              e = s"transform($e, $x -> $x.${f.name})"
+              elem = other; lastWasCollection = false
+          }
+        case _ => return None
+      }
+    }
+    if (!lastWasCollection) None else Some((e, elem))
+  }
+
   def rewrite(spark: SparkSession, sql: String): String =
-    rewriteInternal(spark, sql, Nil, new UsedOuter)
+    rewriteInternal(spark, collapseDotWhitespace(sql), Nil, new UsedOuter)
+
+  /** Impala's lexer joins dotted paths across whitespace/newlines
+    * (max-nesting-depth.test wraps 100-level paths around the dots);
+    * collapse `ident .\n ident` to `ident.ident` outside quotes so the
+    * path regexes (and Spark's FROM-clause parser) see one token. The
+    * right-hand side must start a letter/underscore — `1 .5` stays a
+    * numeric literal.
+    */
+  private def collapseDotWhitespace(s: String): String = {
+    if (!s.contains('.')) return s
+    val (_, q) = ImpalaDialect.depthMap(s)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (!q(i) && c.isWhitespace && sb.nonEmpty && isWord(sb.last)) {
+        var j = i
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j < s.length && s.charAt(j) == '.' && !q(j)) i = j // drop ws
+        else { sb.append(c); i += 1 }
+      } else if (!q(i) && c == '.' && sb.nonEmpty && isWord(sb.last)) {
+        var j = i + 1
+        while (j < s.length && s.charAt(j).isWhitespace) j += 1
+        if (j > i + 1 && j < s.length &&
+            (s.charAt(j).isLetter || s.charAt(j) == '_')) {
+          sb.append('.'); i = j
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   private def rewriteInternal(spark: SparkSession, sql: String,
       outer: Seq[(String, DataType)], used: UsedOuter): String = {
@@ -316,7 +399,10 @@ object NestedRefs {
         else None
       }
     def scalarFields(st: StructType): Seq[StructField] =
-      st.fields.toSeq.filterNot(f => isComplexType(f.dataType))
+      st.fields.toSeq.filterNot(f => isComplexType(f.dataType) ||
+        // hidden positional slots (a collection ref's pos) never
+        // expand from `*` (Impala StarExpr)
+        f.metadata.contains("graft.hidden"))
     def walkStructPath(root: StructType, segs: Seq[String]): Option[StructType] = {
       var cur: DataType = root
       segs.foreach { seg =>
@@ -331,13 +417,17 @@ object NestedRefs {
       }
       cur match { case st: StructType => Some(st); case _ => None }
     }
+    // a field `*` must not surface: complex-typed, or a hidden
+    // positional slot (collection-ref pos)
+    def needsExpansion(st: StructType): Boolean =
+      st.fields.exists(f => isComplexType(f.dataType) ||
+        f.metadata.contains("graft.hidden"))
     var changed = false
     val newItems = items.map(_.trim).map {
       case "*" =>
         singleAlias match {
           case Some((al, st))
-              if st.fields.exists(f => isComplexType(f.dataType)) &&
-                scalarFields(st).nonEmpty =>
+              if needsExpansion(st) && scalarFields(st).nonEmpty =>
             // scalarFields empty would emit an unparsable empty list —
             // the reference raises an analysis error there; we leave
             // `*` for Spark to resolve (a visible error, not silence)
@@ -347,12 +437,11 @@ object NestedRefs {
           case None =>
             allAliases match {
               case Some(as)
-                  if as.exists(_._2.fields.exists(f =>
-                    isComplexType(f.dataType))) &&
+                  if as.exists(a => needsExpansion(a._2)) &&
                     as.exists(a => scalarFields(a._2).nonEmpty) =>
                 changed = true
                 as.flatMap { case (al, st) =>
-                  if (st.fields.exists(f => isComplexType(f.dataType)))
+                  if (needsExpansion(st))
                     scalarFields(st).map(f => s"$al.${f.name}")
                   else Seq(s"$al.*")
                 }.mkString(", ")
@@ -576,14 +665,16 @@ object NestedRefs {
             .orElse(outerLookup(head).map(t => (None, t, segs.tail)))
         }
       resolved match {
-        case Some((hiddenTbl, baseType0, rest0))
-            if rest0.nonEmpty && walkable(baseType0, rest0) =>
+        case Some((hiddenTbl, baseType0, rest0raw))
+            if rest0raw.nonEmpty &&
+              walkable(baseType0, normalizeSegs(baseType0, rest0raw)) =>
+          val rest0 = normalizeSegs(baseType0, rest0raw)
           // An absolute ref's hidden base projects ONLY the path's root
           // column under a hidden name — the reference's implicit
           // parent ref exposes no columns (Path.java), and a bare
           // `tbl t, tbl.arr x` join would otherwise make every column
           // of tbl ambiguous
-          val (baseName, baseType, rest) = hiddenTbl match {
+          var (baseName, baseType, rest) = hiddenTbl match {
             case Some(tn) =>
               counter += 1
               val h = s"__t$counter"
@@ -611,7 +702,7 @@ object NestedRefs {
                   val gen = flattenGenName(pathSegs)
                   if (!used.flattens.exists(f =>
                       f._1.equalsIgnoreCase(head) && f._3 == gen))
-                    used.flattens += ((head, pathSegs, gen))
+                    used.flattens += ((head, pathSegs.mkString("."), gen))
                   (head, StructType(Seq(StructField(gen, collType))),
                     gen +: rest0.drop(j))
                 case None => (head, baseType0, rest0)
@@ -622,7 +713,7 @@ object NestedRefs {
           // itself to be the collection (Spark's DecorrelateInnerQuery
           // rejects struct-typed correlated refs); paths that ride
           // through structs fall back to trailing LATERAL VIEWs.
-          val firstIsCollection = baseType match {
+          var firstIsCollection = baseType match {
             case st: StructType =>
               st.fields.find(_.name.equalsIgnoreCase(rest.head))
                 .exists(f => f.dataType.isInstanceOf[ArrayType] ||
@@ -635,11 +726,38 @@ object NestedRefs {
           // two-column generator inside the subquery, which Spark's
           // decorrelator rejects ("correlated reference cannot be
           // array type") — only that shape goes trailing
-          val multiLevelMapFinal = rest.length > 1 &&
+          var multiLevelMapFinal = rest.length > 1 &&
             walkFinal(baseType, rest).exists(_.isInstanceOf[MapType])
           if (correlated &&
-              !(firstIsCollection && !baseIsTrailing && !multiLevelMapFinal))
-            return false // outer-correlated refs need the positioned form
+              !(firstIsCollection && !baseIsTrailing && !multiLevelMapFinal)) {
+            // retry: a correlated MULTI-collection path (map-of-map
+            // value, collection behind a collection) can't positioned-
+            // explode level by level — each intermediate would be a
+            // collection-typed correlated ref. Compose ONE array
+            // expression over the whole path with
+            // map_entries/transform/flatten, flatten it onto the outer
+            // item, and correlate on that single array column
+            // (IMPALA-2414's `t.map_map_col.value`).
+            val composed =
+              if (hiddenTbl.isEmpty && !baseIsTrailing)
+                composeArrayExpr(baseType0, rest0)
+              else None
+            composed match {
+              case Some((exprSql, elemType)) =>
+                val gen = flattenGenName(rest0) + "_fl"
+                if (!used.flattens.exists(f =>
+                    f._1.equalsIgnoreCase(head) && f._3 == gen))
+                  used.flattens += ((head, exprSql, gen))
+                baseName = head
+                baseType = StructType(Seq(StructField(gen,
+                  ArrayType(elemType))))
+                rest = Seq(gen)
+                firstIsCollection = true
+                multiLevelMapFinal = false
+              case None =>
+                return false // needs the positioned form
+            }
+          }
           val rowType =
             if (firstIsCollection && !baseIsTrailing && !multiLevelMapFinal &&
                 !forceTrailing) {
@@ -694,8 +812,8 @@ object NestedRefs {
           if (idx < 0) used.flattens ++= reqs
           else baseItems(idx) match {
             case plainItemRe(name, _) =>
-              val projs = reqs.map { case (_, p, g) =>
-                s"${p.mkString(".")} AS $g" }
+              val projs = reqs.map { case (_, e, g) =>
+                s"$e AS $g" }.distinct
               baseItems(idx) =
                 s"(SELECT *, ${projs.mkString(", ")} FROM $name) $al"
             case wrappedFlatItemRe(prev, name, _) =>
@@ -706,8 +824,8 @@ object NestedRefs {
               val fresh = reqs.filterNot { case (_, _, g) =>
                 prev.toLowerCase.contains(g.toLowerCase) }
               if (fresh.nonEmpty) {
-                val projs = fresh.map { case (_, p, g) =>
-                  s"${p.mkString(".")} AS $g" }
+                val projs = fresh.map { case (_, e, g) =>
+                  s"$e AS $g" }.distinct
                 baseItems(idx) =
                   s"(SELECT *, $prev, ${projs.mkString(", ")} FROM $name) $al"
               }
@@ -749,12 +867,19 @@ object NestedRefs {
       val pp0 = pendingPreds.length
       val ta0 = trailingAliases.toSet
       val sc0 = scope.aliases.toSeq
+      val uv0 = used.value
+      val uf0 = used.flattens.length
       def bail(): Boolean = {
         baseItems.remove(bi0, baseItems.length - bi0)
         laterals.remove(lv0, laterals.length - lv0)
         pendingPreds.remove(pp0, pendingPreds.length - pp0)
         trailingAliases.clear(); trailingAliases ++= ta0
         scope.aliases.clear(); scope.aliases ++= sc0
+        // a partially-converted chain may have raised the correlation
+        // marker — restore it, or the enclosing subplanLateral wraps an
+        // UNREWRITTEN body in LATERAL and analysis fails downstream
+        used.value = uv0
+        used.flattens.remove(uf0, used.flattens.length - uf0)
         false
       }
       val firstTxt = raw.substring(0, kws.head.start)
@@ -773,31 +898,41 @@ object NestedRefs {
           cond: Option[String]): Boolean = {
         val bi = baseItems.length
         if (!addCollectionRef(segs, alias, filt, outer)) return false
-        if (baseItems.length > bi &&
-            baseItems.last.trim.startsWith("LATERAL")) {
-          val lat = baseItems.remove(baseItems.length - 1).trim
-          val joined = cond match {
-            case Some(c) => s" ${if (outer) "LEFT OUTER JOIN" else "JOIN"} $lat ON ($c)"
-            case None if outer => s" LEFT OUTER JOIN $lat ON true"
-            case None => s" CROSS JOIN $lat"
-          }
+        if (baseItems.length > bi) {
+          // positioned conversion: either `LATERAL (…) a` (ref to an
+          // earlier chain alias) or a PLAIN derived table (correlated
+          // to the ENCLOSING scope — the enclosing item carries the
+          // LATERAL marking, IMPALA-2430's `(select … from c.c_orders
+          // o left outer join …) v4` shape)
+          val item = baseItems.remove(baseItems.length - 1).trim
           if (chainText.isEmpty) {
-            // leading collection operand: the lateral itself roots the
-            // chain (it references earlier comma items, not the chain)
-            chainText = lat
+            // leading collection operand roots the chain
+            chainText = item
             cond.foreach(pendingPreds += _.trim)
-          } else chainText += joined
+          } else {
+            val lat = if (item.startsWith("LATERAL")) item
+              else s"LATERAL $item"
+            chainText += (cond match {
+              case Some(c) =>
+                s" ${if (outer) "LEFT OUTER JOIN" else "JOIN"} $lat ON ($c)"
+              case None if outer => s" LEFT OUTER JOIN $lat ON true"
+              case None => s" CROSS JOIN $lat"
+            })
+          }
         } else sawTrailing = true
         true
       }
       // first operand: a registrable plain ref rides as chain text; a
       // collection path converts in place (`c.c_orders o left outer
       // join o.o_lineitems l` — parquet-filtering.test)
+      var rootPlain: Option[(String, String)] = None // (text, alias)
       firstTxt match {
         case plainItemRe(name, alias) =>
           tableSchema(name) match {
             case Some(sch) =>
-              scope.aliases(Option(alias).getOrElse(name)) = sch
+              val al = Option(alias).getOrElse(name)
+              scope.aliases(al) = sch
+              rootPlain = Some((firstTxt.trim, al))
             case None => return bail()
           }
         case pathItemRe(path, alias) if alias == null ||
@@ -892,6 +1027,21 @@ object NestedRefs {
               }
             }
           case subqOperandRe(body, alias2)
+              if isSemiAnti && !kw.startsWith("right") =>
+            // SEMI/ANTI against a correlated subquery operand → an
+            // EXISTS predicate over the rewritten body (the reference
+            // plans IMPALA-2456's anti-join-of-subplan this way: a
+            // subplan probe per row)
+            subplanLateral(body) match {
+              case Some(b2) =>
+                val whereTxt = cond.map(c => s" WHERE $c").getOrElse("")
+                val ex = s"exists (select 1 from ($b2) $alias2$whereTxt)"
+                pendingPreds +=
+                  (if (kw.contains("anti")) s"NOT $ex" else ex)
+                changed = true
+              case None => return bail()
+            }
+          case subqOperandRe(body, alias2)
               if !isSemiAnti && !kw.startsWith("right") =>
             if (sawTrailing) return bail()
             // correlated FROM-subquery join operand (IMPALA-2414 /
@@ -911,6 +1061,22 @@ object NestedRefs {
               case None => return bail()
             }
           case _ => return bail()
+        }
+      }
+      // flatten requests that name the CHAIN's root alias (raised by a
+      // correlated subquery operand's body) wrap the root in place —
+      // they'd otherwise ride past the top and strand an unresolved
+      // __cp_* column
+      rootPlain.foreach { case (rootTxt, al) =>
+        val (mine, others) = used.flattens.partition(
+          _._1.equalsIgnoreCase(al))
+        if (mine.nonEmpty && chainText.startsWith(rootTxt)) {
+          val projs = mine.map { case (_, e, g) => s"$e AS $g" }.distinct
+          val name = rootTxt.split("\\s+").head
+          chainText = s"(SELECT *, ${projs.mkString(", ")} FROM $name) $al" +
+            chainText.stripPrefix(rootTxt)
+          used.flattens.clear()
+          used.flattens ++= others
         }
       }
       if (chainText.nonEmpty) baseItems += chainText
@@ -1042,7 +1208,14 @@ object NestedRefs {
               }
             case _ => false
           })
-          if (!handled) { scope.complete = false; baseItems += raw }
+          if (!handled && !rewriteJoinChain(raw)) {
+            // not the star-subquery spelling — the generic chain walk
+            // still handles non-star correlated subquery operands
+            // (`left outer join (select count(*) … from c.c_orders) v`,
+            // IMPALA-2430)
+            scope.complete = false
+            baseItems += raw
+          }
         case _ =>
           if (!rewriteJoinChain(raw)) {
             scope.complete = false
@@ -1293,6 +1466,52 @@ object NestedRefs {
     * segments navigate textually; hitting an array/map with segments
     * left consumes `item`/`key`/`value` through a hidden explode.
     */
+  private val hiddenPosMeta = new org.apache.spark.sql.types.MetadataBuilder()
+    .putBoolean("graft.hidden", true).build()
+
+  /** Insert implicit `value` hops: a MAP ref's value fields are
+    * addressable directly on the ref (Impala Path.java resolution —
+    * `t0.f0` over a map-ref whose value is struct<f0:…>, the
+    * max-nesting-depth struct_map chains). Returns the path unchanged
+    * when no hop applies.
+    */
+  private def normalizeSegs(base: DataType,
+      segs: Seq[String]): Seq[String] = {
+    var cur: DataType = base
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < segs.length) {
+      val seg = segs(i)
+      cur match {
+        case st: StructType =>
+          st.fields.find(_.name.equalsIgnoreCase(seg)) match {
+            case Some(f) => out += seg; cur = f.dataType; i += 1
+            case None =>
+              // map-ref row type struct<key,value>: hop into value
+              val v = st.fields.find(_.name.equalsIgnoreCase("value"))
+              if (st.fields.length == 2 && v.isDefined &&
+                  st.fields.exists(_.name.equalsIgnoreCase("key"))) {
+                out += "value"; cur = v.get.dataType
+              } else return segs
+          }
+        case ArrayType(elem, _) =>
+          if (seg.equalsIgnoreCase("item")) { out += seg; cur = elem; i += 1 }
+          else elem match {
+            case st: StructType
+                if st.fields.exists(_.name.equalsIgnoreCase(seg)) =>
+              cur = elem // implicit element step, handled downstream
+            case _ => return segs
+          }
+        case MapType(_, vt, _) =>
+          if (seg.equalsIgnoreCase("value")) { out += seg; cur = vt; i += 1 }
+          else if (seg.equalsIgnoreCase("key")) return segs // key walk ends
+          else { out += "value"; cur = vt } // implicit value hop
+        case _ => return segs
+      }
+    }
+    out.toSeq
+  }
+
   private def walkable(base: DataType, path: Seq[String]): Boolean = {
     var cur: DataType = base
     var i = 0
@@ -1543,9 +1762,12 @@ object NestedRefs {
           }
         val proj = (Seq(s"bigint($pcol) AS pos", s"$icol AS item") ++
           fields.map(f => s"$icol.${f.name} AS ${f.name}")).mkString(", ")
+        // pos is a HIDDEN positional slot in Impala (resolvable by
+        // name, never expanded from `*` — max-nesting-depth.test's
+        // `select *` chains pin this); marked so star expansion skips
         (item(proj), StructType(
-          StructField("pos", LongType) +: StructField("item", elem) +:
-            fields.toSeq))
+          StructField("pos", LongType, metadata = hiddenPosMeta) +:
+            StructField("item", elem) +: fields.toSeq))
       case MapType(kt, vt, _) =>
         val id = nextId()
         val fn = if (outer) "explode_outer" else "explode"

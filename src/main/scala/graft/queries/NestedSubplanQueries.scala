@@ -148,6 +148,47 @@ object NestedSubplanQueries extends QueryGroup {
     * (nested-types-scanner-multiple-materialization.test's
     * `t.nested_struct.c.d.item` union shape).
     */
+  private val extraQs = Seq(
+    // IMPALA-2430: a correlated aggregating subquery as a LEFT OUTER
+    // JOIN operand WITHOUT ON, itself left-outer-joining a second
+    // correlated level — converts to LEFT OUTER JOIN LATERAL ... ON
+    // true (r10 chain fallback)
+    Sq("subplan_outer_join_sub",
+      """SELECT c_custkey, v.cnt
+        |FROM customer c
+        |left outer join
+        |  (SELECT count(*) AS cnt FROM c.c_orders o left outer join
+        |     (SELECT l_linenumber FROM o.o_lineitems WHERE null) nv) v
+        |WHERE c_custkey < 100
+        |ORDER BY c_custkey""".stripMargin,
+      """SELECT c_custkey, count(o_orderkey) AS cnt
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |WHERE c_custkey < 100
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+      Seq("bigint", "bigint")),
+    // IMPALA-2456: LEFT ANTI JOIN against a correlated subquery with
+    // an ON over its output — converts to a per-row NOT EXISTS probe
+    Sq("subplan_anti_join_sub",
+      """SELECT c_custkey, o_orderkey
+        |FROM customer c
+        |inner join c.c_orders o1
+        |left anti join
+        |  (SELECT o2.o_orderkey AS x
+        |   FROM c.c_orders o2, c.c_orders o3) v
+        |on c.c_custkey = v.x
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+      """SELECT c.c_custkey, o.o_orderkey
+        |FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        |WHERE c.c_custkey < 50 AND NOT EXISTS (
+        |  SELECT 1 FROM orders o2, orders o3
+        |  WHERE o2.o_custkey = c.c_custkey
+        |    AND o3.o_custkey = c.c_custkey
+        |    AND c.c_custkey = o2.o_orderkey)
+        |ORDER BY c_custkey, o_orderkey""".stripMargin,
+      Seq("bigint", "bigint")))
+
   private val structPathQ = Sq("subplan_struct_path",
     """SELECT c_custkey, o_orderkey
       |FROM customer_info t,
@@ -164,7 +205,7 @@ object NestedSubplanQueries extends QueryGroup {
 
   def defs: Seq[Q.Def] =
     if (!GoldenTest.available || !GoldenTest.nestedAvailable) Seq.empty
-    else qs.map { sq =>
+    else (qs ++ extraQs).map { sq =>
       val fake = GoldenTest.Case("", sq.flat, sq.types, 0)
       GoldenQueries.catalog.goldenDefVia(sq.name, fake, sq.types,
         (s: SparkSession, dir: String) => {

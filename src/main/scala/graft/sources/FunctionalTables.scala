@@ -359,6 +359,13 @@ object FunctionalTables {
     mk(allTypesFamily(4, 2), schema, "alltypestiny")
     mk(allTypesAgg(writeNulls = true, nullDayCopy = true), aggSchema,
       "alltypesagg")
+    // stringpartitionkey (schema template:1385-1397): id int partitioned
+    // by the STRING render of alltypestiny's timestamp_col, plus two
+    // statically-added empty partitions
+    spark.table("alltypestiny")
+      .selectExpr("id",
+        "date_format(timestamp_col, 'yyyy-MM-dd HH:mm:ss') AS string_col")
+      .createOrReplaceTempView("stringpartitionkey")
     mk(allTypesAgg(writeNulls = false, nullDayCopy = false), aggSchema,
       "alltypesaggnonulls")
 
@@ -999,8 +1006,11 @@ object FunctionalTables {
     // three; all six read fine here
     val unsup = refRoot.resolve("UnsupportedTypes/data.csv")
     if (java.nio.file.Files.isRegularFile(unsup)) {
+      // bare DECIMAL in the CREATE_HIVE template is Hive's default
+      // DECIMAL(10,0) (the table is Hive-created; misc.test[12]'s
+      // describe pins decimal(10,0))
       val sch = StructType.fromDDL(
-        "int_col int, dec_col decimal(9,0), date_col date, " +
+        "int_col int, dec_col decimal(10,0), date_col date, " +
           "str_col string, bin_col binary, bigint_col bigint")
       val raw = StructType.fromDDL(
         "int_col int, dec_col decimal(9,0), date_col date, " +

@@ -140,7 +140,33 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "runtime_filters_wait.test", "runtime_row_filter_reservations.test",
     // round 9i: CTAS shapes (join/limit-0/partitioned/rand/null-cast
     // sources; the describe blocks are non-select or subset-tag skips)
-    "create-table-as-select.test")
+    "create-table-as-select.test",
+    // round 10: DESCRIBE result shapes (ImpalaMeta formatter over the
+    // session catalog) and DATE-typed partition DDL/DML (loose Impala
+    // date-literal normalization, dynamic string→date partition
+    // inserts, predicate DROP PARTITION)
+    "describe-path.test", "date-partitioning.test",
+    // parquet name/position fallback schema resolution over evolved
+    // logical schemas (SchemaResolution overlays; the SHELL-copied
+    // fixture files register as the physical reads)
+    "parquet-resolution-by-name.test",
+    // the DDL-mutation surface (GoldenDdl store: column-list edits,
+    // per-partition locations/serde, text re-interpretation)
+    "alter-table.test",
+    // 100-level nested chains: dotted paths line-wrap around the dots
+    // (collapseDotWhitespace), hidden pos never star-expands, implicit
+    // map-value hops, O(depth) lateral chains under raised
+    // analyzer/optimizer iteration caps
+    "max-nesting-depth.test",
+    // SHOW TABLES/DATABASES pattern semantics (only * and | are meta —
+    // IMPALA-3744) over the registered catalog
+    "show.test")
+
+  /** Dev-only iteration filter: run a comma-separated subset of
+    * `files`; floor/ceiling asserts are skipped when set.
+    */
+  private val fileFilter: Option[Set[String]] =
+    sys.env.get("GRAFT_GOLDEN_FILES").map(_.split(",").map(_.trim).toSet)
 
   /** Files whose header documents the daemon flag
     * `-use_local_tz_for_unix_timestamp_conversions=true` — a `SET
@@ -328,7 +354,32 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       // day proleptically (1582-10-04 → 1582-10-14); parquet-mr's
       // hybrid rebase lands on 1582-10-15
       ("hive2-pre-gregorian-date.test", 0) ->
-        "pre-Gregorian parquet date: Impala proleptic raw read vs parquet-mr hybrid rebase (one day apart)")
+        "pre-Gregorian parquet date: Impala proleptic raw read vs parquet-mr hybrid rebase (one day apart)") ++
+    // round 10 additions
+    Map(
+      // Impala types integer literals as the smallest fitting type and
+      // widens per-operation (TINYINT*TINYINT→SMALLINT, fe
+      // ArithmeticExpr), and labels unaliased exprs _cN; Spark literals
+      // are INT and the label is the expr text — the CTAS'd column is
+      // genuinely a different type
+      ("create-table-as-select.test", 1) ->
+        "CTAS literal arithmetic typing (Impala tinyint*tinyint→smallint `_c2`; Spark int)",
+      // IMPALA-2430/2456 now EXECUTE (r10: chain fallback for non-star
+      // correlated subquery operands, composed multi-collection
+      // correlation, anti-join-of-subplan → NOT EXISTS) — their pinned
+      // rows are the reference's TPC-H SF1 load
+      ("nested-types-runtime.test", 21) ->
+        "RESULTS bound to the reference's TPC-H SF1 load (IMPALA-2430 per-customer order counts)",
+      ("nested-types-runtime.test", 22) ->
+        "RESULTS bound to the reference's TPC-H SF1 load (IMPALA-2456 SF1 o_orderkeys)",
+      // the two genuine Spark-analyzer limitations, out of the error
+      // bucket and documented: Spark cannot decorrelate an EXISTS whose
+      // subquery aggregates under ROLLUP, and cannot express Impala's
+      // per-row-null-extending FULL OUTER ON over a collection element
+      ("grouping-sets.test", 5) ->
+        "Spark analyzer limitation: correlated EXISTS over a ROLLUP-grouped subquery is not decorrelatable",
+      ("outer-to-inner-joins.test", 19) ->
+        "per-element FULL OUTER ON over a collection (Impala null-extends BOTH sides within a row; no Spark equivalent)")
 
   // test-runner substitution variables are ALL-CAPS ($ORIGINAL_DB,
   // $NAMENODE, $IMPALA_HOME…) — a literal '$' inside a string value
@@ -364,7 +415,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   // a WITH-prefixed INSERT is DML, not a result-bearing SELECT
   // (insert.test's `with t1 as (...) insert into ...` blocks)
   private def isSetupStmt(s: String): Boolean =
-    """(?is)^(create|drop|insert|truncate|alter)\b.*""".r.matches(s) ||
+    """(?is)^(create|drop|insert|truncate|alter|refresh|invalidate|compute)\b.*""".r
+      .matches(s) ||
       """(?is)^with\b(?:[^']|'[^']*')*?\binsert\s+(into|overwrite)\b.*""".r
         .matches(s)
 
@@ -402,7 +454,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
 
   private def isNeutralSet(s: String): Boolean =
     neutralSetRe.matches(s) || decimalV2TrueRe.matches(s) ||
-      useDbRe.matches(s)
+      useDbRe.matches(s) || resolutionSetRe.matches(s)
 
   // SET timezone=Z [+ SET use_local_tz_for_unix_timestamp_conversions=1]
   // (utc-timestamp-functions.test): Impala renders unix-epoch
@@ -434,7 +486,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       """(?:stored\s+as\s+\w+|using\s+\w+)?\s*$""").r
 
   private val createTableLikeRe =
-    """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s+like\s+([A-Za-z_]\w*)\s+stored\s+as\s+parquet\s*$""".r
+    """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\s+like\s+([A-Za-z_]\w*)(?:\s+stored\s+as\s+\w+)?\s*$""".r
   private val createTableRe =
     """(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)\b.*""".r
   // any STORED AS format maps onto parquet here: the physical layout
@@ -455,14 +507,34 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     */
   private def execSetupStmt(spark: org.apache.spark.sql.SparkSession,
       raw: String): Unit = {
+    val s = dbPrefix.replaceAllIn(raw, "")
+    // DDL-emulation files route through the GoldenDdl store FIRST —
+    // its statements may carry runner variables inside LOCATION
+    // strings, which the store normalizes away
+    if (ddlEmu && ddlStore.exec(s)) return
     // test-runner variables ($ORIGINAL_DB, $NAMENODE …) can't resolve —
     // skip BEFORE the drop-first step, or `create table X like
     // $ORIGINAL_DB.X` would drop the fixture it can't recreate
     if (runnerVarRe.findFirstIn(raw).isDefined) return
-    val s = dbPrefix.replaceAllIn(raw, "")
     try s match {
       case createViewRe(name, body) =>
         ImpalaDialect.sql(spark, body).createOrReplaceTempView(name)
+      case alterReplaceColsRe(name, colsTxt)
+          if overlays.contains(name) || spark.catalog.tableExists(name) =>
+        val phys = overlays.get(name).map(_._1).getOrElse(spark.table(name))
+        overlays(name) =
+          (phys, org.apache.spark.sql.types.StructType.fromDDL(colsTxt))
+      case alterChangeRe(name, oldName, newName, typeTxt)
+          if overlays.contains(name) || spark.catalog.tableExists(name) =>
+        val (phys, logical) = overlays.getOrElse(name, {
+          val t = spark.table(name); (t, t.schema)
+        })
+        val nt = org.apache.spark.sql.types.DataType.fromDDL(typeTxt)
+        overlays(name) = (phys, org.apache.spark.sql.types.StructType(
+          logical.fields.map(f =>
+            if (f.name.equalsIgnoreCase(oldName))
+              org.apache.spark.sql.types.StructField(newName, nt)
+            else f)))
       case alterAddPartRe(name, spec) =>
         // IF NOT EXISTS unconditionally: the duplicate-partition error
         // path is a CATCH block the harness never executes
@@ -503,6 +575,25 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           if spark.catalog.tableExists(table) =>
         execPermInsert(spark, mode, table, cols,
           Option(parts).getOrElse(""), source)
+      case partInsertRe(mode, table, parts, source)
+          if spark.catalog.tableExists(table) =>
+        // no column list: source columns bind positionally to the
+        // table's NON-partition columns (InsertStmt.java), and Impala
+        // implicitly casts (string dates into DATE partitions —
+        // date-partitioning.test); Spark's store-assignment policy
+        // rejects that implicit cast. Native INSERT first (keeps every
+        // previously-green block on its path), per-position cast
+        // fallback when the store-assignment check refuses.
+        try ImpalaDialect.exec(spark, s)
+        catch {
+          case _: Throwable =>
+            val partCols = spark.catalog.listColumns(table)
+              .collect().filter(_.isPartition).map(_.name)
+            val dataCols = spark.table(table).schema.fields.map(_.name)
+              .filterNot(c => partCols.exists(_.equalsIgnoreCase(c)))
+            execPermInsert(spark, mode, table, dataCols.mkString(","),
+              parts, source)
+        }
       case bareValuesInsertRe(mode, table, values)
           if spark.catalog.tableExists(table) =>
         // Impala implicitly casts VALUES literals to the column types
@@ -545,6 +636,38 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private val emptyPartValRe =
     """(?i)(PARTITION\s*\([^)]*?=\s*)(''|"")(?=\s*[,)])""".r
 
+  // ---- DDL-mutation emulation (alter-table.test family) ----
+  private val ddlFiles = Set("alter-table.test")
+  private var ddlEmu = false
+  private lazy val ddlStore = new GoldenDdl(spark)
+
+  // ---- schema-evolution overlays (parquet-resolution-by-name.test) ----
+  // A table whose LOGICAL schema was mutated by ALTER ... REPLACE
+  // COLUMNS / CHANGE while its PHYSICAL files keep the original shape.
+  // The overlay keeps (physical read, logical schema); before each
+  // query the table name is re-registered as
+  // SchemaResolution.project(phys, logical, byName-from-SET).
+  private val overlays = scala.collection.mutable.LinkedHashMap
+    .empty[String, (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.types.StructType)]
+
+  private val resolutionSetRe =
+    """(?is)^set\s+parquet_fallback_schema_resolution\s*=\s*["']?(name|position|0|1)["']?\s*$""".r
+
+  private val alterReplaceColsRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+replace\s+columns\s*""" +
+      """\((.*)\)\s*$""").r
+  private val alterChangeRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+change\s+""" +
+      """(?:column\s+)?([A-Za-z_]\w*)\s+([A-Za-z_]\w*)\s+(.+)$""").r
+
+  private val alterAddPartRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+add\s+""" +
+      """(?:if\s+not\s+exists\s+)?partition\s*\((.*)\)\s*$""").r
+  private val alterDropPartRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+drop\s+""" +
+      """(?:if\s+exists\s+)?partition\s*\((.*)\)\s*(?:purge\s*)?$""").r
+
   private val partThenUsingRe =
     ("""(?is)^(\s*create\s+table\s+(?:if\s+not\s+exists\s+)?[\w.]+\s+)""" +
       """(partitioned\s+by\s*\([^)]*\)\s*)(USING\s+\w+)(.*)$""").r
@@ -562,6 +685,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private val bareValuesInsertRe =
     ("""(?is)^\s*insert\s+(into|overwrite)\s+(?:table\s+)?([A-Za-z_]\w*)""" +
       """\s+(values\b.*)$""").r
+
+  // `INSERT INTO t PARTITION (spec) VALUES/SELECT …` without a column
+  // list — positional over the non-partition columns
+  private val partInsertRe =
+    ("""(?is)^\s*insert\s+(into|overwrite)\s+(?:table\s+)?([A-Za-z_]\w*)""" +
+      """\s+partition\s*\(([^)]*)\)\s*(.*)$""").r
 
   private def execPermInsert(spark: org.apache.spark.sql.SparkSession,
       mode: String, table: String, colsTxt: String, partTxt: String,
@@ -596,13 +725,20 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       else "append").insertInto(table)
   }
 
+  // side-effect-free statements that may ride inside a setup block
+  // (the reference runs them; their output is not verified here)
+  private val readStmtRe =
+    """(?is)^(show|describe|explain|select|set|use)\b.*""".r
+
   private def runSetup(spark: org.apache.spark.sql.SparkSession,
       block: String): Boolean = {
     val stmts = splitStmts(block)
     // execution-tuning SETs inside a setup block are no-ops here
     val rest = stmts.filterNot(isNeutralSet)
-    if (rest.isEmpty || !rest.forall(isSetupStmt)) return false
-    rest.foreach(execSetupStmt(spark, _))
+    if (rest.isEmpty ||
+        !rest.forall(s => isSetupStmt(s) || readStmtRe.matches(s)) ||
+        !rest.exists(isSetupStmt)) return false
+    rest.filter(isSetupStmt).foreach(execSetupStmt(spark, _))
     true
   }
 
@@ -621,6 +757,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           // plain DESCRIBE <path> produces Impala-shaped rows via
           // ImpalaMeta; FORMATTED/EXTENDED stay out of scope
           """^describe\s+(?!formatted\b|extended\b)""".r
+            .findFirstIn(q).isDefined ||
+          // SHOW TABLES/DATABASES with an explicit pattern — the
+          // bare forms list a per-test database this single-namespace
+          // registry can't scope
+          """^show\s+(tables|databases|schemas)\b.*['"]""".r
             .findFirstIn(q).isDefined))
       Some("non-select")
     else if (prefix.exists(decimalV2FalseRe.matches))
@@ -630,7 +771,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           isSessionSet(s)))
       Some("multi-statement")
     else if ((prefix.filterNot(isNeutralSet) :+ queryStmt)
-        .exists(s => runnerVarRe.findFirstIn(s).isDefined))
+        .exists(s => runnerVarRe.findFirstIn(
+          // in DDL-emulation files LOCATION strings normalize away
+          // their $FILESYSTEM_PREFIX/$DATABASE variables — don't let
+          // them disqualify the block
+          if (ddlEmu) s.replaceAll("(?is)location\\s+'[^']*'", "location ''")
+          else s).isDefined))
       // a runner variable inside an execution-neutral SET (e.g. `SET
       // RUNTIME_FILTER_WAIT_TIME_MS=$RUNTIME_FILTER_WAIT_TIME_MS`) is
       // discarded with the SET itself; only vars the query text or a
@@ -835,7 +981,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       Map("id" -> "cast(100 * id as bigint)")))
     val rangerFiles = Set("ranger_column_masking.test",
       "ranger_column_masking_complex_types.test")
-    files.foreach { f =>
+    files.filter(f => fileFilter.forall(_.contains(f))).foreach { f =>
       (if (f == "strict-mode.test") ovfStrict else ovfDefault)
         .foreach(_.createOrReplaceTempView("overflow"))
       val ranger = rangerFiles(f)
@@ -847,6 +993,33 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         .createOrReplaceTempView("alltypes_view")
       (if (ranger) ctMasked else ctFull)
         .foreach(_.createOrReplaceTempView("complextypestbl"))
+      // DDL-emulation state is per-file; restore any fixture views its
+      // published table names shadowed
+      if (!ddlStore.isEmpty) {
+        ddlStore.clear()
+        sources.FunctionalTables.register(spark)
+      }
+      ddlEmu = ddlFiles(f)
+      if (f == "alter-table.test") ddlStore.preloadPartData()
+      // schema-evolution overlays are per-file state
+      overlays.keys.foreach(n => spark.catalog.dropTempView(n))
+      overlays.clear()
+      if (f == "parquet-resolution-by-name.test") {
+        // the reference loads these tables' data by hdfs-copying the
+        // complextypestbl / switched_map fixtures into the table dirs
+        // (the file's ---- SHELL sections); the physical read IS those
+        // fixtures, under the table's own declared logical schema
+        scala.util.Try(spark.table("complextypestbl")).foreach { ct =>
+          overlays("nested_resolution_by_name_test") = (ct, ct.schema)
+        }
+        scala.util.Try(spark.read.parquet(
+            "/root/reference/testdata/parquet_schema_resolution/switched_map.parq"))
+          .foreach { m =>
+            overlays("switched_map_fields_resolution_test") =
+              (m, org.apache.spark.sql.types.StructType
+                .fromDDL("int_map map<string,int>"))
+          }
+      }
       val cases = GoldenTest.load(dir.resolve(f))
       val hbaseFile = f.startsWith("hbase-") || f == "joins-against-hbase.test"
       cases.zipWithIndex.foreach { case (c, i) =>
@@ -884,9 +1057,28 @@ class FunctionalGoldenSpec extends SparkSpecBase {
             skipReasons(effective) = skipReasons.getOrElse(effective, 0) + 1
           case None =>
             prefix.filter(isSetupStmt).foreach(execSetupStmt(spark, _))
+            if (overlays.nonEmpty) {
+              // name/position from the block's SET (Impala default:
+              // POSITION — Frontend.java parquet_fallback_schema_resolution)
+              val byName = prefix.collectFirst {
+                case resolutionSetRe(v) =>
+                  v.equalsIgnoreCase("name") || v == "1"
+              }.getOrElse(false)
+              overlays.foreach { case (n, (phys, logical)) =>
+                sources.SchemaResolution.project(phys, logical, byName)
+                  .createOrReplaceTempView(n)
+              }
+            }
             sessionTzOf(prefix, localTzFiles(f)).foreach(z =>
               spark.conf.set("spark.sql.session.timeZone", z))
-            val sql = dbPrefix.replaceAllIn(queryStmt, "")
+            // SHOW statements keep their raw text: the db-prefix strip
+            // would eat `functional.` inside a quoted PATTERN, turning
+            // the qualified-name-never-matches probe into a match
+            val sql =
+              if ("""(?is)^\s*show\b""".r.findFirstIn(queryStmt).isDefined)
+                stripLineComments(queryTxt).split(";").map(_.trim)
+                  .filter(_.nonEmpty).lastOption.getOrElse(queryStmt)
+              else dbPrefix.replaceAllIn(queryStmt, "")
             try {
               val df0 = ImpalaDialect.sql(spark, sql)
               val schemaTokens = df0.schema.map(f => typeToken(f.dataType))
@@ -970,26 +1162,18 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(pass >= 2396, s"only $pass golden queries passed (floor 2396)")
+    assert(fileFilter.isDefined || pass >= 2533,
+      s"only $pass golden queries passed (floor 2533)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
-    // The 5, all genuinely blocked: a correlated EXISTS whose subquery
-    // groups by ROLLUP (grouping-sets.test[5] — Spark analyzer
-    // limitation), outer-to-inner-joins[19]'s per-element FULL OUTER
-    // ON (Impala null-extends BOTH sides within a row),
-    // nested-types-with-clause[3]'s multiply-instantiated correlated
-    // WITH views over a map-of-map path, and
-    // nested-types-runtime[21,22]'s IMPALA-2430/2456 multi-level-path
-    // subquery chains over SF1-pinned tpch_nested rows (they would be
-    // documented deltas if executed).
-    // (r9 drained the bucket from 24: nested-ref chains, subplan
-    // laterals, IMPALA-2414 WITH correlation over the now-registered
-    // allcomplextypes, hbase ordering, grouping()-alias expansion,
-    // window-ORDER-BY ordinals, windowed decimal avg, RRRR output
-    // tokens, WITH label padding, decimal_encodings row-reader,
-    // complextypestbl_medium derivation, unsupported_types fixture,
-    // and insert_null's shared-location serde pair emulated as a
-    // store table + serialization views)
-    assert(errorSkip <= 5, s"$errorSkip error skips (ceiling 5)")
+    // ZERO as of r10 — the r9 bucket's five drained: the
+    // IMPALA-2430/2456 chains and the IMPALA-2414 map-of-map WITH now
+    // EXECUTE (chain fallback for non-star correlated subquery
+    // operands, composed multi-collection correlation, anti-join →
+    // NOT EXISTS), and the two genuine Spark-analyzer limitations
+    // (ROLLUP-EXISTS, per-element FULL OUTER ON) are documented engine
+    // deltas above.
+    assert(fileFilter.isDefined || errorSkip <= 0,
+      s"$errorSkip error skips (ceiling 0)")
   }
 }

@@ -1,0 +1,746 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Harness replay of the reference's DDL-mutation surface for the
+  * golden gate (alter-table.test family) — the Hive-metastore table
+  * model Impala mutates in place:
+  *
+  *  - per-table column list edits (ADD/DROP/CHANGE/REPLACE COLUMNS —
+  *    `fe/src/main/java/org/apache/impala/analysis/AlterTable*Stmt.java`),
+  *  - per-partition storage: each partition points at a DIRECTORY
+  *    (HdfsPartition.java) — the files in it, not a table mapping.
+  *    Two partitions may point at one directory (the data reads
+  *    twice), a partition may point into ANOTHER table's directory
+  *    (it then sees whatever files are there NOW), and a table-level
+  *    SET LOCATION never moves existing partitions,
+  *  - text-serde re-interpretation: ALTER ... SET ROW FORMAT changes
+  *    how the already-written BYTES parse (IMPALA-4323), per the
+  *    delimited-text scanner's rules
+  *    (`be/src/exec/delimited-text-parser.inline.h` FillColumns /
+  *    `be/src/exec/text-converter.inline.h` WriteSlot: a missing
+  *    trailing field is NULL; a zero-length STRING field is the empty
+  *    string, non-strings NULL). A partition pins its serde at
+  *    creation; a table-level SET ROW FORMAT affects only future
+  *    partitions (unpartitioned tables read through the live serde).
+  *
+  * The store models DIRECTORIES (path → file contents) separately
+  * from TABLES (schema + partition → directory-path map), exactly the
+  * warehouse/metastore split. Each table publishes a temp view;
+  * queries/DESCRIBEs run against it. State is in-memory — the golden
+  * files' tables hold a few thousand rows at most.
+  */
+final class GoldenDdl(spark: SparkSession) {
+
+  private case class Serde(fieldDelim: String, lineDelim: String)
+
+  private sealed trait Content
+  /** Parquet-ish files: rows under the schema they were written with. */
+  private case class Rows(df: DataFrame) extends Content
+  /** Raw text-serde bytes (re-parsed with the reader's serde). */
+  private case class Raw(sb: StringBuilder) extends Content
+  /** A replicated warehouse dataset dir (frozen projection). */
+  private case class Fixed(df: DataFrame) extends Content
+
+  /** The "filesystem": normalized path → file contents. */
+  private val dirs =
+    scala.collection.mutable.LinkedHashMap.empty[String, Content]
+
+  private final class Tbl(
+      var dataSchema: StructType,
+      var partSchema: StructType,
+      var baseLocation: String,
+      var tableSerde: Option[Serde]) {
+    // partition key (canonical value strings, None = NULL) →
+    // (directory path, pinned serde); unpartitioned tables use the
+    // single key Nil pointing at the table dir
+    val parts = scala.collection.mutable.LinkedHashMap
+      .empty[Seq[Option[String]], (String, Option[Serde])]
+    def rawMode: Boolean = tableSerde.isDefined
+  }
+
+  private val tables =
+    scala.collection.mutable.LinkedHashMap.empty[String, Tbl]
+  private val published = scala.collection.mutable.Set.empty[String]
+
+  def isEmpty: Boolean =
+    tables.isEmpty && published.isEmpty && dirs.isEmpty
+
+  /** Drop every published view (caller re-registers fixtures). */
+  def clear(): Unit = {
+    published.foreach(spark.catalog.dropTempView)
+    published.clear()
+    tables.clear()
+    dirs.clear()
+  }
+
+  /** Preload for alter-table.test: the runner creates `part_data (i
+    * int)` holding the single text value 1984
+    * (tests/metadata/test_ddl.py:446-451).
+    */
+  def preloadPartData(): Unit = {
+    val t = new Tbl(StructType.fromDDL("i int"), new StructType(),
+      "part_data", None)
+    dirs("part_data") = Rows(spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          Seq(Row(Integer.valueOf(1984)))).asJava),
+      StructType.fromDDL("i int")))
+    t.parts(Nil) = ("part_data", None)
+    tables("part_data") = t
+    publish("part_data")
+  }
+
+  // ------------------------------------------------------------------
+  // statement surface
+  // ------------------------------------------------------------------
+
+  /** One partition-spec body: tolerates one paren-nesting level so
+    * expression values (`j=cast(2-1 as int)`) stay inside the group. */
+  private val SPEC = """((?:[^()]|\([^()]*\))*)"""
+  private val createRe =
+    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?""" +
+      """([A-Za-z_]\w*)\s*\((.*?)\)""" +
+      """(?:\s+partitioned\s+by\s*\(([^)]*)\))?""" +
+      """(?:\s+sort\s+by\s+(?:zorder\s*|lexical\s*)?\([^)]*\))?""" +
+      """(?:\s+row\s+format\s+delimited(.*?))?""" +
+      """(?:\s+stored\s+as\s+\w+)?""" +
+      """(?:\s+location\s+'([^']*)')?""" +
+      """(?:\s+tblproperties\s*\(.*\))?\s*$""").r
+  private val createLikeRe =
+    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?""" +
+      """([A-Za-z_]\w*)\s+like\s+([A-Za-z_]\w*)""" +
+      """(?:\s+stored\s+as\s+\w+)?(?:\s+location\s+'([^']*)')?\s*$""").r
+  private val fieldDelimRe =
+    """(?is)fields\s+terminated\s+by\s+'((?:[^'\\]|\\.)*)'""".r
+  private val lineDelimRe =
+    """(?is)lines\s+terminated\s+by\s+'((?:[^'\\]|\\.)*)'""".r
+  private val renameRe =
+    """(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+rename\s+to\s+([A-Za-z_]\w*)\s*$""".r
+  private val addColsRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+add\s+""" +
+      """(if\s+not\s+exists\s+)?columns?\s*""" +
+      """(?:\((.*)\)|(if\s+not\s+exists\s+)?(.*))\s*$""").r
+  private val dropColRe =
+    """(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+drop\s+(?:column\s+)?([A-Za-z_]\w*)\s*$""".r
+  private val changeColRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+change\s+(?:column\s+)?""" +
+      """([A-Za-z_]\w*)\s+([A-Za-z_]\w*)\s+(.+?)(?:\s+comment\s+'([^']*)')?\s*$""").r
+  private val replaceColsRe =
+    """(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+replace\s+columns\s*\((.*)\)\s*$""".r
+  private val alterColCommentRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+alter\s+(?:column\s+)?""" +
+      """([A-Za-z_]\w*)\s+set\s+comment\s+'([^']*)'\s*$""").r
+  private val addPartsRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+add\s+""" +
+      """(?:if\s+not\s+exists\s+)?(partition\s*\(.*)$""").r
+  private val onePartRe =
+    ("""(?is)partition\s*\(""" + SPEC + """\)""" +
+      """(?:\s+location\s+'([^']*)')?(?:\s+uncached|\s+cached\s+in\s+'[^']*')?""").r
+  private val dropPartRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+drop\s+""" +
+      """(?:if\s+exists\s+)?partition\s*\((.*)\)\s*(?:purge\s*)?$""").r
+  private val setLocRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)""" +
+      """(?:\s+partition\s*\(""" + SPEC + """\))?\s+set\s+location\s+'([^']*)'\s*$""").r
+  private val setRowFormatRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)""" +
+      """(?:\s+partition\s*\(""" + SPEC + """\))?\s+set\s+row\s+format\s+delimited(.*)$""").r
+  private val setNoopRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)(?:\s+partition\s*\([^)]*\))?""" +
+      """\s+(?:set\s+(?:fileformat|tblproperties|serdeproperties|owner|""" +
+      """column\s+stats|cached|uncached)\b.*|sort\s+by\b.*|recover\s+partitions\s*)$""").r
+  private val insertRe =
+    ("""(?is)^\s*insert\s+(into|overwrite)\s+(?:table\s+)?([A-Za-z_]\w*)""" +
+      """(?:\s+partition\s*\(([^)]*)\))?\s+(.*)$""").r
+  private val dropTableRe =
+    """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([A-Za-z_]\w*)\s*(?:purge\s*)?$""".r
+  private val statsNoopRe =
+    """(?is)^\s*(?:compute\s+(?:incremental\s+)?stats|refresh|invalidate\s+metadata)\b.*$""".r
+
+  /** Attempt to consume one setup statement. True = handled (or a
+    * recognized no-op); false = not this emulator's statement.
+    */
+  def exec(stmt: String): Boolean = try {
+    stmt match {
+      case createLikeRe(name, src, loc) =>
+        createLike(name, src, Option(loc)); true
+      case createRe(name, cols, parts, serdeTxt, loc) =>
+        create(name, cols, Option(parts), Option(serdeTxt), Option(loc)); true
+      case renameRe(from, to) if tables.contains(from) =>
+        tables(to) = tables.remove(from).get
+        spark.catalog.dropTempView(from); published -= from
+        publish(to); true
+      case addColsRe(name, ine1, colsParen, ine2, colsBare)
+          if tables.contains(name) =>
+        val colsTxt = Option(colsParen).getOrElse(colsBare)
+        addColumns(name, colsTxt, ine1 != null || ine2 != null); true
+      case dropColRe(name, col) if tables.contains(name) =>
+        val t = tables(name)
+        t.dataSchema = StructType(
+          t.dataSchema.fields.filterNot(_.name.equalsIgnoreCase(col)))
+        publish(name); true
+      case changeColRe(name, oldN, newN, typeTxt, comment)
+          if tables.contains(name) =>
+        val t = tables(name)
+        val (nt, rawType) = parseColType(typeTxt)
+        t.dataSchema = StructType(t.dataSchema.fields.map { f =>
+          if (f.name.equalsIgnoreCase(oldN)) {
+            val keep = f.getComment()
+            val sf0 = StructField(newN, nt)
+            val sf = rawType match {
+              case Some(r) => sf0.copy(metadata =
+                new MetadataBuilder()
+                  .putString("__CHAR_VARCHAR_TYPE_STRING", r).build())
+              case None => sf0
+            }
+            Option(comment).orElse(keep).map(sf.withComment).getOrElse(sf)
+          } else f
+        })
+        publish(name); true
+      case replaceColsRe(name, colsTxt) if tables.contains(name) =>
+        tables(name).dataSchema = StructType.fromDDL(colsTxt)
+        publish(name); true
+      case alterColCommentRe(name, col, comment) if tables.contains(name) =>
+        val t = tables(name)
+        t.dataSchema = StructType(t.dataSchema.fields.map(f =>
+          if (f.name.equalsIgnoreCase(col)) f.withComment(comment) else f))
+        publish(name); true
+      case addPartsRe(name, specsTxt) if tables.contains(name) =>
+        onePartRe.findAllMatchIn(specsTxt).foreach { m =>
+          addPartition(name, m.group(1), Option(m.group(2)))
+        }
+        publish(name); true
+      case dropPartRe(name, pred) if tables.contains(name) =>
+        dropPartitions(name, pred); publish(name); true
+      case setLocRe(name, partSpec, loc) if tables.contains(name) =>
+        setLocation(name, Option(partSpec), loc); publish(name); true
+      case setRowFormatRe(name, partSpec, serdeTxt)
+          if tables.contains(name) =>
+        val t = tables(name)
+        val s = parseSerde(serdeTxt,
+          t.tableSerde.getOrElse(Serde("", "\n")))
+        Option(partSpec) match {
+          case Some(spec) =>
+            val key = partKey(tables(name), spec)
+            t.parts.get(key).foreach { case (p, _) =>
+              t.parts(key) = (p, Some(s))
+            }
+          case None => t.tableSerde = Some(s)
+        }
+        publish(name); true
+      case setNoopRe(name) if tables.contains(name) => true
+      case insertRe(mode, name, partSpec, source)
+          if tables.contains(name) =>
+        insert(name, mode.equalsIgnoreCase("overwrite"),
+          Option(partSpec), source)
+        publish(name); true
+      case dropTableRe(name) if tables.contains(name) =>
+        tables.remove(name)
+        spark.catalog.dropTempView(name); published -= name; true
+      case statsNoopRe() if tables.nonEmpty => true
+      case _ => false
+    }
+  } catch {
+    case _: Throwable => true // consumed-but-failed, like Impala erroring
+  }
+
+  // ------------------------------------------------------------------
+
+  private def parseSerde(txt: String, base: Serde): Serde = {
+    val f = fieldDelimRe.findFirstMatchIn(txt).map(m => unescape(m.group(1)))
+    val l = lineDelimRe.findFirstMatchIn(txt).map(m => unescape(m.group(1)))
+    Serde(f.getOrElse(base.fieldDelim), l.getOrElse(base.lineDelim))
+  }
+
+  /** CHAR/VARCHAR can't live in a DataFrame schema — carry them the
+    * way Spark itself does, as StringType plus the
+    * `__CHAR_VARCHAR_TYPE_STRING` metadata (CharVarcharUtils), which
+    * ImpalaMeta surfaces back in DESCRIBE.
+    */
+  private def parseColType(txt: String): (DataType, Option[String]) =
+    DataType.fromDDL(txt) match {
+      case v: VarcharType => (StringType, Some(s"varchar(${v.length})"))
+      case c: CharType => (StringType, Some(s"char(${c.length})"))
+      case other => (other, None)
+    }
+
+  /** Hive text-delimiter escapes: octal (`'\002'`), \t, \n, \\. */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        val c = s.charAt(i + 1)
+        if (c >= '0' && c <= '7') {
+          var j = i + 1
+          var v = 0
+          while (j < s.length && j < i + 4 && s.charAt(j) >= '0' &&
+              s.charAt(j) <= '7') { v = v * 8 + (s.charAt(j) - '0'); j += 1 }
+          sb.append(v.toChar); i = j
+        } else {
+          sb.append(c match {
+            case 't' => '\t'; case 'n' => '\n'; case 'r' => '\r'
+            case other => other
+          })
+          i += 2
+        }
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def normLoc(loc: String): String = {
+    val afterWh = loc.replaceAll("^.*test-warehouse/", "")
+    afterWh.replaceAll("^[^/]*\\.db/", "")
+      // the harness's db-prefix strip eats `$DATABASE.` inside
+      // location strings too, leaving a bare `db/` segment
+      .replaceAll("^db/", "")
+      .stripSuffix("/")
+  }
+
+  private def create(name: String, colsTxt: String, partsTxt: Option[String],
+      serdeTxt: Option[String], loc: Option[String]): Unit = {
+    val dataSchema = StructType.fromDDL(colsTxt)
+    val partSchema = partsTxt.filter(_.trim.nonEmpty)
+      .map(StructType.fromDDL).getOrElse(new StructType())
+    val serde = serdeTxt.map(parseSerde(_, Serde("", "\n")))
+    val t = new Tbl(dataSchema, partSchema,
+      loc.map(normLoc).getOrElse(name), serde)
+    if (partSchema.isEmpty) {
+      ensureDir(t.baseLocation, t.rawMode)
+      t.parts(Nil) = (t.baseLocation, None)
+    }
+    tables(name) = t
+    publish(name)
+  }
+
+  /** Partition columns of the replicated generator datasets (schema
+    * template PARTITION_COLUMNS sections) — LIKE preserves them.
+    */
+  private val datasetPartCols: Map[String, Seq[String]] = Map(
+    "alltypes" -> Seq("year", "month"),
+    "alltypessmall" -> Seq("year", "month"),
+    "alltypestiny" -> Seq("year", "month"),
+    "alltypesagg" -> Seq("year", "month", "day"))
+
+  private def createLike(name: String, src: String,
+      loc: Option[String]): Unit = {
+    tables.get(src) match {
+      case Some(s) =>
+        val t = new Tbl(s.dataSchema, s.partSchema,
+          loc.map(normLoc).getOrElse(name), s.tableSerde)
+        if (t.partSchema.isEmpty) {
+          ensureDir(t.baseLocation, t.rawMode)
+          t.parts(Nil) = (t.baseLocation, None)
+        }
+        tables(name) = t
+      case None =>
+        val df = spark.table(src)
+        val pcols = datasetPartCols.getOrElse(src.toLowerCase, Nil)
+        val dataSchema = StructType(
+          df.schema.fields.filterNot(f => pcols.contains(f.name.toLowerCase)))
+        val partSchema = StructType(
+          pcols.flatMap(p => df.schema.fields.find(_.name.equalsIgnoreCase(p))))
+        val t = new Tbl(dataSchema, partSchema,
+          loc.map(normLoc).getOrElse(name), None)
+        if (partSchema.isEmpty) {
+          ensureDir(t.baseLocation, t.rawMode)
+          t.parts(Nil) = (t.baseLocation, None)
+        }
+        tables(name) = t
+    }
+    publish(name)
+  }
+
+  private def emptyRows(schema: StructType): Rows =
+    Rows(spark.createDataFrame(new java.util.ArrayList[Row](), schema))
+
+  private def ensureDir(path: String, raw: Boolean): Unit =
+    if (!dirs.contains(path))
+      dirs(path) =
+        if (raw) Raw(new StringBuilder) else emptyRows(new StructType())
+
+  private def addColumns(name: String, colsTxt: String,
+      ifNotExists: Boolean): Unit = {
+    val t = tables(name)
+    val add = StructType.fromDDL(colsTxt).fields.filter { nf =>
+      val exists = t.dataSchema.fields.exists(
+        _.name.equalsIgnoreCase(nf.name))
+      if (exists && !ifNotExists)
+        throw new IllegalArgumentException(s"column exists: ${nf.name}")
+      !exists
+    }
+    t.dataSchema = StructType(t.dataSchema.fields ++ add)
+    publish(name)
+  }
+
+  /** Canonical partition value: evaluate the (possibly expression)
+    * value, cast to the column type, render to string; NULL and the
+    * empty string map to the default (NULL) partition like Impala.
+    */
+  private def canonValue(expr: String, dt: DataType): Option[String] = {
+    val r = ImpalaDialect.sql(spark,
+      s"SELECT CAST(CAST(($expr) AS STRING) AS ${dt.sql}) AS v").head()
+    if (r.isNullAt(0)) None
+    else {
+      val s = String.valueOf(r.get(0))
+      if (s.isEmpty) None else Some(s)
+    }
+  }
+
+  private def partKey(t: Tbl, specTxt: String): Seq[Option[String]] = {
+    val entries = NestedRefs.splitTop(specTxt)
+      .map(_.trim).filter(_.nonEmpty)
+    val m = entries.flatMap { e =>
+      val i = e.indexOf('=')
+      if (i < 0) None
+      else Some(e.take(i).trim.toLowerCase -> e.drop(i + 1).trim)
+    }.toMap
+    t.partSchema.fields.toSeq.map { pf =>
+      m.get(pf.name.toLowerCase) match {
+        case Some(v) if v.equalsIgnoreCase("null") => None
+        case Some(v) => canonValue(v, pf.dataType)
+        case None => None
+      }
+    }
+  }
+
+  /** The default warehouse dir of one partition (key=value path with
+    * URL-escaped values, __HIVE_DEFAULT_PARTITION__ for NULL).
+    */
+  private def defaultPartPath(t: Tbl, key: Seq[Option[String]]): String =
+    t.baseLocation + "/" + t.partSchema.fields.toSeq.zip(key).map {
+      case (pf, v) =>
+        pf.name.toLowerCase + "=" + v.map(s =>
+          java.net.URLEncoder.encode(s, "UTF-8"))
+          .getOrElse("__HIVE_DEFAULT_PARTITION__")
+    }.mkString("/")
+
+  /** A new partition PINS the table's serde at creation time — a later
+    * table-level SET ROW FORMAT changes only FUTURE partitions
+    * (alter-table.test "ensure no partition changes"; unpartitioned
+    * tables read through the live table serde instead).
+    */
+  private def pinnedSerde(t: Tbl): Option[Serde] =
+    if (t.partSchema.isEmpty) None else t.tableSerde
+
+  private def addPartition(name: String, specTxt: String,
+      loc: Option[String]): Unit = {
+    val t = tables(name)
+    val key = partKey(t, specTxt)
+    if (t.parts.contains(key)) return
+    val path = loc.map(resolveDir(t, _)).getOrElse {
+      val p = defaultPartPath(t, key); ensureDir(p, t.rawMode); p
+    }
+    t.parts(key) = (path, pinnedSerde(t))
+  }
+
+  /** Resolve a LOCATION to a directory path in the store, creating an
+    * entry if the path is new. Paths under a replicated warehouse
+    * dataset materialize that dataset's (partition-filtered) rows —
+    * `alltypes_seq_snap/year=2009/month=4` and friends are
+    * format-variant dirs of the same generator data.
+    */
+  private def resolveDir(owner: Tbl, loc: String): String = {
+    val n = normLoc(loc)
+    if (!dirs.contains(n)) {
+      val segs = n.split('/')
+      val base = segs.head.replaceAll(
+        "_(seq(_snap|_def|_gzip|_bzip)?|rc|avro|parquet|orc(_def)?)$", "")
+      val dataset =
+        if (tables.exists { case (_, t) => n == t.baseLocation ||
+          n.startsWith(t.baseLocation + "/") }) None
+        else scala.util.Try(spark.table(base)).toOption
+      dataset match {
+        case Some(df) =>
+          val filters = segs.tail.filter(_.contains("="))
+            .map { s => val Array(k, v) = s.split("=", 2); (k, v) }
+          val filtered = filters.foldLeft(df) { case (d, (k, v)) =>
+            d.where(org.apache.spark.sql.functions.col(k) === v)
+          }
+          val pcols = datasetPartCols.getOrElse(base.toLowerCase, Nil)
+          dirs(n) = Fixed(filtered.select(filtered.columns
+            .filterNot(c => pcols.contains(c.toLowerCase))
+            .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+        case None => ensureDir(n, owner.rawMode)
+      }
+    }
+    n
+  }
+
+  private def setLocation(name: String, partSpec: Option[String],
+      loc: String): Unit = {
+    val t = tables(name)
+    partSpec match {
+      case Some(spec) =>
+        val key = partKey(t, spec)
+        if (t.parts.contains(key))
+          t.parts(key) = (resolveDir(t, loc), t.parts(key)._2)
+      case None =>
+        // table-level SET LOCATION does not move existing partitions
+        // (alter-table.test change_loc); for an UNPARTITIONED table the
+        // single "partition" IS the table dir, so its data follows
+        if (t.partSchema.isEmpty)
+          t.parts(Nil) = (resolveDir(t, loc), t.parts(Nil)._2)
+        t.baseLocation = normLoc(loc)
+    }
+  }
+
+  private def dropPartitions(name: String, predTxt: String): Unit = {
+    val t = tables(name)
+    if (t.partSchema.isEmpty) return
+    // a comma-separated partition SPEC is a conjunction
+    // (AlterTableDropPartitionStmt accepts both spec and predicate
+    // forms); Impala matches the DEFAULT partition on `col=NULL` and
+    // `col=''` (empty string maps to the null partition)
+    val pred = NestedRefs.splitTop(predTxt).map(_.trim)
+      .filter(_.nonEmpty).mkString(" AND ")
+      .replaceAll("(?i)=\\s*NULL\\b", " IS NULL")
+      .replaceAll("=\\s*''", " IS NULL")
+    val keys = t.parts.keys.toSeq
+    if (keys.isEmpty) return
+    val rows = keys.zipWithIndex.map { case (k, i) => Row.fromSeq(
+      k.zip(t.partSchema.fields).map { case (v, pf) =>
+        v.map(s => castValue(s, pf.dataType)).orNull
+      } :+ i) }
+    val schema = StructType(t.partSchema.fields :+
+      StructField("__idx", IntegerType))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    val hit = df.where(pred).collect().map(_.getInt(schema.length - 1))
+    hit.sorted.reverse.foreach(i => t.parts.remove(keys(i)))
+  }
+
+  private def castValue(s: String, dt: DataType): Any = dt match {
+    case IntegerType => Integer.valueOf(s.trim)
+    case LongType => java.lang.Long.valueOf(s.trim)
+    case ShortType => java.lang.Short.valueOf(s.trim)
+    case DoubleType => java.lang.Double.valueOf(s.trim)
+    case DateType => java.sql.Date.valueOf(java.time.LocalDate.parse(s))
+    case _ => s
+  }
+
+  private def insert(name: String, overwrite: Boolean,
+      partSpec: Option[String], sourceTxt: String): Unit = {
+    val t = tables(name)
+    val src0 = ImpalaDialect.sql(spark,
+      if (sourceTxt.trim.toLowerCase.startsWith("values"))
+        s"SELECT * FROM ($sourceTxt)"
+      else sourceTxt)
+    if (t.partSchema.isEmpty) {
+      val data = positional(src0, t.dataSchema)
+      store(t, Nil, data, overwrite)
+      return
+    }
+    // static entries bind by name; dynamic partition columns take the
+    // trailing source columns (InsertStmt.java)
+    val entries = partSpec.map(NestedRefs.splitTop(_)
+      .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
+    val static = entries.filter(_.contains("=")).map { e =>
+      val i = e.indexOf('=')
+      e.take(i).trim.toLowerCase -> e.drop(i + 1).trim
+    }.toMap
+    val dyn = entries.filterNot(_.contains("=")).map(_.trim.toLowerCase)
+    val nData = t.dataSchema.length
+    if (dyn.isEmpty) {
+      val data = positional(src0.select(src0.columns.take(nData)
+        .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*),
+        t.dataSchema)
+      val key = t.partSchema.fields.toSeq.map { pf =>
+        static.get(pf.name.toLowerCase) match {
+          case Some(v) if v.equalsIgnoreCase("null") => None
+          case Some(v) => canonValue(v, pf.dataType)
+          case None => None
+        }
+      }
+      store(t, key, data, overwrite)
+    } else {
+      // dynamic columns are the source columns AFTER the data columns
+      val rows = src0.collect()
+      val dynIdx = dyn.zipWithIndex.map { case (d, j) => d -> (nData + j) }.toMap
+      val grouped = rows.groupBy { r =>
+        t.partSchema.fields.toSeq.map { pf =>
+          static.get(pf.name.toLowerCase) match {
+            case Some(v) if v.equalsIgnoreCase("null") => None
+            case Some(v) => canonValue(v, pf.dataType)
+            case None =>
+              val i = dynIdx(pf.name.toLowerCase)
+              if (r.isNullAt(i)) None
+              else {
+                val s = String.valueOf(r.get(i))
+                if (s.isEmpty) None else Some(s)
+              }
+          }
+        }
+      }
+      grouped.foreach { case (key, rs) =>
+        val df = spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              rs.toSeq.map(r => Row.fromSeq(r.toSeq.take(nData)))).asJava),
+          StructType(src0.schema.fields.take(nData)))
+        store(t, key, positional(df, t.dataSchema), overwrite)
+      }
+    }
+  }
+
+  /** Bind source columns to `schema` positionally (Impala resolves
+    * data-file fields by ordinal) — carrying each field's metadata so
+    * column COMMENTs survive into the published view for DESCRIBE. An
+    * uncastable reinterpretation reads NULL.
+    */
+  private def positional(df: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val cols = schema.fields.zipWithIndex.map { case (f, i) =>
+      val c =
+        if (i < df.columns.length &&
+            org.apache.spark.sql.catalyst.expressions.Cast.canCast(
+              df.schema.fields(i).dataType, f.dataType))
+          col(df.columns(i)).cast(f.dataType)
+        else lit(null).cast(f.dataType)
+      c.as(f.name, f.metadata)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Write into the partition's directory: serde tables append/replace
+    * serialized text; others replace/extend the row snapshot.
+    */
+  private def store(t: Tbl, key: Seq[Option[String]], data: DataFrame,
+      overwrite: Boolean): Unit = {
+    if (!t.parts.contains(key)) {
+      val p = defaultPartPath2(t, key)
+      ensureDir(p, t.rawMode)
+      t.parts(key) = (p, pinnedSerde(t))
+    }
+    val (path, serdeOverride) = t.parts(key)
+    if (t.rawMode) {
+      val eff = serdeOverride.orElse(t.tableSerde).getOrElse(Serde("", "\n"))
+      val txt = data.collect().map(_.toSeq.map {
+        case null => "\\N"
+        case v => String.valueOf(v)
+      }.mkString(eff.fieldDelim)).map(_ + eff.lineDelim).mkString
+      val sb = dirs.get(path) match {
+        case Some(Raw(b)) if !overwrite => b
+        case _ => new StringBuilder
+      }
+      sb.append(txt)
+      dirs(path) = Raw(sb)
+    } else {
+      val merged = dirs.get(path) match {
+        case Some(Rows(old)) if !overwrite && old.schema.nonEmpty =>
+          // the existing snapshot may predate a schema alter — rebind
+          // it positionally to the CURRENT schema before the union
+          positional(old, t.dataSchema).unionAll(data)
+        case _ => data
+      }
+      // pin the rows now — sources may be mutated tables/views later
+      val rows = merged.collect()
+      dirs(path) = Rows(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+        merged.schema))
+    }
+  }
+
+  private def defaultPartPath2(t: Tbl, key: Seq[Option[String]]): String =
+    if (t.partSchema.isEmpty) t.baseLocation else defaultPartPath(t, key)
+
+  // ------------------------------------------------------------------
+  // reads
+  // ------------------------------------------------------------------
+
+  /** Parse raw serde bytes per the delimited-text scanner: rows split
+    * on the line delimiter (an unterminated final piece is still a
+    * row); fields on the field delimiter; a missing trailing field is
+    * NULL — except that on the FINAL unterminated row the LAST column
+    * materializes as a zero-length field, which for STRING is the
+    * empty string (text-converter.inline.h WriteSlot len==0 rule; the
+    * IMPALA-4323 golden pins ('\x01', NULL, '')).
+    */
+  private def parseRaw(raw: String, serde: Serde,
+      schema: StructType): Seq[Seq[Any]] = {
+    if (raw.isEmpty || serde.lineDelim.isEmpty) return Nil
+    val terminated = raw.endsWith(serde.lineDelim)
+    val pieces0 = splitAll(raw, serde.lineDelim)
+    val pieces = if (terminated) pieces0.dropRight(1) else pieces0
+    pieces.zipWithIndex.map { case (line, i) =>
+      val isFinalUnterminated = !terminated && i == pieces.length - 1
+      val fs =
+        if (serde.fieldDelim.isEmpty) Seq(line)
+        else splitAll(line, serde.fieldDelim)
+      schema.fields.toSeq.zipWithIndex.map { case (f, j) =>
+        val v: Option[String] =
+          if (j < fs.length) Some(fs(j))
+          else if (isFinalUnterminated && j == schema.length - 1) Some("")
+          else None
+        v match {
+          case Some("\\N") => null
+          case Some(s) => f.dataType match {
+            case _: StringType => s
+            case other =>
+              if (s.isEmpty) null
+              else scala.util.Try(castValue(s, other)).getOrElse(null)
+          }
+          case None => null
+        }
+      }
+    }
+  }
+
+  private def splitAll(s: String, delim: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var i = s.indexOf(delim)
+    while (i >= 0) {
+      out += s.substring(start, i)
+      start = i + delim.length
+      i = s.indexOf(delim, start)
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private def contentDf(t: Tbl, key: Seq[Option[String]]): DataFrame =
+    t.parts.get(key) match {
+      case Some((path, serdeOverride)) =>
+        dirs.get(path) match {
+          case Some(Rows(df)) => positional(df, t.dataSchema)
+          case Some(Fixed(df)) => positional(df, t.dataSchema)
+          case Some(Raw(sb)) =>
+            val serde = serdeOverride.orElse(t.tableSerde)
+              .getOrElse(Serde("", "\n"))
+            val rows = parseRaw(sb.toString, serde, t.dataSchema)
+            spark.createDataFrame(
+              new java.util.ArrayList[Row](
+                scala.jdk.CollectionConverters.SeqHasAsJava(
+                  rows.map(Row.fromSeq)).asJava), t.dataSchema)
+          case None => emptyRows(t.dataSchema).df
+        }
+      case None => emptyRows(t.dataSchema).df
+    }
+
+  private def publish(name: String): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val t = tables(name)
+    val parts = t.parts.keys.toSeq
+    val dfs = parts.map { key =>
+      val base = contentDf(t, key)
+      t.partSchema.fields.toSeq.zipWithIndex.foldLeft(base) {
+        case (d, (pf, i)) =>
+          d.withColumn(pf.name,
+            lit(key(i).orNull).cast(pf.dataType))
+      }
+    }
+    val full = StructType(t.dataSchema.fields ++ t.partSchema.fields)
+    val view =
+      if (dfs.isEmpty)
+        spark.createDataFrame(new java.util.ArrayList[Row](), full)
+      else dfs.reduce(_ unionAll _)
+    view.createOrReplaceTempView(name)
+    published += name
+  }
+}

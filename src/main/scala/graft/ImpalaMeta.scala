@@ -170,6 +170,168 @@ object ImpalaMeta {
     case other => Seq(("", typeSql(other, 0), ""))
   }
 
+  // ------------------------------------------------------------------
+  // SHOW CREATE TABLE / VIEW — Impala's canonical DDL regeneration
+  // (fe/src/main/java/org/apache/impala/common/ToSqlUtils.java
+  // getCreateTableSql / ShowCreateTableStmt.java): uppercase type
+  // text with lowercase struct-field names, derived text-serde
+  // SERDEPROPERTIES, SORT BY with an explicit LEXICAL order, and
+  // view-SQL regeneration that expands explicit column aliases into
+  // an inline view (CreateViewStmt).
+  // ------------------------------------------------------------------
+
+  case class ColDef(name: String, typeTxt: String,
+      comment: Option[String] = None)
+
+  case class CreateTableModel(
+      external: Boolean,
+      qualified: String,
+      cols: Seq[ColDef],
+      constraints: Seq[String] = Nil,
+      partCols: Seq[ColDef] = Nil,
+      sortCols: Seq[String] = Nil,
+      sortOrder: String = "LEXICAL",
+      comment: Option[String] = None,
+      // (field delim, escape, line) — DDL-escaped text, as written
+      rowFormat: Option[(String, Option[String], Option[String])] = None,
+      storedAs: Option[String] = None,
+      storedBy: Option[String] = None,
+      serdeProps: Seq[(String, String)] = Nil,
+      location: Option[String] = None,
+      tblProps: Seq[(String, String)] = Nil)
+
+  /** Impala type text for DDL: keywords upper, struct field names
+    * lower, no whitespace (`ARRAY<STRUCT<f1:BIGINT,f2:STRING>>`).
+    */
+  def upperTypeSql(t: DataType): String = t match {
+    case st: StructType =>
+      st.fields.map(f => s"${f.name.toLowerCase}:${upperTypeSql(f.dataType)}")
+        .mkString("STRUCT<", ",", ">")
+    case ArrayType(e, _) => s"ARRAY<${upperTypeSql(e)}>"
+    case MapType(k, v, _) => s"MAP<${upperTypeSql(k)},${upperTypeSql(v)}>"
+    case other => typeSql(other, 0).toUpperCase
+  }
+
+  def renderCreateTable(m: CreateTableModel): String = {
+    val sb = new StringBuilder
+    sb.append("CREATE ")
+    if (m.external) sb.append("EXTERNAL ")
+    sb.append(s"TABLE ${m.qualified} (\n")
+    val colLines = m.cols.map { c =>
+      s"  ${c.name} ${c.typeTxt}" +
+        c.comment.map(x => s" COMMENT '$x'").getOrElse("")
+    } ++ m.constraints.map("  " + _)
+    sb.append(colLines.mkString(",\n")).append("\n)\n")
+    if (m.partCols.nonEmpty) {
+      sb.append("PARTITIONED BY (\n")
+      sb.append(m.partCols.map(c => s"  ${c.name} ${c.typeTxt}")
+        .mkString(",\n")).append("\n)\n")
+    }
+    if (m.sortCols.nonEmpty)
+      sb.append(s"SORT BY ${m.sortOrder} (${m.sortCols.mkString(", ")})\n")
+    m.comment.foreach(c => sb.append(s"COMMENT '$c'\n"))
+    m.rowFormat.foreach { case (f, esc, line) =>
+      sb.append(s"ROW FORMAT DELIMITED FIELDS TERMINATED BY '$f'")
+      esc.foreach(e => sb.append(s" ESCAPED BY '$e'"))
+      line.foreach(l => sb.append(s" LINES TERMINATED BY '$l'"))
+      sb.append("\n")
+      // the serde mirrors the delimiters (HiveStorageDescriptor)
+      val props = Seq("field.delim" -> f, "serialization.format" -> f) ++
+        esc.map("escape.delim" -> _) ++ line.map("line.delim" -> _)
+      sb.append(props.map { case (k, v) => s"'$k'='$v'" }
+        .mkString("WITH SERDEPROPERTIES (", ", ", ")\n"))
+    }
+    if (m.rowFormat.isEmpty && m.serdeProps.nonEmpty && m.storedBy.isEmpty)
+      sb.append(m.serdeProps.map { case (k, v) => s"'$k'='$v'" }
+        .mkString("WITH SERDEPROPERTIES (", ", ", ")\n"))
+    m.storedAs.foreach(f => sb.append(s"STORED AS ${f.toUpperCase}\n"))
+    m.storedBy.foreach { h =>
+      sb.append(s"STORED BY '$h'\n")
+      if (m.serdeProps.nonEmpty)
+        sb.append(m.serdeProps.map { case (k, v) => s"'$k'='$v'" }
+          .mkString("WITH SERDEPROPERTIES (", ", ", ")\n"))
+    }
+    m.location.foreach(l => sb.append(s"LOCATION '$l'\n"))
+    if (m.tblProps.nonEmpty)
+      sb.append(m.tblProps.map { case (k, v) => s"'$k'='$v'" }
+        .mkString("TBLPROPERTIES (", ", ", ")\n"))
+    sb.toString.trim
+  }
+
+  private val sqlKeywords = Set("select", "from", "where", "group", "by",
+    "having", "order", "limit", "join", "inner", "outer", "left", "right",
+    "full", "cross", "on", "and", "or", "not", "in", "exists", "between",
+    "like", "is", "as", "distinct", "union", "all", "case", "when", "then",
+    "else", "end", "values", "with", "asc", "desc", "null", "interval")
+
+  /** Impala's expression `toSql` normalizations visible in regenerated
+    * view text: function names lowercase, ORDER BY items carry an
+    * explicit ASC.
+    */
+  def canonicalizeViewBody(body: String): String = {
+    var b = body.split("\\s+").mkString(" ").trim.stripSuffix(";")
+    b = """([A-Za-z_]\w*)\(""".r.replaceAllIn(b, mm => {
+      val w = mm.group(1)
+      (if (sqlKeywords(w.toLowerCase)) w else w.toLowerCase) + "("
+    })
+    // ORDER BY items: explicit ASC when no direction is given
+    val obRe = """(?i)\bORDER BY\b(.*?)(\bLIMIT\b.*|$)""".r
+    b = obRe.replaceAllIn(b, mm => {
+      val items = mm.group(1).split(",").map(_.trim).map { it =>
+        if ("""(?i)\b(asc|desc)$""".r.findFirstIn(it).isDefined) it
+        else it + " ASC"
+      }
+      java.util.regex.Matcher.quoteReplacement(
+        "ORDER BY " + items.mkString(", ") +
+          (if (mm.group(2).nonEmpty) " " + mm.group(2) else ""))
+    })
+    b
+  }
+
+  /** Quote identifiers Impala's toSql backtick-quotes (leading '_'). */
+  def quoteId(id: String): String =
+    if (id.startsWith("_")) s"`$id`" else id
+
+  /** Regenerate a view's stored SQL. With explicit column aliases the
+    * reference expands into an inline view whose select items re-alias
+    * the body's output columns (CreateViewStmt — `SELECT v.col alias,
+    * … FROM (body) v`); alias-free views store the body as-is.
+    */
+  def expandViewSql(qualified: String, viewName: String,
+      aliases: Seq[String], body: String): String = {
+    val canon = canonicalizeViewBody(body)
+    if (aliases.isEmpty) return s"CREATE VIEW $qualified AS\n$canon"
+    // body select items → (rebuilt item text, output name)
+    val selRe = """(?is)^SELECT\s+(.*?)\s+(FROM\s+.*)$""".r
+    canon match {
+      case selRe(list, rest) =>
+        val items = NestedRefs.splitTop(list).map(_.trim)
+        val parsed = items.zipWithIndex.map { case (it, i) =>
+          val aliasRe = """(?is)^(.*?)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?$""".r
+          it match {
+            case aliasRe(expr, al)
+                if al != null && !sqlKeywords(al.toLowerCase) &&
+                  expr.trim.nonEmpty && !expr.trim.endsWith(".") &&
+                  // `a.b` is a path, not `a` aliased `b`
+                  !it.matches("""(?s)[\w.`]+""") =>
+              (s"${expr.trim} ${quoteId(al)}", al)
+            case _ =>
+              val out =
+                if (it.matches("""[\w.`]+""")) it.split('.').last
+                else s"_c$i"
+              (it, out)
+          }
+        }
+        val innerList = parsed.map(_._1).mkString(", ")
+        val outer = aliases.zip(parsed.map(_._2)).map { case (a, b) =>
+          s"${quoteId(viewName)}.${quoteId(b)} ${quoteId(a)}"
+        }.mkString(", ")
+        s"CREATE VIEW $qualified AS\nSELECT $outer FROM " +
+          s"(SELECT $innerList $rest) ${quoteId(viewName)}"
+      case _ => s"CREATE VIEW $qualified AS\n$canon"
+    }
+  }
+
   /** Impala `Type.toSql()` text. Structs print one field per line at
     * two spaces per nesting level, with the closing `>` at the parent's
     * indent; array/map wrap inline (StructType.java prettyPrint).

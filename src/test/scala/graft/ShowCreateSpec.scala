@@ -1,0 +1,310 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.types._
+
+import graft.ImpalaMeta.{ColDef, CreateTableModel}
+
+/** Replays the reference's `show-create-table.test`
+  * (tests/metadata/test_show_create_table.py): each CREATE_TABLE /
+  * CREATE_VIEW / QUERY block's regenerated DDL must match the
+  * RESULTS-HIVE section under the runner's own comparison — whitespace
+  * normalized, volatile TBLPROPERTIES filtered, properties compared as
+  * MAPS, `$$location_uri$$` substituted from the actual output.
+  */
+class ShowCreateSpec extends SparkSpecBase {
+
+  private val file = Paths.get(
+    "/root/reference/testdata/workloads/functional-query/queries/QueryTest/show-create-table.test")
+
+  // the runner's per-test database (test_show_create_table.py)
+  private val DB = "show_create_table_test_db"
+
+  // ---- the python runner's normalization/compare, ported ----
+
+  private val filteredProps = Seq("transient_lastDdlTime", "numFiles",
+    "numPartitions", "numRows", "rawDataSize", "totalSize",
+    "COLUMN_STATS_ACCURATE", "STATS_GENERATED_VIA_STATS_TASK",
+    "last_modified_by", "last_modified_time", "numFilesErasureCoded",
+    "bucketing_version", "OBJCAPABILITIES", "TRANSLATED_TO_EXTERNAL")
+
+  private def normalize(s0: String): String = {
+    var s = s0.split("\\s+").mkString(" ")
+    filteredProps.foreach { k =>
+      s = s.replaceAll(s"'$k'\\s*=\\s*'[^']+'\\s*,?", "")
+    }
+    s = s.replaceAll(",\\s*\\)", ")")
+    s = s.replaceAll("\\(\\s+", "(")
+    s = s.replaceAll("\\s+\\)", ")")
+    s = s.replaceAll("(?i)TBLPROPERTIES\\s*\\(\\s*\\)", "")
+    s = s.replaceAll("(?i)SERDEPROPERTIES\\s*\\(\\s*\\)", "")
+    s.trim
+  }
+
+  private def propsMap(s: String, name: String): Map[String, String] = {
+    val m = (name + "\\s*\\(([^)]+)\\)").r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse(return Map.empty)
+    "'([^']+)'\\s*=\\s*'([^']+)'".r.findAllMatchIn(m)
+      .map(mm => mm.group(1) -> mm.group(2)).toMap -- filteredProps
+  }
+
+  private def stripProps(s: String): String =
+    s.replaceAll("(?i)WITH SERDEPROPERTIES\\s*\\([^)]+\\)", "")
+      .replaceAll("(?i)TBLPROPERTIES\\s*\\([^)]+\\)", "").trim
+
+  private def compare(expected0: String, actual: String): Option[String] = {
+    val actualN = normalize(actual)
+    val uri = "LOCATION '([^']+)'".r.findFirstMatchIn(actualN).map(_.group(1))
+    val expectedN = normalize(uri match {
+      case Some(u) => expected0.replace("$$location_uri$$", u)
+      case None => expected0
+    })
+    if (propsMap(expectedN, "TBLPROPERTIES") !=
+        propsMap(actualN, "TBLPROPERTIES"))
+      return Some(s"TBLPROPERTIES differ:\n  exp ${propsMap(expectedN, "TBLPROPERTIES")}\n  act ${propsMap(actualN, "TBLPROPERTIES")}")
+    if (propsMap(expectedN, "WITH SERDEPROPERTIES") !=
+        propsMap(actualN, "WITH SERDEPROPERTIES"))
+      return Some(s"SERDEPROPERTIES differ:\n  exp ${propsMap(expectedN, "WITH SERDEPROPERTIES")}\n  act ${propsMap(actualN, "WITH SERDEPROPERTIES")}")
+    val (e, a) = (stripProps(expectedN), stripProps(actualN))
+    if (e != a) Some(s"text differs:\n  exp $e\n  act $a") else None
+  }
+
+  // ---- CREATE TABLE statement → model ----
+
+  private def q1(re: String, s: String): Option[String] =
+    re.r.findFirstMatchIn(s).map(_.group(1))
+
+  private def parseCols(txt: String): Seq[ColDef] =
+    NestedRefs.splitTop(txt).map(_.trim).filter(_.nonEmpty).map { it =>
+      val m = """(?is)^([A-Za-z_]\w*)\s+(.+?)(?:\s+COMMENT\s+'([^']*)')?$""".r
+        .findFirstMatchIn(it).get
+      ColDef(m.group(1), ImpalaMeta.upperTypeSql(DataType.fromDDL(m.group(2))),
+        Option(m.group(3)))
+    }
+
+  private def parseProps(txt: String): Seq[(String, String)] =
+    "'([^']+)'\\s*=\\s*'([^']+)'".r.findAllMatchIn(txt)
+      .map(m => m.group(1) -> m.group(2)).toSeq
+
+  /** Parse one CREATE TABLE DDL into the render model (plain and CTAS
+    * forms; the pieces mirror CreateTableStmt's clauses).
+    */
+  private def parseCreate(sql0: String): Option[CreateTableModel] = {
+    val sql = sql0.trim.stripSuffix(";")
+    val nameRe =
+      """(?is)^\s*create\s+(external\s+)?table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)""".r
+    val nm = nameRe.findFirstMatchIn(sql).getOrElse(return None)
+    val external = nm.group(1) != null
+    val name = nm.group(2)
+    val tblPropsTxt = q1("""(?is)TBLPROPERTIES\s*\((.*?)\)\s*$""", sql)
+    val tblProps = tblPropsTxt.map(parseProps).getOrElse(Nil)
+    val storedAs = q1("""(?is)\bSTORED\s+AS\s+(\w+)""", sql)
+    val comment = q1("""(?is)\)\s*(?:PARTITIONED\s+BY\s*\([^)]*\)\s*)?(?:SORT\s+BY[^)]*\)\s*)?COMMENT\s+'([^']*)'""", sql)
+    val rowFmtTxt = q1("""(?is)ROW\s+FORMAT\s+DELIMITED(.*?)(?:STORED|LOCATION|TBLPROPERTIES|$)""", sql)
+    val rowFormat = rowFmtTxt.flatMap { t =>
+      q1("""(?is)FIELDS\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)'""", t).map { f =>
+        (f, q1("""(?is)ESCAPED\s+BY\s+'((?:[^'\\]|\\.)*)'""", t),
+          q1("""(?is)LINES\s+TERMINATED\s+BY\s+'((?:[^'\\]|\\.)*)'""", t))
+      }
+    }
+    val sortM = """(?is)\bSORT\s+BY\s+(ZORDER\s+|LEXICAL\s+)?\(([^)]*)\)""".r
+      .findFirstMatchIn(sql)
+    val sortCols = sortM.map(_.group(2).split(",").map(_.trim).toSeq)
+      .getOrElse(Nil)
+    val sortOrder = sortM.flatMap(m => Option(m.group(1)))
+      .map(_.trim.toUpperCase).getOrElse("LEXICAL")
+    // iceberg tables in a hadoop.catalog are catalog-located — Impala
+    // omits the LOCATION line (ToSqlUtils)
+    val noLocation =
+      tblProps.exists(p => p._1 == "iceberg.catalog" &&
+        p._2 == "hadoop.catalog")
+    val ctasRe =
+      """(?is)^\s*create\s+table\s+\w+\s*(?:partitioned\s+by\s*\(([^)]*)\)\s*)?(?:stored\s+as\s+\w+\s*)?as\s+(select\b.*)$""".r
+    ctasRe.findFirstMatchIn(sql) match {
+      case Some(m) =>
+        val partNames = Option(m.group(1)).toSeq
+          .flatMap(_.split(",").map(_.trim.toLowerCase)).filter(_.nonEmpty)
+        val schema = ImpalaDialect.sql(spark, m.group(2)).schema
+        val (pcols, dcols) = schema.fields.partition(f =>
+          partNames.contains(f.name.toLowerCase))
+        Some(CreateTableModel(external, s"$DB.$name",
+          dcols.toSeq.map(f =>
+            ColDef(f.name, ImpalaMeta.upperTypeSql(f.dataType))),
+          partCols = pcols.toSeq.map(f =>
+            ColDef(f.name, ImpalaMeta.upperTypeSql(f.dataType))),
+          storedAs = Some(storedAs.getOrElse("TEXTFILE")),
+          location = Some("$$location_uri$$"), tblProps = tblProps))
+      case None =>
+        val colsTxt = q1("""(?is)^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?[\w.]+\s*\((.*?)\)\s*(?:PARTITIONED|SORT|COMMENT|ROW|STORED|LOCATION|TBLPROPERTIES|$)""", sql)
+          .getOrElse(return None)
+        val partTxt = q1("""(?is)PARTITIONED\s+BY\s*\(([^)]*)\)""", sql)
+        Some(CreateTableModel(external, s"$DB.$name", parseCols(colsTxt),
+          partCols = partTxt.map(parseCols).getOrElse(Nil),
+          sortCols = sortCols, sortOrder = sortOrder, comment = comment,
+          rowFormat = rowFormat,
+          storedAs = Some(storedAs.getOrElse("TEXTFILE")),
+          location = if (noLocation) None else Some("$$location_uri$$"),
+          tblProps = tblProps))
+    }
+  }
+
+  // ---- static catalog models (schema template, cited per table) ----
+
+  private def colsOf(table: String, drop: Seq[String] = Nil): Seq[ColDef] = {
+    val idComment = Map("id" -> "Add a comment")
+    spark.table(table).schema.fields.toSeq
+      .filterNot(f => drop.contains(f.name.toLowerCase))
+      .map(f => ColDef(f.name, ImpalaMeta.upperTypeSql(f.dataType),
+        if (table == "alltypes") idComment.get(f.name.toLowerCase) else None))
+  }
+
+  private lazy val catalogModels: Map[String, CreateTableModel] = Map(
+    // functional_schema_template.sql:717-738 (text serde ',' escaped
+    // '\\', partitioned year/month)
+    "functional.allcomplextypes" -> CreateTableModel(
+      external = true, "functional.allcomplextypes",
+      colsOf("allcomplextypes", drop = Seq("year", "month")),
+      partCols = Seq(ColDef("year", "INT"), ColDef("month", "INT")),
+      rowFormat = Some((",", Some("\\\\"), None)),
+      storedAs = Some("TEXTFILE"), location = Some("$$location_uri$$")),
+    // template:~1320 tinytable (a, b string) under functional_parquet
+    "functional_parquet.tinytable" -> CreateTableModel(
+      external = true, "functional_parquet.tinytable",
+      Seq(ColDef("a", "STRING"), ColDef("b", "STRING")),
+      storedAs = Some("PARQUET"), location = Some("$$location_uri$$")),
+    // template:2123-2161 parent/child with PK/FK constraint rendering
+    "functional.parent_table" -> CreateTableModel(
+      external = true, "functional.parent_table",
+      Seq(ColDef("id", "INT"), ColDef("year", "STRING")),
+      constraints = Seq("PRIMARY KEY (id, year)"),
+      rowFormat = Some((",", None, None)),
+      storedAs = Some("TEXTFILE"), location = Some("$$location_uri$$")),
+    "functional.child_table" -> CreateTableModel(
+      external = true, "functional.child_table",
+      Seq(ColDef("seq", "INT"), ColDef("id", "INT"),
+        ColDef("year", "STRING"), ColDef("a", "INT")),
+      constraints = Seq("PRIMARY KEY (seq)",
+        "FOREIGN KEY(id, year) REFERENCES functional.parent_table(id, year)",
+        "FOREIGN KEY(a) REFERENCES functional.parent_table_2(a)"),
+      rowFormat = Some((",", None, None)),
+      storedAs = Some("TEXTFILE"), location = Some("$$location_uri$$")),
+    // the HBase mapping of alltypes (template functional_hbase section):
+    // row key first, remaining columns alphabetical, no LOCATION
+    "functional_hbase.alltypes" -> {
+      val at = spark.table("alltypes").schema.fields.toSeq
+      val key = ColDef("id", "INT", Some("Add a comment"))
+      val rest = at.filterNot(_.name.equalsIgnoreCase("id"))
+        .sortBy(_.name)
+        .map(f => ColDef(f.name, ImpalaMeta.upperTypeSql(f.dataType)))
+      CreateTableModel(external = true, "functional_hbase.alltypes",
+        key +: rest,
+        storedBy = Some("org.apache.hadoop.hive.hbase.HBaseStorageHandler"),
+        serdeProps = Seq("hbase.columns.mapping" ->
+          (":key,d:bool_col,d:tinyint_col,d:smallint_col,d:int_col," +
+            "d:bigint_col,d:float_col,d:double_col,d:date_string_col," +
+            "d:string_col,d:timestamp_col,d:year,d:month"),
+          "serialization.format" -> "1"),
+        tblProps = Seq(
+          "hbase.table.name" -> "functional_hbase.alltypes",
+          "storage_handler" ->
+            "org.apache.hadoop.hive.hbase.HBaseStorageHandler"))
+    })
+
+  /** View definitions from the schema template (CREATE sections). */
+  private val catalogViews: Map[String, (Seq[String], String)] = Map(
+    // template:1093-1098
+    "functional.alltypes_view" ->
+      (Nil, "SELECT * FROM functional.alltypes"),
+    // template:1136-1141
+    "functional.view_view" ->
+      (Nil, "SELECT * FROM functional.alltypes_view"),
+    // template:1124-1132 (abc/xyz aliases → inline-view expansion)
+    "functional.complex_view" ->
+      (Seq("abc", "xyz"),
+        "SELECT COUNT(a.bigint_col), b.string_col FROM " +
+          "functional.alltypesagg a INNER JOIN functional.alltypestiny b " +
+          "ON a.id = b.id WHERE a.bigint_col < 50 " +
+          "GROUP BY b.string_col HAVING COUNT(a.bigint_col) > 1 " +
+          "ORDER BY b.string_col LIMIT 100"))
+
+  // ---- the .test file's section format ----
+
+  private case class Block(kind: String, stmt: String,
+      expected: Option[String])
+
+  private def parseFile(): Seq[Block] = {
+    val txt = new String(Files.readAllBytes(file))
+    txt.split("(?m)^====\\s*$").toSeq.flatMap { sec =>
+      var cur: String = null
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, StringBuilder]
+      sec.linesIterator.foreach {
+        case l if l.startsWith("---- ") =>
+          cur = l.stripPrefix("---- ").trim
+          m.getOrElseUpdate(cur, new StringBuilder)
+        case l if cur != null && !l.trim.startsWith("#") =>
+          m(cur).append(l).append("\n")
+        case _ =>
+      }
+      val kind = Seq("CREATE_TABLE", "CREATE_VIEW", "QUERY")
+        .find(m.contains)
+      kind.map(k => Block(k, m(k).toString.trim,
+        m.get("RESULTS-HIVE").map(_.toString.trim).filter(_.nonEmpty)))
+    }
+  }
+
+  test("show-create-table goldens match the regenerated DDL") {
+    assume(Files.isRegularFile(file), "reference workload dir not present")
+    sources.FunctionalTables.register(spark)
+    var pass = 0
+    var skip = 0
+    val mismatches = scala.collection.mutable.ArrayBuffer.empty[String]
+    parseFile().zipWithIndex.foreach { case (b, i) =>
+      b.expected match {
+        case None => skip += 1 // HIVE-3-only flavor
+        case Some(exp) =>
+          val actual: Option[String] = b.kind match {
+            case "CREATE_TABLE" =>
+              scala.util.Try(parseCreate(b.stmt)).toOption.flatten
+                .map(ImpalaMeta.renderCreateTable)
+            case "CREATE_VIEW" =>
+              val vRe = ("""(?is)^\s*create\s+view\s+(?:if\s+not\s+exists\s+)?""" +
+                """([A-Za-z_]\w*)\s*(?:\(([^)]*)\))?\s*AS\s+(.*)$""").r
+              vRe.findFirstMatchIn(b.stmt).map { m =>
+                val aliases = Option(m.group(2)).toSeq
+                  .flatMap(_.split(",").map(_.trim.split("\\s+")(0)))
+                  .filter(_.nonEmpty)
+                ImpalaMeta.expandViewSql(
+                  s"$DB.${ImpalaMeta.quoteId(m.group(1))}", m.group(1),
+                  aliases, m.group(3))
+              }
+            case "QUERY" =>
+              val qRe = """(?is)^\s*show\s+create\s+(?:table|view)\s+([\w.]+)\s*;?\s*$""".r
+              qRe.findFirstMatchIn(b.stmt).map(_.group(1)).flatMap { name =>
+                catalogModels.get(name.toLowerCase)
+                  .map(ImpalaMeta.renderCreateTable)
+                  .orElse(catalogViews.get(name.toLowerCase).map {
+                    case (aliases, body) =>
+                      ImpalaMeta.expandViewSql(name,
+                        name.split('.').last, aliases, body)
+                  })
+              }
+            case _ => None
+          }
+          actual match {
+            case None => skip += 1
+            case Some(a) => compare(exp, a) match {
+              case None => pass += 1
+              case Some(diff) => mismatches += s"[$i] $diff"
+            }
+          }
+      }
+    }
+    info(s"show-create blocks: $pass matched, ${mismatches.size} mismatched, $skip skipped")
+    mismatches.take(8).foreach(m => info("MISMATCH " + m))
+    assert(mismatches.isEmpty, mismatches.headOption.getOrElse(""))
+    // floor pinned at the exact measurement (27 matched; the 5 skips
+    // are HIVE-3-only flavors with no RESULTS-HIVE section)
+    assert(pass >= 27, s"only $pass show-create blocks passed (floor 27)")
+  }
+}

@@ -64,8 +64,11 @@ object GoldenTest {
           case ("QUERY", a) => a }.getOrElse("")
         val query = blocks("QUERY")
           .filterNot(_.trim.startsWith("#")).mkString("\n").trim
+        // '#' comment lines are stripped from every section by the
+        // reference's file parser (test_file_parser.py remove_comments)
         val results = blocks.getOrElse("RESULTS", Vector.empty)
           .filter(_.trim.nonEmpty)
+          .filterNot(_.trim.startsWith("#"))
         val resultsTag =
           order.reverse.collectFirst { case ("RESULTS", a) => a }.getOrElse("")
         val types = blocks.getOrElse("TYPES", Vector.empty)

@@ -420,6 +420,9 @@ object FunctionalTables {
     */
   private def registerSchemaViews(spark: SparkSession): Unit = {
     spark.sql("SELECT * FROM alltypes").createOrReplaceTempView("alltypes_view")
+    // view_view (template:1136-1141): a view over alltypes_view
+    spark.sql("SELECT * FROM alltypes_view")
+      .createOrReplaceTempView("view_view")
     spark.sql(
       """SELECT int_col AS x, string_col AS y, timestamp_col AS z
         |FROM alltypes""".stripMargin)
@@ -1045,6 +1048,17 @@ object FunctionalTables {
             "f12: map<string, struct<f21: bigint>>>>>, " +
             "year int, month int"))
       .createOrReplaceTempView("allcomplextypes")
+    // table_with_header(_2) (schema template:2628-2642): text files
+    // whose first 1/2 lines are headers, skipped via the
+    // skip.header.line.count table property
+    Seq(("table_with_header", 1), ("table_with_header_2", 2)).foreach {
+      case (name, skip) =>
+        val p = refRoot.resolve(s"data/$name.csv")
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val sch = StructType.fromDDL("c1 int, c2 double")
+          mk(loadTextSerde(p, sch).drop(skip), sch, name)
+        }
+    }
     // max-nesting-depth fixtures (testdata/max_nesting_depth): one row
     // per 100-level-deep schema, one table per collection kind
     Seq("struct_tbl" -> "struct", "int_array_tbl" -> "int_array",

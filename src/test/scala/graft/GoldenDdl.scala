@@ -100,18 +100,18 @@ final class GoldenDdl(spark: SparkSession) {
     * expression values (`j=cast(2-1 as int)`) stay inside the group. */
   private val SPEC = """((?:[^()]|\([^()]*\))*)"""
   private val createRe =
-    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?""" +
+    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
       """([A-Za-z_]\w*)\s*\((.*?)\)""" +
       """(?:\s+partitioned\s+by\s*\(([^)]*)\))?""" +
       """(?:\s+sort\s+by\s+(?:zorder\s*|lexical\s*)?\([^)]*\))?""" +
       """(?:\s+row\s+format\s+delimited(.*?))?""" +
-      """(?:\s+stored\s+as\s+\w+)?""" +
+      """(?:\s+stored\s+as\s+(\w+))?""" +
       """(?:\s+location\s+'([^']*)')?""" +
       """(?:\s+tblproperties\s*\(.*\))?\s*$""").r
   private val createLikeRe =
-    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?""" +
-      """([A-Za-z_]\w*)\s+like\s+([A-Za-z_]\w*)""" +
-      """(?:\s+stored\s+as\s+\w+)?(?:\s+location\s+'([^']*)')?\s*$""").r
+    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
+      """([A-Za-z_]\w*)\s+like\s+([A-Za-z_][\w.]*)""" +
+      """(?:\s+stored\s+as\s+(\w+))?(?:\s+location\s+'([^']*)')?\s*$""").r
   private val fieldDelimRe =
     """(?is)fields\s+terminated\s+by\s+'((?:[^'\\]|\\.)*)'""".r
   private val lineDelimRe =
@@ -164,10 +164,15 @@ final class GoldenDdl(spark: SparkSession) {
     */
   def exec(stmt: String): Boolean = try {
     stmt match {
-      case createLikeRe(name, src, loc) =>
-        createLike(name, src, Option(loc)); true
-      case createRe(name, cols, parts, serdeTxt, loc) =>
-        create(name, cols, Option(parts), Option(serdeTxt), Option(loc)); true
+      case createLikeRe(ine, name, src, fmt, loc) =>
+        if (ine == null || !tables.contains(name))
+          createLike(name, src.split('.').last, Option(fmt), Option(loc))
+        true
+      case createRe(ine, name, cols, parts, serdeTxt, fmt, loc) =>
+        if (ine == null || !tables.contains(name))
+          create(name, cols, Option(parts), Option(serdeTxt), Option(fmt),
+            Option(loc))
+        true
       case renameRe(from, to) if tables.contains(from) =>
         tables(to) = tables.remove(from).get
         spark.catalog.dropTempView(from); published -= from
@@ -300,17 +305,60 @@ final class GoldenDdl(spark: SparkSession) {
       .stripSuffix("/")
   }
 
+  /** DataFrame schemas can't carry CHAR/VARCHAR — normalize to
+    * StringType + Spark's own CharVarcharUtils metadata (surfaced back
+    * by ImpalaMeta's DESCRIBE).
+    */
+  private def normalizeSchema(st: StructType): StructType =
+    StructType(st.fields.map { f =>
+      f.dataType match {
+        case v: VarcharType => f.copy(dataType = StringType,
+          metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("__CHAR_VARCHAR_TYPE_STRING", s"varchar(${v.length})")
+            .build())
+        case c: CharType => f.copy(dataType = StringType,
+          metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString("__CHAR_VARCHAR_TYPE_STRING", s"char(${c.length})")
+            .build())
+        case _ => f
+      }
+    })
+
+  /** Avro storage has no tinyint/smallint/timestamp — columns promote
+    * to INT/STRING and carry Hive's 'from deserializer' comment unless
+    * an explicit one exists (AvroSchemaConverter; IMPALA-1813 goldens).
+    */
+  private def avroPromote(st: StructType): StructType =
+    StructType(st.fields.map { f =>
+      val t = f.dataType match {
+        case ByteType | ShortType => IntegerType
+        case TimestampType => StringType
+        case other => other
+      }
+      val withT = f.copy(dataType = t)
+      if (withT.getComment().isDefined) withT
+      else withT.withComment("from deserializer")
+    })
+
   private def create(name: String, colsTxt: String, partsTxt: Option[String],
-      serdeTxt: Option[String], loc: Option[String]): Unit = {
-    val dataSchema = StructType.fromDDL(colsTxt)
+      serdeTxt: Option[String], fmt: Option[String],
+      loc: Option[String]): Unit = {
+    val isAvro = fmt.exists(_.equalsIgnoreCase("avro"))
+    val dataSchema0 = normalizeSchema(StructType.fromDDL(colsTxt))
+    val dataSchema = if (isAvro) avroPromote(dataSchema0) else dataSchema0
     val partSchema = partsTxt.filter(_.trim.nonEmpty)
-      .map(StructType.fromDDL).getOrElse(new StructType())
+      .map(s => normalizeSchema(StructType.fromDDL(s)))
+      .getOrElse(new StructType())
     val serde = serdeTxt.map(parseSerde(_, Serde("", "\n")))
     val t = new Tbl(dataSchema, partSchema,
       loc.map(normLoc).getOrElse(name), serde)
     if (partSchema.isEmpty) {
-      ensureDir(t.baseLocation, t.rawMode)
-      t.parts(Nil) = (t.baseLocation, None)
+      // an explicit LOCATION may point at existing data (a warehouse
+      // dataset dir); otherwise the fresh table dir is empty
+      val path = loc.map(l => resolveDir(t, l)).getOrElse {
+        ensureDir(t.baseLocation, t.rawMode); t.baseLocation
+      }
+      t.parts(Nil) = (path, None)
     }
     tables(name) = t
     publish(name)
@@ -325,17 +373,25 @@ final class GoldenDdl(spark: SparkSession) {
     "alltypestiny" -> Seq("year", "month"),
     "alltypesagg" -> Seq("year", "month", "day"))
 
-  private def createLike(name: String, src: String,
+  private def createLike(name: String, src: String, fmt: Option[String],
       loc: Option[String]): Unit = {
-    tables.get(src) match {
-      case Some(s) =>
-        val t = new Tbl(s.dataSchema, s.partSchema,
-          loc.map(normLoc).getOrElse(name), s.tableSerde)
-        if (t.partSchema.isEmpty) {
-          ensureDir(t.baseLocation, t.rawMode)
-          t.parts(Nil) = (t.baseLocation, None)
+    val isAvro = fmt.exists(_.equalsIgnoreCase("avro"))
+    def init(t: Tbl): Unit = {
+      if (isAvro) t.dataSchema = avroPromote(t.dataSchema)
+      if (t.partSchema.isEmpty) {
+        val path = loc.map(l => resolveDir(t, l)).getOrElse {
+          ensureDir(t.baseLocation, t.rawMode); t.baseLocation
         }
-        tables(name) = t
+        t.parts(Nil) = (path, None)
+      }
+      tables(name) = t
+      publish(name)
+    }
+    tables.get(src) match {
+      case Some(s) if src != name =>
+        init(new Tbl(s.dataSchema, s.partSchema,
+          loc.map(normLoc).getOrElse(name), s.tableSerde))
+      case Some(_) => // LIKE itself under IF NOT EXISTS — no-op
       case None =>
         val df = spark.table(src)
         val pcols = datasetPartCols.getOrElse(src.toLowerCase, Nil)
@@ -343,15 +399,9 @@ final class GoldenDdl(spark: SparkSession) {
           df.schema.fields.filterNot(f => pcols.contains(f.name.toLowerCase)))
         val partSchema = StructType(
           pcols.flatMap(p => df.schema.fields.find(_.name.equalsIgnoreCase(p))))
-        val t = new Tbl(dataSchema, partSchema,
-          loc.map(normLoc).getOrElse(name), None)
-        if (partSchema.isEmpty) {
-          ensureDir(t.baseLocation, t.rawMode)
-          t.parts(Nil) = (t.baseLocation, None)
-        }
-        tables(name) = t
+        init(new Tbl(dataSchema, partSchema,
+          loc.map(normLoc).getOrElse(name), None))
     }
-    publish(name)
   }
 
   private def emptyRows(schema: StructType): Rows =
@@ -448,7 +498,7 @@ final class GoldenDdl(spark: SparkSession) {
     if (!dirs.contains(n)) {
       val segs = n.split('/')
       val base = segs.head.replaceAll(
-        "_(seq(_snap|_def|_gzip|_bzip)?|rc|avro|parquet|orc(_def)?)$", "")
+        "_(seq|rc|avro|parquet|orc|text)(_[a-z0-9]+)*$", "")
       val dataset =
         if (tables.exists { case (_, t) => n == t.baseLocation ||
           n.startsWith(t.baseLocation + "/") }) None

@@ -1059,6 +1059,37 @@ object FunctionalTables {
           mk(loadTextSerde(p, sch).drop(skip), sch, name)
         }
     }
+    // Iceberg fixtures (testdata/data/iceberg_test, HadoopTables
+    // layout) through the native metadata walk — IcebergFiles
+    Seq(
+      "iceberg_partitioned" -> "data/iceberg_test/iceberg_partitioned",
+      "iceberg_non_partitioned" -> "data/iceberg_test/iceberg_non_partitioned",
+      // hadoop_catalog layout nests <warehouse>/<db>/<table>
+      "hadoop_catalog_test_external" ->
+        "data/iceberg_test/hadoop_catalog/hadoop_catalog_test/functional_parquet/hadoop_catalog_test",
+      "iceberg_partitioned_orc_external" ->
+        "data/iceberg_test/hadoop_catalog/iceberg_partitioned_orc/functional_parquet/iceberg_partitioned_orc"
+    ).foreach { case (n, rel) =>
+      val d = refRoot.resolve(rel)
+      if (java.nio.file.Files.isDirectory(d)) try {
+        IcebergFiles.readTable(spark, d.toString)
+          .createOrReplaceTempView(n)
+      } catch { case _: Throwable => }
+    }
+    // Hudi COW fixtures (testdata/data/hudi_parquet, schema
+    // template:2868-2901): snapshot reads through the file-slice
+    // selection, plus the read-as-plain-parquet duplicate twin
+    locally {
+      val hudiDir = refRoot.resolve("data/hudi_parquet")
+      if (java.nio.file.Files.isDirectory(hudiDir)) try {
+        HudiFiles.readTable(spark, hudiDir.toString, partitioned = true)
+          .createOrReplaceTempView("hudi_partitioned")
+        HudiFiles.readTable(spark, hudiDir.toString, partitioned = false)
+          .createOrReplaceTempView("hudi_non_partitioned")
+        HudiFiles.readAsPlainParquet(spark, hudiDir.toString)
+          .createOrReplaceTempView("hudi_as_parquet")
+      } catch { case _: Throwable => }
+    }
     // max-nesting-depth fixtures (testdata/max_nesting_depth): one row
     // per 100-level-deep schema, one table per collection kind
     Seq("struct_tbl" -> "struct", "int_array_tbl" -> "int_array",

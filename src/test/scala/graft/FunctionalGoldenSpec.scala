@@ -178,7 +178,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "chars-tmp-tables.test",
     // the external data-source plugin API surface (DSv2 twin with the
     // VALIDATE_PREDICATES pushdown protocol + half-accepted conjuncts)
-    "data-source-tables.test")
+    "data-source-tables.test",
+    // Iceberg scan through the native HadoopTables metadata walk
+    // (IcebergFiles — version-hint → metadata.json → manifests)
+    "iceberg-query.test",
+    // Hudi COW snapshot reads through file-slice selection (HudiFiles)
+    "hudi-parquet.test")
 
   /** Dev-only iteration filter: run a comma-separated subset of
     * `files`; floor/ceiling asserts are skipped when set.
@@ -1249,8 +1254,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 2704,
-      s"only $pass golden queries passed (floor 2704)")
+    assert(fileFilter.isDefined || pass >= 2735,
+      s"only $pass golden queries passed (floor 2735)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

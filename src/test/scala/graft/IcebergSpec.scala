@@ -35,4 +35,19 @@ class IcebergSpec extends SparkSpecBase {
         "point verified by SourcesV2Spec, failure mode pinned here")
     }
   }
+
+  test("native metadata reader walks a HadoopTables layout (no runtime needed)") {
+    val dir = java.nio.file.Paths.get(
+      "/root/reference/testdata/data/iceberg_test/iceberg_non_partitioned")
+    assume(java.nio.file.Files.isDirectory(dir), "iceberg fixture absent")
+    val df = sources.IcebergFiles.readTable(spark, dir.toString)
+    // iceberg-query.test pins 20 rows, 6 of them action='click'
+    assert(df.count() == 20)
+    assert(df.where("action = 'click'").count() == 6)
+    val part = sources.IcebergFiles.readTable(spark,
+      "/root/reference/testdata/data/iceberg_test/iceberg_partitioned")
+    assert(part.count() == 20)
+    // identity-partitioned columns are stored in the data files too
+    assert(part.where("action <> 'click'").count() == 14)
+  }
 }

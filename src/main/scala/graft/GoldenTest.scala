@@ -58,11 +58,15 @@ object GoldenTest {
           blocks(cur) = blocks(cur) :+ l
         case _ =>
       }
-      if (!blocks.contains("QUERY")) None
+      // HIVE_QUERY-only sections are the reference's Hive-side setup
+      // (run via beeline by its runner — acid.test family); surface
+      // them as cases so a harness can replay their state effects
+      if (!blocks.contains("QUERY") && !blocks.contains("HIVE_QUERY")) None
       else {
+        val qKey = if (blocks.contains("QUERY")) "QUERY" else "HIVE_QUERY"
         val queryArg = order.reverse.collectFirst {
-          case ("QUERY", a) => a }.getOrElse("")
-        val query = blocks("QUERY")
+          case (`qKey`, a) => a }.getOrElse("")
+        val query = blocks(qKey)
           .filterNot(_.trim.startsWith("#")).mkString("\n").trim
         // '#' comment lines are stripped from every section by the
         // reference's file parser (test_file_parser.py remove_comments)

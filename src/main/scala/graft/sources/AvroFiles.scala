@@ -45,7 +45,9 @@ object AvroFiles {
     }.endRecord()
   }
 
-  /** Avro → Catalyst (union[null, T] → nullable T). */
+  /** Avro → Catalyst (union[null, T] → nullable T; `int` with the
+    * `date` logical annotation → DateType).
+    */
   def structTypeFor(schema: Schema): StructType = {
     def field(s: Schema): (DataType, Boolean) = s.getType match {
       case Schema.Type.UNION =>
@@ -54,10 +56,19 @@ object AvroFiles {
         (field(nonNull.head)._1, true)
       case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
       case Schema.Type.LONG => (LongType, false)
+      case Schema.Type.INT
+          if s.getLogicalType != null &&
+            s.getLogicalType.getName == "date" => (DateType, false)
       case Schema.Type.INT => (IntegerType, false)
       case Schema.Type.DOUBLE => (DoubleType, false)
       case Schema.Type.FLOAT => (FloatType, false)
       case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.BYTES | Schema.Type.FIXED
+          if s.getLogicalType.isInstanceOf[
+            org.apache.avro.LogicalTypes.Decimal] =>
+        val d = s.getLogicalType
+          .asInstanceOf[org.apache.avro.LogicalTypes.Decimal]
+        (DecimalType(d.getPrecision, d.getScale), false)
       case Schema.Type.BYTES | Schema.Type.FIXED => (BinaryType, false)
       case other => throw new IllegalArgumentException(s"unsupported: $other")
     }
@@ -79,6 +90,21 @@ object AvroFiles {
       val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
     case f: GenericData.Fixed => f.bytes()
     case x => x
+  }
+
+  /** Coerce one decoded Avro value to its Catalyst target — the only
+    * extra case beyond [[fromAvro]] is logical-date (epoch-day int →
+    * java.sql.Date, which GenericDatumReader leaves as a plain int
+    * unless logical-type conversions are registered).
+    */
+  private def coerce(v: Any, dt: DataType): Any = (fromAvro(v), dt) match {
+    case (null, _) => null
+    case (i: Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(i.longValue()))
+    case (b: Array[Byte], d: DecimalType) =>
+      // Avro decimal: two's-complement unscaled big-endian bytes
+      new java.math.BigDecimal(new java.math.BigInteger(b), d.scale)
+    case (x, _) => x
   }
 
   /** Distributed sink: each partition writes `part-NNNNN.avro` under
@@ -115,19 +141,66 @@ object AvroFiles {
     }.count() // force the write
   }
 
+  /** Scan a set of Avro container files RESOLVED against a reader
+    * schema — Avro's own schema-resolution rules (match fields by name,
+    * fill reader defaults for fields absent from the writer schema,
+    * promote int→long/float/double), the semantics the reference's Avro
+    * scanner implements natively
+    * (`be/src/exec/hdfs-avro-scanner.cc` ResolveSchemas /
+    * `be/src/exec/read-write-util.h` promotions). Each file may carry a
+    * DIFFERENT writer schema (an evolved lake); the reader schema is
+    * the table's contract. One task per file, as in [[readAvro]].
+    */
+  def readAvroResolved(spark: SparkSession, files: Seq[String],
+      readerSchemaJson: String): DataFrame = {
+    require(files.nonEmpty, "no avro files given")
+    val parser = new Schema.Parser()
+    parser.setValidateDefaults(false)
+    val readerSchema = parser.parse(readerSchemaJson)
+    val structType = structTypeFor(readerSchema)
+    val width = structType.size
+    val targets = structType.fields.map(_.dataType)
+    val rows = spark.sparkContext
+      .parallelize(files, files.length)
+      .flatMap { f =>
+        val p = new Schema.Parser()
+        p.setValidateDefaults(false)
+        val datumReader = new GenericDatumReader[GenericRecord](
+          null, p.parse(readerSchemaJson))
+        val reader = new DataFileReader[GenericRecord](
+          new java.io.File(f), datumReader)
+        new Iterator[Row] {
+          def hasNext: Boolean = {
+            val h = reader.hasNext
+            if (!h) reader.close()
+            h
+          }
+          def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq((0 until width).map(i => coerce(rec.get(i), targets(i))))
+          }
+        }
+      }
+    spark.createDataFrame(rows, structType)
+  }
+
   /** Distributed scan: schema from the first container header, then one
     * task per file iterating its records.
     */
   def readAvro(spark: SparkSession, path: String): DataFrame = {
-    val files = Option(new java.io.File(path).listFiles())
-      .getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
+    val target = new java.io.File(path)
+    val files =
+      if (target.isFile) Array(target.getAbsolutePath)
+      else Option(target.listFiles())
+        .getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".avro")).map(_.getAbsolutePath).sorted
     require(files.nonEmpty, s"no .avro files under $path")
     val head = new DataFileReader[GenericRecord](
       new java.io.File(files.head), new GenericDatumReader[GenericRecord]())
     val avroJson = try head.getSchema.toString finally head.close()
     val structType = structTypeFor(new Schema.Parser().parse(avroJson))
     val width = structType.size
+    val targets = structType.fields.map(_.dataType)
     val rows = spark.sparkContext
       .parallelize(files.toSeq, files.length)
       .flatMap { f =>
@@ -141,7 +214,7 @@ object AvroFiles {
           }
           def next(): Row = {
             val rec = reader.next()
-            Row.fromSeq((0 until width).map(i => fromAvro(rec.get(i))))
+            Row.fromSeq((0 until width).map(i => coerce(rec.get(i), targets(i))))
           }
         }
       }

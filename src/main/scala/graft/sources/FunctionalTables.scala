@@ -359,6 +359,23 @@ object FunctionalTables {
     mk(allTypesFamily(4, 2), schema, "alltypestiny")
     mk(allTypesAgg(writeNulls = true, nullDayCopy = true), aggSchema,
       "alltypesagg")
+    // alltypes_deleted_rows (schema template:528-560): the alltypes
+    // generator data as a full-ACID ORC table from which Hive deleted
+    // the year%2=0 AND month%2=0 AND id%10=0 rows (full-acid-scans.test
+    // pins both the survivor counts and the zero-match probe)
+    spark.table("alltypes")
+      .where("NOT (year % 2 = 0 AND month % 2 = 0 AND id % 10 = 0)")
+      .createOrReplaceTempView("alltypes_deleted_rows")
+    // full-ACID row__id twin of alltypestiny (full-acid-rowid.test):
+    // one original transaction, ACID bucket 0 (encoded 536870912), two
+    // rows per partition file → rowid = id % 2
+    spark.table("alltypestiny").selectExpr("*",
+      "named_struct('operation', 0, " +
+        "'originaltransaction', CAST(1 AS BIGINT), " +
+        "'bucket', CAST(536870912 AS INT), " +
+        "'rowid', CAST(id % 2 AS BIGINT), " +
+        "'currenttransaction', CAST(1 AS BIGINT)) AS row__id")
+      .createOrReplaceTempView("alltypestiny__acid")
     // stringpartitionkey (schema template:1385-1397): id int partitioned
     // by the STRING render of alltypestiny's timestamp_col, plus two
     // statically-added empty partitions
@@ -403,6 +420,7 @@ object FunctionalTables {
         if (rows.nonEmpty) mk(rows, sch, "date_tbl")
       }
     }
+    registerAvroResolutionTables(spark, refRoot)
     // emptytable: declared partitioned, never loaded
     spark.createDataFrame(new java.util.ArrayList[Row](),
         StructType.fromDDL("field string, f2 int"))
@@ -410,6 +428,86 @@ object FunctionalTables {
     registerComplexTypesTbl(spark)
     registerAuxTables(spark)
     registerSchemaViews(spark)
+  }
+
+  /** The Avro schema-resolution workload's fixture tables
+    * (`testdata/avro_schema_resolution/create_table.sql`,
+    * avro-schema-resolution.test):
+    *
+    *   - `schema_resolution_test`: the shipped records1/records2.avro
+    *     container files — each written under a DIFFERENT writer schema
+    *     — resolved against the table's reader schema (the
+    *     `avro.schema.literal` of create_table.sql) via
+    *     [[AvroFiles.readAvroResolved]].
+    *   - `no_avro_schema` (schema template:2241-2265): the alltypes
+    *     generator data under Avro's inferred-from-coldefs schema, with
+    *     exactly the two partitions the template ALTERs in —
+    *     (2009,9) and (2010,10); tinyint/smallint promote to INT and
+    *     TIMESTAMP to STRING (Avro has neither type).
+    *   - `avro_coldef` / `avro_extra_coldef` (IMPALA-2798): two tables
+    *     over ONE directory; each INSERT lands the first five alltypes
+    *     rows in its own partition, so both tables see both partitions.
+    *     The extra column reads its Avro default ("null") in the files
+    *     written without it, and timestamp_col is BIGINT per the
+    *     `avro.schema.literal` (long wins over the coldef).
+    */
+  private def registerAvroResolutionTables(spark: SparkSession,
+      refRoot: java.nio.file.Path): Unit = {
+    val avroDir = refRoot.resolve("avro_schema_resolution")
+    val recs = Seq("records1.avro", "records2.avro").map(avroDir.resolve)
+    if (recs.forall(java.nio.file.Files.isRegularFile(_))) {
+      // reader schema = create_table.sql's avro.schema.literal
+      val readerSchema = """{
+        "name": "a", "type": "record", "fields": [
+          {"name":"boolean1", "type":"boolean", "default": true},
+          {"name":"int1",     "type":"int",     "default": 1},
+          {"name":"long1",    "type":"long",    "default": 1},
+          {"name":"float1",   "type":"float",   "default": 1.0},
+          {"name":"double1",  "type":"double",  "default": 1.0},
+          {"name":"date1",    "type": {"type": "int", "logicalType": "date"}, "default": 1},
+          {"name":"string1",  "type":"string",  "default": "default string"},
+          {"name":"string2",  "type": ["string", "null"],  "default": ""},
+          {"name":"string3",  "type": ["null", "string"],  "default": null}
+        ]}"""
+      AvroFiles.readAvroResolved(spark, recs.map(_.toString), readerSchema)
+        .createOrReplaceTempView("schema_resolution_test")
+    }
+    // avro_decimal_tbl (schema template:2230-2238): the shipped
+    // container file, decimal logical type decoded by AvroFiles
+    val decAvro = refRoot.resolve("data/avro_decimal_tbl.avro")
+    if (java.nio.file.Files.isRegularFile(decAvro))
+      AvroFiles.readAvro(spark, decAvro.toString)
+        .createOrReplaceTempView("avro_decimal_tbl")
+    val at = spark.table("alltypes")
+    // alltypesmixedformat (testdata/bin/load-dependent-tables.sql:26-60):
+    // months 1-4 of alltypes year=2009, one partition per physical
+    // format (text/seq/rc/parquet) — the format mix is incidental to
+    // the row values
+    at.where("year = 2009 AND month <= 4")
+      .createOrReplaceTempView("alltypesmixedformat")
+    at.where("(year = 2009 AND month = 9) OR (year = 2010 AND month = 10)")
+      .selectExpr("id", "bool_col", "CAST(tinyint_col AS INT) AS tinyint_col",
+        "CAST(smallint_col AS INT) AS smallint_col", "int_col", "bigint_col",
+        "float_col", "double_col", "date_string_col", "string_col",
+        "date_format(timestamp_col, 'yyyy-MM-dd HH:mm:ss') AS timestamp_col",
+        "year", "month")
+      .createOrReplaceTempView("no_avro_schema")
+    val five = at.orderBy("id").limit(5)
+      .selectExpr("bool_col", "CAST(tinyint_col AS INT) AS tinyint_col",
+        "CAST(smallint_col AS INT) AS smallint_col", "int_col", "bigint_col",
+        "float_col", "double_col", "date_string_col", "string_col",
+        "unix_millis(timestamp_col) AS timestamp_col")
+    val part1 = five.selectExpr("*", "2014 AS year", "1 AS month")
+    val part2 = five.selectExpr("*", "2014 AS year", "2 AS month")
+    part1.unionAll(part2).createOrReplaceTempView("avro_coldef")
+    part1.selectExpr("bool_col", "tinyint_col", "smallint_col", "int_col",
+        "bigint_col", "float_col", "double_col", "date_string_col",
+        "string_col", "timestamp_col", "'null' AS extra_col", "year", "month")
+      .unionAll(part2.selectExpr("bool_col", "tinyint_col", "smallint_col",
+        "int_col", "bigint_col", "float_col", "double_col",
+        "date_string_col", "string_col", "timestamp_col",
+        "'avro' AS extra_col", "year", "month"))
+      .createOrReplaceTempView("avro_extra_coldef")
   }
 
   /** The functional schema's VIEWs (functional_schema_template.sql:
@@ -1210,6 +1308,39 @@ object FunctionalTables {
         java.nio.file.Files.isRegularFile(dir.resolve("nonnullable.parq"))) {
       val base = load("nullable.parq").unionByName(load("nonnullable.parq"))
       base.createOrReplaceTempView("complextypestbl")
+      // Full-ACID twins (full-acid-rowid.test, acid.test,
+      // full-acid-complex-type-scans.test): the generator's ORC tables
+      // carry the synthetic row__id struct
+      // (fe/.../util/AcidUtils.java getRowIdColumnType). The original
+      // load is ONE transaction over two files — nullable.parq holds
+      // ids 1-7 (ACID bucket 0 → encoded 536870912, rowids 0-6) and
+      // nonnullable.parq id 8 (statement 1 → 536936448, rowid 0).
+      base.selectExpr("*",
+        "named_struct('operation', 0, " +
+          "'originaltransaction', CAST(1 AS BIGINT), " +
+          "'bucket', CAST(IF(id = 8, 536936448, 536870912) AS INT), " +
+          "'rowid', CAST(IF(id = 8, 0, id - 1) AS BIGINT), " +
+          "'currenttransaction', CAST(1 AS BIGINT)) AS row__id")
+        .createOrReplaceTempView("complextypestbl__acid")
+      // complextypestbl_deleted_rows (schema template: the even ids are
+      // deleted by Hive) — rowids keep their original-file positions
+      base.where("id % 2 = 1").selectExpr("*",
+        "named_struct('operation', 0, " +
+          "'originaltransaction', CAST(1 AS BIGINT), " +
+          "'bucket', CAST(536870912 AS INT), " +
+          "'rowid', CAST(id - 1 AS BIGINT), " +
+          "'currenttransaction', CAST(1 AS BIGINT)) AS row__id")
+        .createOrReplaceTempView("complextypestbl_deleted_rows")
+      // complextypestbl_minor_compacted: eight single-row transactions
+      // minor-compacted into one delta — each row keeps its own write
+      // id as original/current transaction, rowid resets per delta
+      base.selectExpr("*",
+        "named_struct('operation', 0, " +
+          "'originaltransaction', CAST(id AS BIGINT), " +
+          "'bucket', CAST(536870912 AS INT), " +
+          "'rowid', CAST(0 AS BIGINT), " +
+          "'currenttransaction', CAST(id AS BIGINT)) AS row__id")
+        .createOrReplaceTempView("complextypestbl_minor_compacted")
       // complextypestbl_medium = complextypestbl × alltypes (7,300
       // copies of each row — functional_schema_template.sql:824's
       // DEPENDENT_LOAD_HIVE INSERT joins the two with no condition);

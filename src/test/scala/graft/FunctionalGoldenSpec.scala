@@ -183,7 +183,20 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // (IcebergFiles — version-hint → metadata.json → manifests)
     "iceberg-query.test",
     // Hudi COW snapshot reads through file-slice selection (HudiFiles)
-    "hudi-parquet.test")
+    "hudi-parquet.test",
+    // Avro reader-schema resolution (AvroFiles.readAvroResolved over
+    // the shipped records1/records2.avro; avro.schema.literal-derived
+    // schemas with the CHAR/VARCHAR coldef exception) and the Avro
+    // schema-evolution DDL shapes (stale-metadata CATCH blocks skip)
+    "avro-schema-resolution.test", "avro-schema-changes.test",
+    // Avro decimal logical type (the shipped avro_decimal_tbl.avro
+    // container; its tpch_avro block is an SF-pinned delta)
+    "decimal_avro.test",
+    // partitions in four physical formats over the same generator rows
+    // (the format mix is incidental to the RESULTS)
+    "mixed-format.test",
+    // USE blocks are non-select; the per-db counts are format-invariant
+    "use.test")
 
   /** Dev-only iteration filter: run a comma-separated subset of
     * `files`; floor/ceiling asserts are skipped when set.
@@ -229,6 +242,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       "RESULTS bound to the reference's TPC-H-scale load (distinct lineitem count)",
     ("decimal-exprs.test", 26) ->
       "RESULTS bound to the reference's TPC-H-scale load (per-tax avg over tpch lineitem)",
+    ("decimal_avro.test", 3) ->
+      "RESULTS bound to the reference's TPC-H-scale load (decimal aggregates over tpch lineitem)",
     ("decimal-exprs.test", 28) ->
       "RESULTS bound to the reference's TPC-H-scale load (per-tax avg over tpch lineitem)",
     ("intersect.test", 12) -> "decimal×float set-op coercion (Impala FLOAT, Spark DOUBLE)",
@@ -687,7 +702,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
 
   // ---- DDL-mutation emulation (alter-table.test family) ----
   private val ddlFiles =
-    Set("alter-table.test", "create-table-like-table.test")
+    Set("alter-table.test", "create-table-like-table.test",
+      "avro-schema-resolution.test", "avro-schema-changes.test")
   private var ddlEmu = false
   private lazy val ddlStore = new GoldenDdl(spark)
 

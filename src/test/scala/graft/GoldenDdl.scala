@@ -51,7 +51,8 @@ final class GoldenDdl(spark: SparkSession) {
       var dataSchema: StructType,
       var partSchema: StructType,
       var baseLocation: String,
-      var tableSerde: Option[Serde]) {
+      var tableSerde: Option[Serde],
+      var isAvro: Boolean = false) {
     // partition key (canonical value strings, None = NULL) →
     // (directory path, pinned serde); unpartitioned tables use the
     // single key Nil pointing at the table dir
@@ -107,7 +108,19 @@ final class GoldenDdl(spark: SparkSession) {
       """(?:\s+row\s+format\s+delimited(.*?))?""" +
       """(?:\s+stored\s+as\s+(\w+))?""" +
       """(?:\s+location\s+'([^']*)')?""" +
-      """(?:\s+tblproperties\s*\(.*\))?\s*$""").r
+      """(?:\s+tblproperties\s*\((.*)\))?\s*$""").r
+  // CREATE TABLE with NO column list — legal for Avro tables, whose
+  // schema comes entirely from avro.schema.literal (IMPALA-3687)
+  private val createAvroNoColsRe =
+    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
+      """([A-Za-z_]\w*)\s+stored\s+as\s+avro\s*""" +
+      """(?:\s*location\s+'([^']*)')?""" +
+      """\s*tblproperties\s*\((.*)\)\s*$""").r
+  private val avroLiteralRe =
+    """(?is)'avro\.schema\.literal'\s*=\s*'([^']*)'""".r
+  private val alterTblPropsRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+set\s+""" +
+      """tblproperties\s*\((.*)\)\s*$""").r
   private val createLikeRe =
     ("""(?is)^\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
       """([A-Za-z_]\w*)\s+like\s+([A-Za-z_][\w.]*)""" +
@@ -157,21 +170,46 @@ final class GoldenDdl(spark: SparkSession) {
   private val dropTableRe =
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([A-Za-z_]\w*)\s*(?:purge\s*)?$""".r
   private val statsNoopRe =
-    """(?is)^\s*(?:compute\s+(?:incremental\s+)?stats|refresh|invalidate\s+metadata)\b.*$""".r
+    ("""(?is)^\s*(?:compute\s+(?:incremental\s+)?stats|refresh|""" +
+      """invalidate\s+metadata|analyze\s+table|""" +
+      """alter\s+table\s+[\w.]+(?:\s+partition\s*\([^)]*\))?\s+compact\b)""" +
+      """.*$""").r
+  private val truncTblRe =
+    """(?is)^\s*truncate\s+(?:table\s+)?(?:if\s+exists\s+)?([A-Za-z_]\w*)\s*$""".r
+  private val deleteRe =
+    """(?is)^\s*delete\s+from\s+([A-Za-z_]\w*)(?:\s+where\s+(.*))?\s*$""".r
+  private val updateRe =
+    """(?is)^\s*update\s+([A-Za-z_]\w*)\s+set\s+(.*?)(?:\s+where\s+(.*))?\s*$""".r
+  private val ctasRe =
+    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
+      """([A-Za-z_]\w*)\s*""" +
+      """(?:partitioned\s+by\s*\(([^)]*)\)\s*)?""" +
+      """(?:stored\s+as\s+(\w+)\s*)?""" +
+      """(?:tblproperties\s*\((?:[^()]|\([^()]*\))*\)\s*)?""" +
+      """as\s+(select\b.*)$""").r
 
   /** Attempt to consume one setup statement. True = handled (or a
     * recognized no-op); false = not this emulator's statement.
     */
   def exec(stmt: String): Boolean = try {
     stmt match {
+      case ctasRe(ine, name, parts, _, source) =>
+        if (ine == null || !tables.contains(name))
+          ctas(name, Option(parts), source)
+        true
       case createLikeRe(ine, name, src, fmt, loc) =>
         if (ine == null || !tables.contains(name))
           createLike(name, src.split('.').last, Option(fmt), Option(loc))
         true
-      case createRe(ine, name, cols, parts, serdeTxt, fmt, loc) =>
+      case createRe(ine, name, cols, parts, serdeTxt, fmt, loc, tblProps) =>
         if (ine == null || !tables.contains(name))
           create(name, cols, Option(parts), Option(serdeTxt), Option(fmt),
-            Option(loc))
+            Option(loc), Option(tblProps))
+        true
+      case createAvroNoColsRe(ine, name, loc, tblProps) =>
+        if (ine == null || !tables.contains(name))
+          create(name, "", None, None, Some("avro"), Option(loc),
+            Option(tblProps))
         true
       case renameRe(from, to) if tables.contains(from) =>
         tables(to) = tables.remove(from).get
@@ -235,6 +273,17 @@ final class GoldenDdl(spark: SparkSession) {
           case None => t.tableSerde = Some(s)
         }
         publish(name); true
+      // a NEW avro.schema.literal redefines an Avro table's schema on
+      // the next metadata load (IMPALA-3776) — must outrank the
+      // SET TBLPROPERTIES no-op arm
+      case alterTblPropsRe(name, propsTxt)
+          if tables.contains(name) && tables(name).isAvro &&
+            avroLiteralRe.findFirstIn(propsTxt).isDefined =>
+        val t = tables(name)
+        avroLiteralRe.findFirstMatchIn(propsTxt).foreach { m =>
+          t.dataSchema = schemaFromAvroLiteral(m.group(1), None)
+        }
+        publish(name); true
       case setNoopRe(name) if tables.contains(name) => true
       case insertRe(mode, name, partSpec, source)
           if tables.contains(name) =>
@@ -244,6 +293,20 @@ final class GoldenDdl(spark: SparkSession) {
       case dropTableRe(name) if tables.contains(name) =>
         tables.remove(name)
         spark.catalog.dropTempView(name); published -= name; true
+      case truncTblRe(name) if tables.contains(name) =>
+        // TRUNCATE removes the data, keeps the partitions (Impala
+        // writes an empty base dir per partition — acid-truncate.test)
+        val t = tables(name)
+        t.parts.values.foreach { case (path, _) =>
+          dirs(path) =
+            if (t.rawMode) Raw(new StringBuilder)
+            else emptyRows(t.dataSchema)
+        }
+        publish(name); true
+      case deleteRe(name, pred) if tables.contains(name) =>
+        deleteWhere(name, Option(pred)); publish(name); true
+      case updateRe(name, setTxt, pred) if tables.contains(name) =>
+        updateSet(name, setTxt, Option(pred)); publish(name); true
       case statsNoopRe() if tables.nonEmpty => true
       case _ => false
     }
@@ -340,18 +403,76 @@ final class GoldenDdl(spark: SparkSession) {
       else withT.withComment("from deserializer")
     })
 
+  /** Impala's Avro-schema reconciliation
+    * (`fe/src/main/java/org/apache/impala/util/AvroSchemaUtils.java`
+    * reconcileAvroAndFieldSchemas): the avro.schema.literal wins the
+    * column NAMES, TYPES and comments (doc, else Hive's
+    * 'from deserializer'); the one exception is CHAR/VARCHAR, where
+    * the POSITION-matched column definition's type is kept.
+    */
+  private def schemaFromAvroLiteral(json: String,
+      coldefs: Option[StructType]): StructType = {
+    import scala.jdk.CollectionConverters._
+    val parser = new org.apache.avro.Schema.Parser()
+    parser.setValidateDefaults(false)
+    val avro = parser.parse(json)
+    def typeOf(s: org.apache.avro.Schema): (DataType, Boolean) = {
+      import org.apache.avro.Schema.Type._
+      s.getType match {
+        case UNION =>
+          val nonNull = s.getTypes.asScala.filter(_.getType != NULL)
+          (typeOf(nonNull.head)._1, true)
+        case STRING | ENUM => (StringType, false)
+        case LONG => (LongType, false)
+        case INT if s.getLogicalType != null &&
+            s.getLogicalType.getName == "date" => (DateType, false)
+        case INT => (IntegerType, false)
+        case DOUBLE => (DoubleType, false)
+        case FLOAT => (FloatType, false)
+        case BOOLEAN => (BooleanType, false)
+        case _ => (BinaryType, false)
+      }
+    }
+    val fields = avro.getFields.asScala.toArray
+    StructType(fields.zipWithIndex.map { case (f, i) =>
+      val (dt, _) = typeOf(f.schema())
+      val base = StructField(f.name().toLowerCase, dt)
+      // CHAR/VARCHAR survive from the position-matched column def
+      val typed = coldefs
+        .flatMap(cd => cd.fields.lift(i))
+        .filter(_.metadata.contains("__CHAR_VARCHAR_TYPE_STRING"))
+        .map(cd => base.copy(dataType = StringType, metadata =
+          new MetadataBuilder().putString("__CHAR_VARCHAR_TYPE_STRING",
+            cd.metadata.getString("__CHAR_VARCHAR_TYPE_STRING")).build()))
+        .getOrElse(base)
+      typed.withComment(Option(f.doc()).getOrElse("from deserializer"))
+    })
+  }
+
   private def create(name: String, colsTxt: String, partsTxt: Option[String],
       serdeTxt: Option[String], fmt: Option[String],
-      loc: Option[String]): Unit = {
+      loc: Option[String], tblProps: Option[String] = None): Unit = {
     val isAvro = fmt.exists(_.equalsIgnoreCase("avro"))
-    val dataSchema0 = normalizeSchema(StructType.fromDDL(colsTxt))
-    val dataSchema = if (isAvro) avroPromote(dataSchema0) else dataSchema0
+    val avroLiteral = tblProps.flatMap(p =>
+      avroLiteralRe.findFirstMatchIn(p).map(_.group(1)))
+    val coldefs =
+      if (colsTxt.trim.isEmpty) new StructType()
+      else normalizeSchema(StructType.fromDDL(colsTxt))
+    val dataSchema = (isAvro, avroLiteral) match {
+      case (true, Some(lit)) =>
+        val p = new org.apache.avro.Schema.Parser()
+        p.setValidateDefaults(false)
+        val n = p.parse(lit).getFields.size()
+        schemaFromAvroLiteral(lit, Some(coldefs).filter(_.length == n))
+      case (true, None) => avroPromote(coldefs)
+      case _ => coldefs
+    }
     val partSchema = partsTxt.filter(_.trim.nonEmpty)
       .map(s => normalizeSchema(StructType.fromDDL(s)))
       .getOrElse(new StructType())
     val serde = serdeTxt.map(parseSerde(_, Serde("", "\n")))
     val t = new Tbl(dataSchema, partSchema,
-      loc.map(normLoc).getOrElse(name), serde)
+      loc.map(normLoc).getOrElse(name), serde, isAvro)
     if (partSchema.isEmpty) {
       // an explicit LOCATION may point at existing data (a warehouse
       // dataset dir); otherwise the fresh table dir is empty
@@ -415,7 +536,11 @@ final class GoldenDdl(spark: SparkSession) {
   private def addColumns(name: String, colsTxt: String,
       ifNotExists: Boolean): Unit = {
     val t = tables(name)
-    val add = StructType.fromDDL(colsTxt).fields.filter { nf =>
+    val parsed0 = normalizeSchema(StructType.fromDDL(colsTxt))
+    // Avro storage promotes the added columns too (tinyint/smallint →
+    // INT, timestamp → STRING — avro-schema-changes.test IMPALA-3092)
+    val parsed = if (t.isAvro) avroPromote(parsed0) else parsed0
+    val add = parsed.fields.filter { nf =>
       val exists = t.dataSchema.fields.exists(
         _.name.equalsIgnoreCase(nf.name))
       if (exists && !ifNotExists)
@@ -571,6 +696,115 @@ final class GoldenDdl(spark: SparkSession) {
     case DoubleType => java.lang.Double.valueOf(s.trim)
     case DateType => java.sql.Date.valueOf(java.time.LocalDate.parse(s))
     case _ => s
+  }
+
+  /** CTAS: schema from the source; `PARTITIONED BY (names)` moves the
+    * NAMED source columns into the partition schema (CreateTableAsSelect
+    * analysis — partition columns must exist in the select list).
+    */
+  private def ctas(name: String, partsTxt: Option[String],
+      sourceTxt: String): Unit = {
+    val src = ImpalaDialect.sql(spark, sourceTxt)
+    val partNames = partsTxt.map(_.split(",").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val dataFields = src.schema.fields.filterNot(f =>
+      partNames.contains(f.name.toLowerCase))
+    val partFields = partNames.flatMap(p =>
+      src.schema.fields.find(_.name.equalsIgnoreCase(p)))
+    val t = new Tbl(StructType(dataFields), StructType(partFields), name, None)
+    tables(name) = t
+    if (partFields.isEmpty) {
+      ensureDir(name, raw = false)
+      t.parts(Nil) = (name, None)
+      store(t, Nil, positional(src.select(dataFields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name)): _*), t.dataSchema),
+        overwrite = true)
+    } else {
+      // bind partition values BY NAME (CTAS partition columns may sit
+      // anywhere in the select list)
+      val reordered = src.select((dataFields ++ partFields).toSeq.map(f =>
+        org.apache.spark.sql.functions.col(f.name)): _*)
+      val nData = dataFields.length
+      reordered.collect().groupBy { r =>
+        partFields.toSeq.zipWithIndex.map { case (pf, j) =>
+          if (r.isNullAt(nData + j)) None
+          else {
+            val s = String.valueOf(r.get(nData + j))
+            if (s.isEmpty) None else Some(s)
+          }
+        }
+      }.foreach { case (key, rs) =>
+        val df = spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              rs.toSeq.map(r => Row.fromSeq(r.toSeq.take(nData)))).asJava),
+          StructType(reordered.schema.fields.take(nData)))
+        store(t, key, positional(df, t.dataSchema), overwrite = true)
+      }
+    }
+    publish(name)
+  }
+
+  /** DELETE FROM t [WHERE pred] — per partition: keep the rows where
+    * the predicate is FALSE or NULL (full-ACID delete deltas;
+    * the predicate may reference partition columns).
+    */
+  private def deleteWhere(name: String, pred: Option[String]): Unit = {
+    val t = tables(name)
+    val p = pred.getOrElse("true")
+    t.parts.foreach { case (key, (path, _)) =>
+      val base = contentDf(t, key)
+      val withParts = t.partSchema.fields.toSeq.zipWithIndex
+        .foldLeft(base) { case (d, (pf, i)) =>
+          d.withColumn(pf.name,
+            org.apache.spark.sql.functions.lit(key(i).orNull)
+              .cast(pf.dataType))
+        }
+      val kept = withParts.where(s"NOT coalesce(($p), false)")
+        .select(t.dataSchema.fields.map(f =>
+          org.apache.spark.sql.functions.col(f.name)).toSeq: _*)
+      val rows = kept.collect()
+      dirs(path) = Rows(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+        t.dataSchema))
+    }
+  }
+
+  /** UPDATE t SET col = expr[, ...] [WHERE pred] — rewrite matching
+    * rows in place, partition by partition.
+    */
+  private def updateSet(name: String, setTxt: String,
+      pred: Option[String]): Unit = {
+    val t = tables(name)
+    val p = pred.getOrElse("true")
+    val assigns = NestedRefs.splitTop(setTxt).map(_.trim).filter(_.nonEmpty)
+      .flatMap { a =>
+        val i = a.indexOf('=')
+        if (i < 0) None else Some(a.take(i).trim.toLowerCase -> a.drop(i + 1).trim)
+      }.toMap
+    t.parts.foreach { case (key, (path, _)) =>
+      val base = contentDf(t, key)
+      val withParts = t.partSchema.fields.toSeq.zipWithIndex
+        .foldLeft(base) { case (d, (pf, i)) =>
+          d.withColumn(pf.name,
+            org.apache.spark.sql.functions.lit(key(i).orNull)
+              .cast(pf.dataType))
+        }
+      val updated = withParts.selectExpr(t.dataSchema.fields.toSeq.map { f =>
+        assigns.get(f.name.toLowerCase) match {
+          case Some(e) =>
+            s"CAST(CASE WHEN coalesce(($p), false) THEN ($e) " +
+              s"ELSE `${f.name}` END AS ${f.dataType.sql}) AS `${f.name}`"
+          case None => s"`${f.name}`"
+        }
+      }: _*)
+      val rows = updated.collect()
+      dirs(path) = Rows(spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
+        t.dataSchema))
+    }
   }
 
   private def insert(name: String, overwrite: Boolean,

@@ -53,7 +53,7 @@ object Bench {
         "q_sim_ann_persisted", "q_sim_ivf_persisted").foreach { n =>
       SparkEntry.queries.get(n).foreach { fn =>
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        catch { case scala.util.control.NonFatal(_) => }
       }
     }
 
@@ -72,7 +72,7 @@ object Bench {
         // first-touch IO land here, not in the first timed iteration
         // (tpch_q1 was absorbing the whole suite's JIT warm-up)
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        catch { case scala.util.control.NonFatal(_) => }
         System.gc()
         val times = (0 until iters).map { _ =>
           val t0 = System.nanoTime()

@@ -175,6 +175,7 @@ object GoldenResult {
         case '\\' => "\\\\"
         case '\n' => "\\n"
         case '\t' => "\\t"
+        case '\r' => "\\r"
         case c if c < 0x20 => f"\\x${c.toInt}%02x"
         case c => c.toString
       }

@@ -26,7 +26,7 @@ object ImpalaMeta {
   private val describeRe =
     """(?is)^\s*describe\s+(`?[A-Za-z_]\w*`?(?:\.`?[A-Za-z_]\w*`?)*)\s*;?\s*$""".r
   private val showTablesRe =
-    ("""(?is)^\s*show\s+tables(?:\s+in\s+[A-Za-z_]\w*)?""" +
+    ("""(?is)^\s*show\s+tables(\s+in\s+[A-Za-z_]\w*)?""" +
       """(?:\s+(?:like\s+)?["']([^"']*)["'])?\s*;?\s*$""").r
   private val showDatabasesRe =
     ("""(?is)^\s*show\s+(?:databases|schemas)""" +
@@ -38,15 +38,51 @@ object ImpalaMeta {
     */
   def intercept(spark: SparkSession, text: String): Option[DataFrame] =
     text match {
-      case showTablesRe(pattern) =>
+      case showTablesRe(inDb, pattern) if inDb != null =>
+        // a db-qualified listing: the temp-view namespace answers only
+        // for the db it represents (graft.meta.tempview.db — harness
+        // sets it when fixture views model a loaded db); a real catalog
+        // db is listed directly; anything else falls through to normal
+        // parsing so the NOT_FOUND error surfaces instead of a
+        // misreported every-temp-view listing
+        val db = inDb.trim.split("\\s+").last.toLowerCase
+        if (spark.conf.getOption("graft.meta.tempview.db")
+            .exists(_.equalsIgnoreCase(db)))
+          Some(oneCol(spark, "name",
+            spark.catalog.listTables().collect().map(_.name.toLowerCase)
+              .distinct.sorted.toSeq
+              .filter(matchesPattern(_, Option(pattern)))))
+        else if (scala.util.Try(spark.catalog.databaseExists(db))
+            .getOrElse(false))
+          Some(oneCol(spark, "name",
+            spark.catalog.listTables(db).collect()
+              .filter(!_.isTemporary).map(_.name.toLowerCase)
+              .distinct.sorted.toSeq
+              .filter(matchesPattern(_, Option(pattern)))))
+        else None
+      case showTablesRe(_, pattern) =>
         Some(oneCol(spark, "name",
           spark.catalog.listTables().collect().map(_.name.toLowerCase)
             .distinct.sorted.toSeq
             .filter(matchesPattern(_, Option(pattern)))))
       case showDatabasesRe(pattern) =>
-        val dbs = Seq( // the reference's standard loaded environments
-          ("default", "Default Hive database"),
-          ("functional", ""), ("tpch", ""), ("tpcds", ""))
+        // real catalog first; a harness may overlay extra fixture
+        // environments via graft.meta.databases.extra
+        // ("name[:comment]" comma-list) — the overlay's comment wins
+        val real = spark.catalog.listDatabases().collect().toSeq
+          .map(d => d.name.toLowerCase ->
+            (if (d.name.equalsIgnoreCase("default"))
+              "Default Hive database"
+            else Option(d.description).getOrElse("")))
+        val extra = spark.conf.getOption("graft.meta.databases.extra")
+          .getOrElse("").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          .map { e =>
+            val i = e.indexOf(':')
+            if (i < 0) (e.toLowerCase, "")
+            else (e.take(i).toLowerCase, e.drop(i + 1))
+          }
+        val dbs = (scala.collection.immutable.ListMap(real: _*) ++ extra)
+          .toSeq.sortBy(_._1)
         val hit = dbs.filter(d => matchesPattern(d._1, Option(pattern)))
         val schema = StructType(Seq(StructField("name", StringType),
           StructField("comment", StringType)))
@@ -108,11 +144,18 @@ object ImpalaMeta {
     */
   private def resolve(spark: SparkSession,
       segs: Seq[String]): Option[(String, DataType)] = {
-    val table = segs.head
+    // prefer the db-qualified reading: `DESCRIBE db.tbl` is a table
+    // named db.tbl, not table `db` + column path `tbl`
+    val (table, path) =
+      if (segs.length >= 2 && scala.util.Try(
+          spark.catalog.tableExists(segs.take(2).mkString(".")))
+          .getOrElse(false))
+        (segs.take(2).mkString("."), segs.drop(2))
+      else (segs.head, segs.tail)
     val root = scala.util.Try(spark.table(table).schema).toOption
       .getOrElse(return None)
     var cur: DataType = root
-    segs.tail.foreach { seg =>
+    path.foreach { seg =>
       cur = cur match {
         case st: StructType =>
           st.fields.find(_.name.equalsIgnoreCase(seg)).map(_.dataType)

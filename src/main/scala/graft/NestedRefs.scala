@@ -215,7 +215,13 @@ object NestedRefs {
       if (!q(i) && c.isWhitespace && sb.nonEmpty && isWord(sb.last)) {
         var j = i
         while (j < s.length && s.charAt(j).isWhitespace) j += 1
-        if (j < s.length && s.charAt(j) == '.' && !q(j)) i = j // drop ws
+        // only join when what follows the dot starts an identifier —
+        // `1 .5` must stay two tokens (a numeric literal split)
+        var k = if (j < s.length && s.charAt(j) == '.') j + 1 else -1
+        while (k >= 0 && k < s.length && s.charAt(k).isWhitespace) k += 1
+        if (j < s.length && s.charAt(j) == '.' && !q(j) &&
+            k < s.length && k >= 0 &&
+            (s.charAt(k).isLetter || s.charAt(k) == '_')) i = j // drop ws
         else { sb.append(c); i += 1 }
       } else if (!q(i) && c == '.' && sb.nonEmpty && isWord(sb.last)) {
         var j = i + 1

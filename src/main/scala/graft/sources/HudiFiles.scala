@@ -25,18 +25,22 @@ object HudiFiles {
 
   private def parquetFiles(dir: Path): Seq[Path] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[Path]
-    Files.walk(dir).iterator().asScala.foreach { p =>
+    val walk = Files.walk(dir)
+    try walk.iterator().asScala.foreach { p =>
       val s = p.toString
       if (s.endsWith(".parquet") && !s.contains("/.hoodie")) out += p
-    }
+    } finally walk.close()
     out.toSeq
   }
 
-  private def completedCommits(dir: Path): Set[String] =
-    Files.list(dir.resolve(".hoodie")).iterator().asScala
+  private def completedCommits(dir: Path): Set[String] = {
+    val list = Files.list(dir.resolve(".hoodie"))
+    try list.iterator().asScala
       .map(_.getFileName.toString)
       .filter(n => n.endsWith(".commit"))
       .map(_.stripSuffix(".commit")).toSet
+    finally list.close()
+  }
 
   /** The latest live slice per (partition dir, fileId). */
   def liveFiles(dirStr: String): Seq[String] = {

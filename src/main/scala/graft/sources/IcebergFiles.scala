@@ -73,14 +73,21 @@ object IcebergFiles {
     val files = manifests.flatMap(avroRecords).flatMap { r =>
       val status = r.get("status").asInstanceOf[Int]
       if (status == 2) None
-      else Some(rebase(String.valueOf(
-        r.get("data_file")
+      else {
+        val df = r.get("data_file")
           .asInstanceOf[org.apache.avro.generic.GenericRecord]
-          .get("file_path"))))
+        // the manifest entry carries each file's format — a mixed
+        // parquet/orc table is legal in the spec, so trust the entry,
+        // not the path extension
+        Some((rebase(String.valueOf(df.get("file_path"))),
+          String.valueOf(df.get("file_format")).toUpperCase))
+      }
     }
     require(files.nonEmpty, s"no live data files under $dir")
-    if (files.head.endsWith(".orc"))
-      spark.read.orc(files.toIndexedSeq: _*)
-    else spark.read.parquet(files.toIndexedSeq: _*)
+    val byFormat = files.groupBy(_._2).toSeq.sortBy(_._1).map {
+      case ("ORC", fs) => spark.read.orc(fs.map(_._1).toIndexedSeq: _*)
+      case (_, fs) => spark.read.parquet(fs.map(_._1).toIndexedSeq: _*)
+    }
+    byFormat.reduce(_.unionByName(_))
   }
 }

@@ -1077,6 +1077,15 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       }
       ddlEmu = ddlFiles(f)
       if (f == "alter-table.test") ddlStore.preloadPartData()
+      // the reference environment has the functional/tpch/tpcds dbs
+      // loaded; overlay them for SHOW DATABASES (ImpalaMeta itself
+      // reports the real catalog — the fixture env is harness state)
+      if (f == "show.test") {
+        spark.conf.set("graft.meta.databases.extra",
+          "functional,tpch,tpcds")
+        // the registered fixture views model the loaded functional db
+        spark.conf.set("graft.meta.tempview.db", "functional")
+      }
       // the reference creates the test-UDF suite per-test from
       // libTestUdfs.so (test_udfs.py); register the Catalyst twins
       if (f == "udf.test" || f == "udf-init-close.test") {

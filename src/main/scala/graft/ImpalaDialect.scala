@@ -1456,7 +1456,46 @@ object ImpalaDialect {
       val step1 = analyzed.transformUpWithSubqueries {
         case p => p.transformExpressionsUp(pf)
       }
-      if (step1 eq analyzed) None else Some(step1)
+      // Impala permits nondeterministic expressions as aggregate
+      // arguments (count(distinct rand()) — random.test; FE treats
+      // them like any scalar expr). Spark's CheckAnalysis rejects
+      // them, so pull each one into a Project below the Aggregate and
+      // aggregate over the resulting attribute — the per-row draw
+      // semantics are identical.
+      import org.apache.spark.sql.catalyst.expressions.{Alias,
+        NamedExpression}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{
+        AggregateFunction}
+      import org.apache.spark.sql.catalyst.plans.logical.{
+        Aggregate => LAggregate, Project => LProject}
+      val step2 = step1.transformUpWithSubqueries {
+        case a: LAggregate if a.resolved &&
+            a.aggregateExpressions.exists(_.exists {
+              case af: AggregateExpression =>
+                af.aggregateFunction.children.exists(c =>
+                  !c.deterministic)
+              case _ => false
+            }) =>
+          val pulled = scala.collection.mutable.LinkedHashMap
+            .empty[Expression, Alias]
+          val newAggs = a.aggregateExpressions.map(_.transformUp {
+            case af: AggregateExpression
+                if af.aggregateFunction.children.exists(c =>
+                  !c.deterministic) =>
+              af.copy(aggregateFunction =
+                af.aggregateFunction.mapChildren {
+                  case c if !c.deterministic && c.resolved =>
+                    pulled.getOrElseUpdate(c.canonicalized,
+                      Alias(c, s"__gf_nd_${pulled.size}")()).toAttribute
+                  case c => c
+                }.asInstanceOf[AggregateFunction])
+          }.asInstanceOf[NamedExpression])
+          if (pulled.isEmpty) a
+          else a.copy(aggregateExpressions = newAggs,
+            child = LProject(
+              (a.child.output ++ pulled.values).toIndexedSeq, a.child))
+      }
+      if (step2 eq analyzed) None else Some(step2)
     }.toOption.flatten
   }
 

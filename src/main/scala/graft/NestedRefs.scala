@@ -157,7 +157,10 @@ object NestedRefs {
   private def composeArrayExpr(base: DataType,
       segs: Seq[String]): Option[(String, DataType)] = {
     val (j, collType) = structPrefix(base, segs).getOrElse(return None)
-    if (j >= segs.length) return None
+    // a path ENDING on its first collection composes only when that
+    // collection is a MAP (the correlated-map shape — arrays stay with
+    // the positioned machinery)
+    if (j >= segs.length && !collType.isInstanceOf[MapType]) return None
     var (e, elem): (String, DataType) = collType match {
       case ArrayType(t, _) => (segs.take(j).mkString("."), t)
       case MapType(k, v, _) =>
@@ -734,8 +737,20 @@ object NestedRefs {
           // array type") — only that shape goes trailing
           var multiLevelMapFinal = rest.length > 1 &&
             walkFinal(baseType, rest).exists(_.isInstanceOf[MapType])
+          // a correlated direct MAP ref can't positioned-explode
+          // either: Spark rejects any MAP-typed correlated column
+          // (UNSUPPORTED_CORRELATED_REFERENCE_DATA_TYPE), so route it
+          // through the composed map_entries array as well
+          val firstIsMapFinal = rest.length == 1 && (baseType match {
+            case st: StructType =>
+              st.fields.find(_.name.equalsIgnoreCase(rest.head))
+                .exists(_.dataType.isInstanceOf[MapType])
+            case _ => false
+          })
           if (correlated &&
-              !(firstIsCollection && !baseIsTrailing && !multiLevelMapFinal)) {
+              (firstIsMapFinal ||
+                !(firstIsCollection && !baseIsTrailing &&
+                  !multiLevelMapFinal))) {
             // retry: a correlated MULTI-collection path (map-of-map
             // value, collection behind a collection) can't positioned-
             // explode level by level — each intermediate would be a
@@ -1777,15 +1792,21 @@ object NestedRefs {
       case MapType(kt, vt, _) =>
         val id = nextId()
         val fn = if (outer) "explode_outer" else "explode"
+        // enumerate via map_entries(...): Spark's decorrelator rejects
+        // a MAP-typed correlated column outright
+        // (UNSUPPORTED_CORRELATED_REFERENCE_DATA_TYPE), while the
+        // equivalent ARRAY-of-struct form decorrelates fine — and the
+        // two enumerate identically when uncorrelated
         val (kcol, vcol) =
           if (fromTvf.isEmpty) {
-            fromTvf = Some(s"$fn(${filteredExpr(expr)}) AS __e$id")
-            (s"__e$id.key", s"__e$id.value")
+            fromTvf =
+              Some(s"$fn(map_entries(${filteredExpr(expr)})) AS __e$id")
+            (s"__e$id.col.key", s"__e$id.col.value")
           } else {
             val kw = if (outer) "LATERAL VIEW OUTER" else "LATERAL VIEW"
-            innerViews += s"$kw $fn(${filteredExpr(expr)}) " +
-              s"__e$id AS __k$id, __v$id"
-            (s"__k$id", s"__v$id")
+            innerViews += s"$kw $fn(map_entries(${filteredExpr(expr)})) " +
+              s"__e$id AS __me$id"
+            (s"__me$id.key", s"__me$id.value")
           }
         (item(s"$kcol AS key, $vcol AS value"), StructType(Seq(
           StructField("key", kt), StructField("value", vt))))

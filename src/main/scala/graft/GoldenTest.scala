@@ -229,30 +229,60 @@ object GoldenResult {
       exp.indices.forall(i => eqCol(exp(i), act(i),
         types.lift(i).getOrElse("string")))
 
+  /** A golden `row_regex:<pattern>` line matches a whole actual row
+    * (cells joined by ',') — `test_result_verifier.py`'s row_regex
+    * escape hatch for environment-dependent lines (EXPLAIN estimates,
+    * file sizes).
+    */
+  private def rowRegexOf(line: String): Option[java.util.regex.Pattern] = {
+    val t = line.trim
+    if (!t.startsWith("row_regex:")) None
+    else Some(java.util.regex.Pattern.compile(
+      t.stripPrefix("row_regex:").trim))
+  }
+
   /** Compare rendered actual rows against golden lines; None on match,
     * Some(message) on the first difference. `ordered` = positional;
     * otherwise greedy multiset matching (mirrors the verifier's
     * VERIFY_IS_EQUAL_SORTED path — approximate columns make exact
-    * set-hashing impossible).
+    * set-hashing impossible). `subset` = every golden row must appear
+    * among the actual rows, extra actual rows allowed
+    * (VERIFY_IS_SUBSET). Golden `row_regex:` lines match by pattern.
     */
   def compare(goldenLines: Seq[String], actualRows: Seq[Seq[String]],
-      types: Seq[String], ordered: Boolean): Option[String] = {
-    val exp = goldenLines.map(tokenize)
-    if (exp.length != actualRows.length)
-      return Some(s"row count: golden ${exp.length} vs actual ${actualRows.length}")
+      types: Seq[String], ordered: Boolean,
+      subset: Boolean = false): Option[String] = {
+    def hits(line: String, act: Seq[String]): Boolean =
+      rowRegexOf(line) match {
+        case Some(p) => p.matcher(act.mkString(",")).find()
+        case None => eqRow(tokenize(line), act, types)
+      }
+    if (subset) {
+      val remaining = scala.collection.mutable.ArrayBuffer(actualRows: _*)
+      goldenLines.foreach { e =>
+        val hit = remaining.indexWhere(a => hits(e, a))
+        if (hit < 0)
+          return Some(s"golden row not found (subset): [$e]; " +
+            s"sample actual: [${remaining.headOption.map(_.mkString(",")).getOrElse("-")}]")
+        remaining.remove(hit)
+      }
+      return None
+    }
+    if (goldenLines.length != actualRows.length)
+      return Some(s"row count: golden ${goldenLines.length} vs actual ${actualRows.length}")
     if (ordered) {
-      exp.indices.foreach { i =>
-        if (!eqRow(exp(i), actualRows(i), types))
-          return Some(s"row $i: golden [${exp(i).mkString(",")}] vs " +
+      goldenLines.indices.foreach { i =>
+        if (!hits(goldenLines(i), actualRows(i)))
+          return Some(s"row $i: golden [${goldenLines(i)}] vs " +
             s"actual [${actualRows(i).mkString(",")}]")
       }
       None
     } else {
       val remaining = scala.collection.mutable.ArrayBuffer(actualRows: _*)
-      exp.foreach { e =>
-        val hit = remaining.indexWhere(a => eqRow(e, a, types))
+      goldenLines.foreach { e =>
+        val hit = remaining.indexWhere(a => hits(e, a))
         if (hit < 0)
-          return Some(s"golden row not found: [${e.mkString(",")}]; " +
+          return Some(s"golden row not found: [$e]; " +
             s"sample actual: [${remaining.headOption.map(_.mkString(",")).getOrElse("-")}]")
         remaining.remove(hit)
       }

@@ -1372,11 +1372,18 @@ object ImpalaDialect {
     }
   }
 
+  private val explainRe = """(?is)^\s*explain\s+(select\b.*|with\b.*|values\b.*)$""".r
+
   def sql(spark: SparkSession, text: String): DataFrame = {
     GraftSession.tune(spark)
     ImpalaMeta.intercept(spark, text) match {
       case Some(df) => return df
       case None =>
+    }
+    text match {
+      case explainRe(body) =>
+        return plans.ImpalaExplain.explainSql(spark, body, sql)
+      case _ =>
     }
     val parsed = preAnalysisFix(org.apache.spark.sql.graft.Bridge.parsePlan(
       spark, rewrite(NestedRefs.rewrite(spark, text))))

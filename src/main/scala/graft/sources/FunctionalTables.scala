@@ -1073,6 +1073,49 @@ object FunctionalTables {
           refRoot.resolve("data/hive2_pre_gregorian.parquet").toString)
         .createOrReplaceTempView("hive2_pre_gregorian")
     } catch { case _: Throwable => }
+    // ORC twins of the two calendar/range scanner fixtures
+    // (out-of-range-date-orc.test, hive2-pre-gregorian-date-orc.test).
+    // Impala's ORC scanner interprets the stored epoch-day int
+    // PROLEPTICALLY with no hybrid-calendar conversion and NULLs values
+    // outside 0001-01-01..9999-12-31 (be/src/exec/orc/
+    // hdfs-orc-scanner.cc date range check; IMPALA-9511/9515); Spark's
+    // ORC reader rebases instead, so the fixture registers from the
+    // raw DateColumnVector days (a driver-side read of a 4/5-row file)
+    def orcRawDateView(rel: String, name: String): Unit =
+      if (exists(rel)) try {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val r = org.apache.orc.OrcFile.createReader(
+          new org.apache.hadoop.fs.Path(refRoot.resolve(rel).toString),
+          org.apache.orc.OrcFile.readerOptions(conf))
+        val days = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val rows = r.rows()
+        try {
+          val batch = r.getSchema.createRowBatch()
+          while (rows.nextBatch(batch)) {
+            val col = batch.cols(0).asInstanceOf[
+              org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+            (0 until batch.size).foreach { i =>
+              val j = if (col.isRepeating) 0 else i
+              days += (if (col.noNulls || !col.isNull(j)) col.vector(j)
+                else Long.MinValue)
+            }
+          }
+        } finally rows.close()
+        // LocalDate, not java.sql.Date: the legacy type rebases through
+        // the hybrid calendar on ingestion, shifting pre-Gregorian days
+        val out = days.toSeq.map {
+          case d if d >= -719162L && d <= 2932896L =>
+            org.apache.spark.sql.Row(java.time.LocalDate.ofEpochDay(d))
+          case _ => org.apache.spark.sql.Row(null)
+        }
+        spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
+            StructType.fromDDL("d date"))
+          .createOrReplaceTempView(name)
+      } catch { case _: Throwable => }
+    orcRawDateView("data/out_of_range_date.orc", "out_of_range_date_orc")
+    orcRawDateView("data/hive2_pre_gregorian.orc", "hive2_pre_gregorian_orc")
     // dateless timestamps: the fixture stores time-only values with
     // int96 julian day 0 (wall date 4714 BC), far below Impala's
     // 1400-01-01 floor — the same scanner range rule nulls them

@@ -1,25 +1,27 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
-
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
-    spark.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.PruneFilters," +
-        "org.apache.spark.sql.catalyst.optimizer.PropagateEmptyRelation")
-    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
-    spark.read.format("graft.sources.AllTypesDataSourceTwin").load()
-      .createOrReplaceTempView("alltypes_datasource")
-    val q = """select string_col from alltypes_datasource
-      where string_col = 'VALIDATE_PREDICATES##id LT 1 && id GT 1 && id LE 1 && id GE 1 && int_col EQ 1 && id NE 1'
-            and id < 1 and id > 1 and id <= 1 and id >= 1 and int_col = 1 and id != 1"""
-    val df = graft.ImpalaDialect.sql(spark, q)
-    df.explain(false)
-    df.show(false)
-    spark.stop()
+    for (fileProleptic <- Seq(false, true); outProleptic <- Seq(false, true)) {
+      for (rel <- Seq("out_of_range_date.orc", "hive2_pre_gregorian.orc")) {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        conf.set("orc.proleptic.gregorian.default", fileProleptic.toString)
+        val r = org.apache.orc.OrcFile.createReader(
+          new org.apache.hadoop.fs.Path(s"/root/reference/testdata/data/$rel"),
+          org.apache.orc.OrcFile.readerOptions(conf)
+            .convertToProlepticGregorian(outProleptic))
+        val rows = r.rows()
+        val days = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val batch = r.getSchema.createRowBatch()
+        while (rows.nextBatch(batch)) {
+          val col = batch.cols(0).asInstanceOf[
+            org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+          (0 until batch.size).foreach(i => days += col.vector(if (col.isRepeating) 0 else i))
+        }
+        rows.close()
+        println(s"file=$fileProleptic out=$outProleptic $rel -> ${days.mkString(",")}")
+      }
+    }
+    println("expect hive2 first = " + java.time.LocalDate.of(1582, 10, 14).toEpochDay)
   }
 }

@@ -204,6 +204,12 @@ object GoldenResult {
     else s.toDoubleOption
 
   private def eqCol(exp: String, act: String, tpe: String): Boolean = {
+    // a `regex:<pattern>` cell matches by pattern (the verifier's
+    // per-column escape hatch — LOCATION paths, file-size cells)
+    if (exp.startsWith("regex:"))
+      return java.util.regex.Pattern
+        .compile(escapeRunnerVars(exp.stripPrefix("regex:").trim))
+        .matcher(act.stripPrefix("'").stripSuffix("'")).matches()
     if (exp == "NULL" || act == "NULL") return exp == act
     tpe match {
       case "float" =>
@@ -238,8 +244,17 @@ object GoldenResult {
     val t = line.trim
     if (!t.startsWith("row_regex:")) None
     else Some(java.util.regex.Pattern.compile(
-      t.stripPrefix("row_regex:").trim))
+      escapeRunnerVars(t.stripPrefix("row_regex:").trim)))
   }
+
+  /** The reference runner substitutes `$DATABASE`/`$NAMENODE`-style
+    * variables into golden regex patterns before comparing; here the
+    * actual output carries those spellings literally, so escape the
+    * `$` (a bare `$` before an uppercase word is always a runner var,
+    * never an end anchor).
+    */
+  private def escapeRunnerVars(p: String): String =
+    p.replaceAll("\\$(?=[A-Z])", "\\\\\\$")
 
   /** Compare rendered actual rows against golden lines; None on match,
     * Some(message) on the first difference. `ordered` = positional;

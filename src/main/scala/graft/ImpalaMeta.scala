@@ -31,6 +31,17 @@ object ImpalaMeta {
   private val showDatabasesRe =
     ("""(?is)^\s*show\s+(?:databases|schemas)""" +
       """(?:\s+(?:like\s+)?["']([^"']*)["'])?\s*;?\s*$""").r
+  private val showTableStatsRe =
+    """(?is)^\s*show\s+(?:table\s+stats|partitions)\s+((?:`[^`]+`|[$\w.])+)\s*;?\s*$""".r
+  private val showColumnStatsRe =
+    """(?is)^\s*show\s+column\s+stats\s+((?:`[^`]+`|[$\w.])+)\s*;?\s*$""".r
+  private val showFilesRe =
+    ("""(?is)^\s*show\s+files\s+in\s+((?:`[^`]+`|[$\w.])+)""" +
+      """(?:\s+partition\s*\((.*)\))?\s*;?\s*$""").r
+
+  private def statsName(raw: String): String =
+    raw.split('.').map(_.stripPrefix("`").stripSuffix("`"))
+      .mkString(".").toLowerCase
 
   /** Intercept the catalog-observability statements this formatter
     * models (plain DESCRIBE, SHOW TABLES/DATABASES). None → not one of
@@ -38,6 +49,17 @@ object ImpalaMeta {
     */
   def intercept(spark: SparkSession, text: String): Option[DataFrame] =
     text match {
+      case showTableStatsRe(raw) =>
+        val n = statsName(raw)
+        ImpalaStats.showTableStats(spark, n).orElse(
+          ImpalaStats.showTableStats(spark, n.split('.').last))
+      case showColumnStatsRe(raw) =>
+        val n = statsName(raw)
+        ImpalaStats.showColumnStats(spark, n).orElse(
+          ImpalaStats.showColumnStats(spark, n.split('.').last))
+      case showFilesRe(raw, spec) =>
+        val n = statsName(raw).split('.').last
+        ImpalaStats.showFiles(spark, n, Option(spec))
       case showTablesRe(inDb, pattern) if inDb != null =>
         // a db-qualified listing: the temp-view namespace answers only
         // for the db it represents (graft.meta.tempview.db — harness

@@ -55,7 +55,7 @@ object ImpalaExplain {
 
   // ---- render tree ------------------------------------------------
 
-  private final class Node(
+  private[plans] final class Node(
       val kind: String, // SCAN | EXCHANGE | JOIN | AGG | SORT | ...
       val title: String, // text after "NN:" (or the full line if unnumbered)
       var details: List[String] = Nil,
@@ -82,6 +82,7 @@ object ImpalaExplain {
     val level = spark.conf.getOption("graft.explain.level")
       .flatMap(_.toIntOption).getOrElse(1)
     val (stripped, names) = resolveNames(spark, body)
+    val statsScan = statsScanNode(spark, body, names)
     // the rendered plan is the STATIC one, like Impala's (AQE re-plans
     // at runtime; EXPLAIN describes the compile-time plan)
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -89,7 +90,7 @@ object ImpalaExplain {
     val lines =
       try {
         val df = sqlRunner(spark, stripped)
-        render(spark, df, names, level)
+        render(spark, df, names, level, statsScan)
       } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     val rows = new java.util.ArrayList[Row](lines.length)
     lines.foreach(l => rows.add(Row(l)))
@@ -150,11 +151,107 @@ object ImpalaExplain {
     }
   }
 
+  /** When the statement reads exactly ONE relation that lives in the
+    * ImpalaStats registry (a warehouse-model table published as an
+    * in-memory view), precompute the Impala scan node for it: the
+    * registry supplies partition pruning (`partitions=sel/total`),
+    * file counts and byte sizes — what Impala's HdfsScanNode prints
+    * from HMS partition metadata. The WHERE clause's partition-column
+    * conjuncts drive the pruning, exactly HdfsPartitionPruner.
+    */
+  private def statsScanNode(spark: SparkSession, body: String,
+      names: Seq[String]): Option[Node] = {
+    if (names.map(_.toLowerCase).distinct.length != 1) return None
+    val full = names.head
+    val bare = full.split('.').last
+    graft.ImpalaStats.lookup(bare).map { case (m, _) =>
+      val parts = m.partitions()
+      val partNames = m.partCols().fields.map(_.name.toLowerCase).toSet
+      val whereTxt = """(?is)\bwhere\b(.*?)(?:\bgroup\s+by\b|\border\s+by\b|\blimit\b|$)""".r
+        .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+      val conjuncts = splitTopAnd(whereTxt).filter { c =>
+        val ids = identifiers(c)
+        ids.nonEmpty && ids.forall(partNames)
+      }
+      val sel =
+        if (conjuncts.isEmpty || partNames.isEmpty) parts
+        else {
+          val keys = graft.ImpalaStats.matchPartitions(spark, bare,
+            conjuncts.mkString(" AND ")).getOrElse(parts.map(_.values))
+          parts.filter(p => keys.contains(p.values))
+        }
+      val files = sel.map(_.fileBytes.length).sum
+      val bytes = sel.map(_.fileBytes.sum).sum
+      val n = new Node("SCAN", s"SCAN HDFS [$full]")
+      // the filesystem prefix prints only when partitions were
+      // selected (HdfsScanNode: `partitions=0/1 files=0 size=0B`)
+      val fsPrefix = if (sel.nonEmpty) "HDFS " else ""
+      n.details = List(fsPrefix +
+        f"partitions=${sel.size}%d/${parts.size}%d files=$files%d size=${fmtBytes(bytes)}%s")
+      n
+    }
+  }
+
+  private def splitTopAnd(txt: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var inQ = false
+    val s = txt
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') inQ = !inQ
+      else if (!inQ && c == '(') depth += 1
+      else if (!inQ && c == ')') depth -= 1
+      else if (!inQ && depth == 0 && (c == 'a' || c == 'A') &&
+          i + 3 <= s.length &&
+          s.regionMatches(true, i, "and", 0, 3) &&
+          (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1))) &&
+          (i + 3 == s.length || !Character.isLetterOrDigit(s.charAt(i + 3)))) {
+        out += s.substring(start, i).trim
+        start = i + 3
+        i += 2
+      }
+      i += 1
+    }
+    out += s.substring(start).trim
+    out.filter(_.nonEmpty).toSeq
+  }
+
+  private val sqlWords = Set("and", "or", "not", "in", "is", "null",
+    "true", "false", "like", "rlike", "regexp", "between", "cast", "as",
+    "int", "bigint", "smallint", "tinyint", "float", "double", "decimal",
+    "string", "char", "varchar", "date", "timestamp", "boolean")
+
+  private def identifiers(c: String): Seq[String] = {
+    val noStrings = c.replaceAll("'[^']*'", " ")
+    """[A-Za-z_]\w*""".r.findAllIn(noStrings).map(_.toLowerCase)
+      .filterNot(sqlWords).toSeq
+  }
+
+  /** Replace the plan's input subtree (unions of the published view's
+    * per-partition local relations) with the synthesized Impala scan.
+    * Only pure-input subtrees substitute — anything containing a join,
+    * aggregate, sort or exchange stays.
+    */
+  private def substituteScan(n: Node, scan: Node): Node = {
+    def pureInput(k: Node): Boolean = k.allNodes.forall(x =>
+      x.kind == "UNION" || x.kind == "OTHER" || x.kind == "SCAN")
+    if (pureInput(n)) scan
+    else {
+      n.child = n.child.map(substituteScan(_, scan))
+      n.builds = n.builds.map(substituteScan(_, scan))
+      n
+    }
+  }
+
   /** Render a DataFrame's executed plan. `names` are the original
     * relation spellings in text order, consumed by scans left to right.
     */
-  def render(spark: SparkSession, df: DataFrame, names: Seq[String],
-      level: Int): Seq[String] = {
+  private[plans] def render(spark: SparkSession, df: DataFrame,
+      names: Seq[String], level: Int,
+      statsScan: Option[Node] = None): Seq[String] = {
     val plan = df.queryExecution.executedPlan
     // assign original names to physical scan leaves in order
     val scanNames = new java.util.IdentityHashMap[SparkPlan, String]()
@@ -167,7 +264,10 @@ object ImpalaExplain {
     leaves.zipWithIndex.foreach { case (s, i) =>
       scanNames.put(s, names.lift(i).getOrElse(scanLabel(s)))
     }
-    val treeNoRoot = build(plan, scanNames)
+    val treeNoRoot = statsScan match {
+      case Some(scan) => substituteScan(build(plan, scanNames), scan)
+      case None => build(plan, scanNames)
+    }
     // coordinator crown: PLAN-ROOT SINK over a final UNPARTITIONED
     // exchange (added when the plan below is distributed — has a scan
     // or exchange — and isn't already gathered by one)

@@ -357,6 +357,44 @@ object FunctionalTables {
     mk(allTypesFamily(24, 310), schema, "alltypes")
     mk(allTypesFamily(4, 25), schema, "alltypessmall")
     mk(allTypesFamily(4, 2), schema, "alltypestiny")
+    // alltypesnopart (schema template): alltypes' data columns, no
+    // partitions, loaded EMPTY — compute-stats.test clones its shape
+    mk(Nil, StructType(schema.fields.dropRight(2)), "alltypesnopart")
+    // widetable_1000_cols (testdata/common/widetable.py get_columns /
+    // get_data): 125 groups of 8 columns cycling bool/tinyint/smallint/
+    // int/bigint/float/double/string; per-column generators yield
+    // True/False alternation, 0..4 repeating ints, (i%5)*1.1 floats —
+    // 10 rows
+    locally {
+      val wideFields = (0 until 1000).map { i =>
+        val g = i / 8 + 1
+        (i % 8) match {
+          case 0 => StructField(s"bool_col$g", BooleanType)
+          case 1 => StructField(s"tinyint_col$g", ByteType)
+          case 2 => StructField(s"smallint_col$g", ShortType)
+          case 3 => StructField(s"int_col$g", IntegerType)
+          case 4 => StructField(s"bigint_col$g", LongType)
+          case 5 => StructField(s"float_col$g", FloatType)
+          case 6 => StructField(s"double_col$g", DoubleType)
+          case 7 => StructField(s"string_col$g", StringType)
+        }
+      }
+      val wideRows = (0 until 10).map { r =>
+        Row.fromSeq((0 until 1000).map { i =>
+          (i % 8) match {
+            case 0 => java.lang.Boolean.valueOf(r % 2 == 0)
+            case 1 => java.lang.Byte.valueOf((r % 5).toByte)
+            case 2 => java.lang.Short.valueOf((r % 5).toShort)
+            case 3 => java.lang.Integer.valueOf(r % 5)
+            case 4 => java.lang.Long.valueOf((r % 5).toLong)
+            case 5 => java.lang.Float.valueOf(((r % 5) * 1.1).toFloat)
+            case 6 => java.lang.Double.valueOf((r % 5) * 1.1)
+            case 7 => String.valueOf(r % 5)
+          }
+        })
+      }
+      mk(wideRows, StructType(wideFields), "widetable_1000_cols")
+    }
     mk(allTypesAgg(writeNulls = true, nullDayCopy = true), aggSchema,
       "alltypesagg")
     // alltypes_deleted_rows (schema template:528-560): the alltypes

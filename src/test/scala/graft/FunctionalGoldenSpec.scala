@@ -236,7 +236,36 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // ORC calendar/range scanner fixtures: raw proleptic epoch-day
     // reads with Impala's valid-date range rule (the parquet twins are
     // gated above; FunctionalTables orcRawDateView)
-    "out-of-range-date-orc.test", "hive2-pre-gregorian-date-orc.test")
+    "out-of-range-date-orc.test", "hive2-pre-gregorian-date-orc.test",
+    // the stats subsystem (ImpalaStats): COMPUTE [INCREMENTAL] STATS /
+    // DROP STATS / SET COLUMN STATS execution, SHOW TABLE/COLUMN STATS
+    // shapes, per-partition file ledgers with Impala text-writer byte
+    // sizes (ImpalaTextFormat), metadata-derived partition-col stats
+    "compute-stats.test", "compute-stats-date.test",
+    "compute-stats-decimal.test", "compute-stats-keywords.test",
+    "truncate-table.test", "alter-table-set-column-stats.test",
+    // incremental stats lifecycle: per-partition intermediate state,
+    // staleness on insert/add-column, scoped PARTITION computes
+    "compute-stats-incremental.test",
+    // stats over insert-only ACID tables (DEFAULT_TRANSACTIONAL_TYPE
+    // neutral-SET; FORMAT cells regex-pinned)
+    "acid-compute-stats.test",
+    // corrupt-stats detection surface: numRows tblproperty overrides
+    // (table- and partition-scoped), SHOW TABLE STATS after each
+    // (EXPLAIN warning blocks are planner-pinned deltas)
+    "corrupt-stats.test",
+    // partition DDL by predicate (PartitionSet): drop/set-fileformat/
+    // serde/tblproperties over j<2 / rlike / IS NULL specs, SHOW FILES,
+    // case-sensitive string keys (ImpalaStats.matchPartitions)
+    "partition-ddl-predicates-all-fs.test",
+    // every INSERT-able partition-column type: dynamic/static inserts
+    // report their per-partition rows (Impala's %.16g partition-name
+    // values), EXPLAIN partition pruning from the stats registry
+    "partition-col-types.test",
+    // 1234 partitions over one shared dir (create-table-many-blocks.sh)
+    "compute-stats-many-partitions.test",
+    // IMPALA-867 avro coldef-vs-schema reconciliation under stats
+    "compute-stats-avro.test")
 
   /** Files whose fixture tables swap to the ACID-layout-backed twins. */
   private val acidFullFiles = Set(
@@ -526,7 +555,20 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       ("explain-level3.test", 2) ->
         "alltypesmixedformat registers as one physical format here (the reference's TEXT/RC/SEQ mix is a load artifact)",
       ("explain-level3.test", 3) ->
-        "VERBOSE fragment indentation (the Iceberg scan itself is gated via iceberg-query.test)")
+        "VERBOSE fragment indentation (the Iceberg scan itself is gated via iceberg-query.test)",
+      ("compute-stats.test", 32) ->
+        "#FILES=3 is a 3-node-minicluster writer artifact (one insert writes one file here)",
+      ("compute-stats.test", 34) ->
+        "#FILES=3 is a 3-node-minicluster writer artifact (one insert writes one file here)") ++
+    // corrupt-stats EXPLAIN blocks pin the reference DISTRIBUTED
+    // planner's internals: the small-query single-node collapse for
+    // healthy row counts, merge-agg node ids assigned by
+    // DistributedPlanner, and its scan cardinality estimator — the
+    // stats themselves (SHOW TABLE STATS before/after the corrupt
+    // numRows overrides) are the gated surface
+    Seq(9, 12, 15, 16, 19, 22, 23).map(i =>
+      ("corrupt-stats.test", i) ->
+        "EXPLAIN pins the reference distributed planner (small-query collapse, merge-agg ids, cardinality estimator)").toMap
 
   // test-runner substitution variables are ALL-CAPS ($ORIGINAL_DB,
   // $NAMENODE, $IMPALA_HOME…) — a literal '$' inside a string value
@@ -598,9 +640,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     block.linesIterator.filterNot(_.trim.startsWith("--")).mkString("\n")
 
   // db prefixes (incl. $DATABASE) strip here so the runner-variable
-  // eligibility check sees the resolvable bare-name form
+  // eligibility check sees the resolvable bare-name form; in
+  // fixture-alias files qualified refs rewrite to their __fx_ snapshot
+  // aliases instead (same-named created tables shadow the originals)
   private def splitStmts(block: String): Seq[String] =
-    dbPrefix.replaceAllIn(stripLineComments(block), "").split(";")
+    dbPrefix.replaceAllIn(stripLineComments(
+        if (fixtureAlias) fxRewrite(block) else block), "").split(";")
       .map(_.trim).filter(_.nonEmpty).toSeq
 
   // a WITH-prefixed INSERT is DML, not a result-bearing SELECT
@@ -635,6 +680,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       // rows, which our clean scans produce either way;
       // parquet_page_row_count_limit shapes written page layout only
       """abort_on_error|parquet_page_row_count_limit|""" +
+      // DEFAULT_TRANSACTIONAL_TYPE flips new tables to insert-only
+      // ACID — table contents and stats shapes are identical
+      // (acid-compute-stats.test's FORMAT cells are regex-pinned)
+      """default_transactional_type|""" +
       """max_scan_range_length)\s*=.*""").r
   // `use <db>`: session default-database switch — a no-op in this
   // single-namespace registry (db prefixes are stripped from queries)
@@ -704,7 +753,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     */
   private def execSetupStmt(spark: org.apache.spark.sql.SparkSession,
       raw: String): Unit = {
-    val s = dbPrefix.replaceAllIn(raw, "")
+    val s = dbPrefix.replaceAllIn(
+      if (fixtureAlias) fxRewrite(raw) else raw, "")
     // DDL-emulation files route through the GoldenDdl store FIRST —
     // its statements may carry runner variables inside LOCATION
     // strings, which the store normalizes away
@@ -873,9 +923,41 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   // ---- DDL-mutation emulation (alter-table.test family) ----
   private val ddlFiles =
     Set("alter-table.test", "create-table-like-table.test",
-      "avro-schema-resolution.test", "avro-schema-changes.test")
+      "avro-schema-resolution.test", "avro-schema-changes.test",
+      "compute-stats.test", "compute-stats-date.test",
+      "compute-stats-decimal.test", "compute-stats-keywords.test",
+      "truncate-table.test", "alter-table-set-column-stats.test",
+      "compute-stats-incremental.test", "acid-compute-stats.test",
+      "corrupt-stats.test", "partition-ddl-predicates-all-fs.test",
+      "partition-col-types.test", "compute-stats-many-partitions.test",
+      "compute-stats-avro.test")
   private var ddlEmu = false
   private lazy val ddlStore = new GoldenDdl(spark)
+
+  // Stats files create tables NAMED LIKE the fixture they copy
+  // (`create table alltypes like functional.alltypes`) — in the
+  // single-namespace catalog the publish would shadow the source. For
+  // these files db-qualified refs rewrite to `__fx_<name>` aliases
+  // snapshotted from the fixture views before the file runs, instead
+  // of the usual prefix strip.
+  private val fixtureAliasFiles = Set(
+    "compute-stats.test", "compute-stats-date.test",
+    "compute-stats-decimal.test", "compute-stats-keywords.test",
+    "truncate-table.test", "alter-table-set-column-stats.test",
+    "compute-stats-incremental.test", "compute-stats-avro.test")
+  private var fixtureAlias = false
+  private val dbQualRe =
+    ("""\b(functional(?:_[a-z0-9]+)*|tpch(?:_[a-z0-9]+)*|""" +
+      """tpcds(?:_[a-z0-9]+)*)\.([A-Za-z_]\w*)""").r
+  /** db-qualified fixture ref → its snapshot alias (the db rides along
+    * so GoldenDdl can tell an HBase mapping — no partition columns —
+    * from the hdfs dataset of the same name).
+    */
+  private def fxAlias(db: String, name: String): String =
+    s"__fx_${db.toLowerCase}__${name.toLowerCase}"
+  private def fxRewrite(s: String): String =
+    dbQualRe.replaceAllIn(s,
+      m => fxAlias(m.group(1), m.group(2)))
 
   // ---- schema-evolution overlays (parquet-resolution-by-name.test) ----
   // A table whose LOGICAL schema was mutated by ALTER ... REPLACE
@@ -1013,18 +1095,26 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // environment-dependent estimate lines, and VERIFY_IS_SUBSET the
     // header-warning probes
     val isExplain = q.trim.startsWith("explain")
-    if (isSetupStmt(queryStmt) ||
+    if (!isMsgDdl(queryStmt, c) && !isInsertReport(queryStmt, c) &&
+        (isSetupStmt(queryStmt) ||
         !(q.startsWith("select") || q.startsWith("with") ||
           q.startsWith("values") || isExplain ||
           // plain DESCRIBE <path> produces Impala-shaped rows via
           // ImpalaMeta; FORMATTED/EXTENDED stay out of scope
           """^describe\s+(?!formatted\b|extended\b)""".r
             .findFirstIn(q).isDefined ||
+          // SHOW TABLE/COLUMN STATS and SHOW PARTITIONS render from
+          // the ImpalaStats registry — the DDL-emulation files, whose
+          // tables the GoldenDdl store registers (the acid-sim and
+          // iceberg SHOW PARTITIONS shapes are different surfaces)
+          (ddlEmu &&
+            """^show\s+((table|column)\s+stats|partitions|files)\b""".r
+            .findFirstIn(q).isDefined) ||
           // SHOW TABLES/DATABASES with an explicit pattern — the
           // bare forms list a per-test database this single-namespace
           // registry can't scope
           """^show\s+(tables|databases|schemas)\b.*['"]""".r
-            .findFirstIn(q).isDefined))
+            .findFirstIn(q).isDefined)))
       Some("non-select")
     else if (prefix.exists(decimalV2FalseRe.matches))
       Some("documented delta: legacy DECIMAL_V2=false arithmetic")
@@ -1038,6 +1128,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           // their $FILESYSTEM_PREFIX/$DATABASE variables — don't let
           // them disqualify the block
           if (ddlEmu) s.replaceAll("(?is)location\\s+'[^']*'", "location ''")
+            .replaceAll("(?is)like\\s+parquet\\s+'[^']*'", "like parquet ''")
           else s).isDefined))
       // a runner variable inside an execution-neutral SET (e.g. `SET
       // RUNTIME_FILTER_WAIT_TIME_MS=$RUNTIME_FILTER_WAIT_TIME_MS`) is
@@ -1049,7 +1140,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     else if (!c.sections.contains("RESULTS")) Some("no RESULTS section")
     else if (!isExplain && c.results.exists(_.trim.startsWith("row_regex")))
       Some("row_regex expectation")
-    else if (!isExplain && c.results.exists(_.contains("regex:")))
+    else if (!isExplain && !q.startsWith("show") &&
+        c.results.exists(_.contains("regex:")))
+      // per-cell regex: supported in compare (eqCol) but only admitted
+      // for the SHOW shapes whose LOCATION/size cells pin paths
       Some("column regex")
     else if (!(Set("", "VERIFY_IS_EQUAL_SORTED", "VERIFY_IS_EQUAL")
           .contains(c.resultsTag) ||
@@ -1057,6 +1151,30 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       Some(s"tag ${c.resultsTag}")
     else None
   }
+
+  /** A DDL statement whose golden RESULTS section is Impala's
+    * human-readable summary line (CatalogOpExecutor addSummary) —
+    * executed through the GoldenDdl store, compared via lastMessage.
+    */
+  private val msgDdlRe =
+    ("""(?is)^\s*(compute\s+(incremental\s+)?stats|truncate\b|""" +
+      """alter\s+table\b|drop\s+table\b|""" +
+      """create\s+(external\s+)?table\b(?![\s\S]*\bas\s+select\b))""").r
+  private def isMsgDdl(queryStmt: String, c: GoldenTest.Case): Boolean =
+    ddlEmu && msgDdlRe.findFirstIn(queryStmt).isDefined &&
+      c.sections.contains("RESULTS") && !c.sections.contains("CATCH") &&
+      c.results.length == 1 && c.results.head.trim.startsWith("'")
+
+  /** An INSERT whose RESULTS section is the runner's per-partition row
+    * report (`k1=v1/k2=v2/: n` lines) — executed through GoldenDdl,
+    * compared via lastInsertReport.
+    */
+  private def isInsertReport(queryStmt: String, c: GoldenTest.Case): Boolean =
+    ddlEmu &&
+      """(?is)^\s*insert\b""".r.findFirstIn(queryStmt).isDefined &&
+      c.sections.contains("RESULTS") && !c.sections.contains("CATCH") &&
+      c.results.nonEmpty &&
+      c.results.forall(_.trim.matches(""".*: \d+$"""))
 
   /** Positional compare only when the statement is globally ordered.
     * Mirrors IMPALA-4741: with a depth-0 set operation, a trailing
@@ -1265,7 +1383,68 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         sources.FunctionalTables.register(spark)
       }
       ddlEmu = ddlFiles(f)
+      fixtureAlias = fixtureAliasFiles(f)
       if (f == "alter-table.test") ddlStore.preloadPartData()
+      // the runner pre-creates keyword-named tables in a db named
+      // `parquet` (tests/metadata/test_compute_stats.py:103-106); the
+      // single-namespace twin registers them bare, the db qualifier
+      // strips below
+      if (f == "compute-stats-keywords.test") {
+        ddlStore.exec("create table impala_1055 (id INT)")
+        ddlStore.exec("create table parquet (id INT)")
+      }
+      // the functional_avro_snap sources compute-stats-avro.test clones
+      // (IMPALA-867 coldef-vs-avro-schema reconciliation — schemas per
+      // the schema template's avro sections; Hive-written avro promotes
+      // tinyint/smallint to INT and timestamp to STRING)
+      if (f == "compute-stats-avro.test") {
+        val hiveAvro = "id int, bool_col boolean, tinyint_col int, " +
+          "smallint_col int, int_col int, bigint_col bigint, " +
+          "float_col float, double_col double, date_string_col string, " +
+          "string_col string, timestamp_col string"
+        def mkSrc(n: String, cols: String, part: Boolean = true): Unit = {
+          ddlStore.exec(s"create table __fx_functional_avro_snap__$n " +
+            s"($cols)" +
+            (if (part) " partitioned by (year int, month int)" else ""))
+          ()
+        }
+        mkSrc("alltypes", hiveAvro)
+        mkSrc("no_avro_schema", hiveAvro)
+        mkSrc("alltypes_no_coldef", hiveAvro, part = false)
+        mkSrc("alltypes_extra_coldef",
+          "id int, bool_col boolean, tinyint_col tinyint, " +
+            "smallint_col smallint, int_col int, bigint_col bigint, " +
+            "float_col float, double_col double, " +
+            "date_string_col string, string_col string, " +
+            "timestamp_col timestamp, extra_col string")
+        mkSrc("alltypes_missing_coldef",
+          "id int, bool_col boolean, smallint_col smallint, " +
+            "int_col int, bigint_col bigint, float_col float, " +
+            "double_col double, date_string_col string, " +
+            "string_col string")
+        mkSrc("alltypes_type_mismatch",
+          "id int, bool_col boolean, tinyint_col tinyint, " +
+            "smallint_col smallint, int_col int, bigint_col string, " +
+            "float_col float, double_col double, " +
+            "date_string_col string, string_col string, " +
+            "timestamp_col timestamp")
+      }
+      // scale_db.num_partitions_1234_blocks_per_partition_1
+      // (testdata/bin/create-table-many-blocks.sh): 1234 partitions all
+      // pointing at ONE dir holding one file with the single row `1`
+      if (f == "compute-stats-many-partitions.test") {
+        ddlStore.exec("create external table many_blocks_seed (i int) " +
+          "location '/test-warehouse/many_blocks_num_blocks_per_partition_1'")
+        ddlStore.exec("insert into many_blocks_seed values (1)")
+        ddlStore.exec("create external table " +
+          "num_partitions_1234_blocks_per_partition_1 (i int) " +
+          "partitioned by (j int)")
+        ddlStore.exec(
+          "alter table num_partitions_1234_blocks_per_partition_1 add " +
+            (1 to 1234).map(p => s"partition (j=$p) location " +
+              "'/test-warehouse/many_blocks_num_blocks_per_partition_1'")
+              .mkString(" "))
+      }
       // the reference environment has the functional/tpch/tpcds dbs
       // loaded; overlay them for SHOW DATABASES (ImpalaMeta itself
       // reports the real catalog — the fixture env is harness state)
@@ -1361,6 +1540,20 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           }
       }
       val cases = GoldenTest.load(dir.resolve(f))
+      if (fixtureAlias) {
+        // snapshot every db-qualified fixture the file references under
+        // its __fx_ alias BEFORE any same-named table shadows it (the
+        // analyzed plan pins the fixture's rows)
+        cases.flatMap(c => dbQualRe.findAllMatchIn(c.query)
+            .map(m => (m.group(1).toLowerCase, m.group(2).toLowerCase)))
+            .distinct.foreach { case (db, n) =>
+          scala.util.Try {
+            val df = spark.table(n)
+            df.schema // force analysis against the CURRENT view
+            df.createOrReplaceTempView(fxAlias(db, n))
+          }
+        }
+      }
       val hbaseFile = f.startsWith("hbase-") || f == "joins-against-hbase.test"
       cases.zipWithIndex.foreach { case (c, i) =>
         val queryTxt0 =
@@ -1368,11 +1561,43 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           else c.query
         // nullformat_custom reads through its serde view ('xyz' IS the
         // null marker); its INSERTs land in the backing store table
-        val queryTxt =
+        val queryTxt1 =
           if (f != "insert_null.test") queryTxt0
           else queryTxt0.replaceAll(
             """(?is)(insert\s+(?:into|overwrite)\s+(?:table\s+)?)nullformat_custom\b""",
             "$1nullformat_custom__store")
+        val queryTxt2 =
+          if (f != "compute-stats-keywords.test") queryTxt1
+          else queryTxt1.replaceAll("`parquet`\\.", "")
+            .replaceAll("`", "")
+        // digit-leading identifiers (IMPALA-3845 probes) can't live in
+        // a DataFrame schema/temp-view name — rename consistently; no
+        // RESULTS row carries these names
+        val queryTxt3 =
+          if (f != "compute-stats.test") queryTxt2
+          else queryTxt2.replaceAll("`123_table`", "x123_table")
+            .replaceAll("\\b1p\\b", "x1p").replaceAll("\\b2j\\b", "x2j")
+        // scale_db is outside the functional/tpch prefix family
+        val queryTxt4 =
+          if (f != "compute-stats-many-partitions.test") queryTxt3
+          else queryTxt3.replaceAll("scale_db\\.", "")
+        // an avro.schema.url table takes its schema from the URL's
+        // avro schema, coldefs notwithstanding (IMPALA-1104); the
+        // referenced alltypes.json is the Hive-avro alltypes shape —
+        // inline it, the generated json isn't in the sandbox
+        val queryTxt =
+          if (f != "compute-stats-avro.test") queryTxt4
+          else queryTxt4.replaceAll(
+            """(?is)create table (avro_impala_\w+)\s*(?:\([^)]*\))?\s*""" +
+              """partitioned by \(year int, month int\)\s*""" +
+              """with serdeproperties\s*\('avro\.schema\.url'[^)]*\)\s*""" +
+              """stored as avro""",
+            "create table $1 (id int, bool_col boolean, " +
+              "tinyint_col int, smallint_col int, int_col int, " +
+              "bigint_col bigint, float_col float, double_col double, " +
+              "date_string_col string, string_col string, " +
+              "timestamp_col string) " +
+              "partitioned by (year int, month int) stored as avro")
         if (hbaseFile) shadowHbaseViews(stripLineComments(queryTxt))
         val stmts = splitStmts(queryTxt)
         val queryStmt = if (stmts.isEmpty) "" else stmts.last
@@ -1436,8 +1661,25 @@ class FunctionalGoldenSpec extends SparkSpecBase {
                   .findFirstIn(queryStmt).isDefined)
                 stripLineComments(queryTxt).split(";").map(_.trim)
                   .filter(_.nonEmpty).lastOption.getOrElse(queryStmt)
-              else dbPrefix.replaceAllIn(queryStmt, "")
-            try {
+              else dbPrefix.replaceAllIn(
+                if (fixtureAlias) fxRewrite(queryStmt) else queryStmt, "")
+            if (isMsgDdl(queryStmt, c) || isInsertReport(queryStmt, c)) {
+              ddlStore.lastMessage = None
+              ddlStore.lastInsertReport = Nil
+              execSetupStmt(spark, queryStmt)
+              val actual =
+                if (isInsertReport(queryStmt, c))
+                  ddlStore.lastInsertReport.map(Seq(_))
+                else Seq(Seq(GoldenResult.render(
+                  ddlStore.lastMessage.orNull, "string")))
+              GoldenResult.compare(c.results, actual, Seq("string"),
+                ordered = false) match {
+                case None => pass += 1
+                case Some(diff) =>
+                  mismatches += s"$f[$i]: $diff\n  query: " +
+                    queryStmt.replaceAll("\\s+", " ").take(160)
+              }
+            } else try {
               val df0 = ImpalaDialect.sql(spark, sql)
               val schemaTokens = df0.schema.map(f => typeToken(f.dataType))
               val types =
@@ -1481,7 +1723,15 @@ class FunctionalGoldenSpec extends SparkSpecBase {
               }
               val isExplain =
                 """(?is)^\s*explain\b""".r.findFirstIn(queryStmt).isDefined
-              GoldenResult.compare(c.results, actual, types,
+              // ddlEmu EXPLAIN goldens spell the filesystem and test db
+              // as runner variables; our output uses the single
+              // namespace — substitute like the runner does
+              val goldenRows =
+                if (isExplain && ddlEmu)
+                  c.results.map(_.replace("$FILESYSTEM_NAME", "HDFS")
+                    .replace("$DATABASE.", ""))
+                else c.results
+              GoldenResult.compare(goldenRows, actual, types,
                 orderedCompare(c) ||
                   (isExplain && c.resultsTag == "VERIFY_IS_EQUAL"),
                 subset = isExplain &&
@@ -1525,8 +1775,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 2919,
-      s"only $pass golden queries passed (floor 2919)")
+    assert(fileFilter.isDefined || pass >= 3201,
+      s"only $pass golden queries passed (floor 3201)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

@@ -47,12 +47,46 @@ final class GoldenDdl(spark: SparkSession) {
   private val dirs =
     scala.collection.mutable.LinkedHashMap.empty[String, Content]
 
+  /** Per-directory file ledger: byte size of each FILE in the dir
+    * (each INSERT statement lands one file per touched partition, like
+    * a single-writer Impala insert). Sizes are the Impala text-writer
+    * rendering (ImpalaTextFormat) — SHOW TABLE STATS surfaces them.
+    */
+  private val dirFiles =
+    scala.collection.mutable.LinkedHashMap.empty[String, Vector[Long]]
+
+  /** The last human-readable DDL result message (CatalogOpExecutor
+    * addSummary) — blocks whose RESULTS section is the message string
+    * compare against this.
+    */
+  var lastMessage: Option[String] = None
+
+  /** The last INSERT's per-partition row report, in the runner's
+    * `k1=v1/k2=v2/: n` rendering (Impala's insert result summary) —
+    * blocks whose RESULTS section is the report compare against this.
+    */
+  var lastInsertReport: Seq[String] = Nil
+
   private final class Tbl(
       var dataSchema: StructType,
       var partSchema: StructType,
       var baseLocation: String,
       var tableSerde: Option[Serde],
-      var isAvro: Boolean = false) {
+      var isAvro: Boolean = false,
+      var format: String = "TEXT") {
+    /** LIKE-a-dataset source snapshot — RECOVER PARTITIONS target. */
+    var recoverSrc: Option[DataFrame] = None
+    /** Display style of SHOW TABLE STATS locations: true = the test
+      * database dir ($DATABASE.db/…), false = an explicit
+      * test-warehouse location (external tables over datasets).
+      */
+    var locStyleDb: Boolean = true
+    /** Per-partition file format, pinned at partition creation from
+      * the table's then-current format; partition-scoped SET
+      * FILEFORMAT overrides (alter-table.test formats probe).
+      */
+    val partFmt = scala.collection.mutable.Map
+      .empty[Seq[Option[String]], String]
     // partition key (canonical value strings, None = NULL) →
     // (directory path, pinned serde); unpartitioned tables use the
     // single key Nil pointing at the table dir
@@ -74,6 +108,9 @@ final class GoldenDdl(spark: SparkSession) {
     published.clear()
     tables.clear()
     dirs.clear()
+    dirFiles.clear()
+    lastMessage = None
+    ImpalaStats.clear()
   }
 
   /** Preload for alter-table.test: the runner creates `part_data (i
@@ -103,7 +140,7 @@ final class GoldenDdl(spark: SparkSession) {
   private val createRe =
     ("""(?is)^\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
       """([A-Za-z_]\w*)\s*\((.*?)\)""" +
-      """(?:\s+partitioned\s+by\s*\(([^)]*)\))?""" +
+      """(?:\s+partitioned\s+by\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
       """(?:\s+sort\s+by\s+(?:zorder\s*|lexical\s*)?\([^)]*\))?""" +
       """(?:\s+row\s+format\s+delimited(.*?))?""" +
       """(?:\s+stored\s+as\s+(\w+))?""" +
@@ -124,6 +161,14 @@ final class GoldenDdl(spark: SparkSession) {
   private val createLikeRe =
     ("""(?is)^\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
       """([A-Za-z_]\w*)\s+like\s+([A-Za-z_][\w.]*)""" +
+      """(?:\s+stored\s+as\s+(\w+))?(?:\s+location\s+'([^']*)')?\s*$""").r
+  // CREATE TABLE ... LIKE PARQUET '<file>': schema inferred from the
+  // parquet footer (CreateTableLikeFileStmt) — here from the warehouse
+  // dataset the path points into
+  private val createLikeParquetRe =
+    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
+      """([A-Za-z_]\w*)\s+like\s+parquet\s+'([^']*)'""" +
+      """(?:\s+partitioned\s+by\s*\(([^)]*)\))?""" +
       """(?:\s+stored\s+as\s+(\w+))?(?:\s+location\s+'([^']*)')?\s*$""").r
   private val fieldDelimRe =
     """(?is)fields\s+terminated\s+by\s+'((?:[^'\\]|\\.)*)'""".r
@@ -160,8 +205,11 @@ final class GoldenDdl(spark: SparkSession) {
   private val setRowFormatRe =
     ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)""" +
       """(?:\s+partition\s*\(""" + SPEC + """\))?\s+set\s+row\s+format\s+delimited(.*)$""").r
+  private val setFileFormatRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)""" +
+      """(?:\s+partition\s*\(""" + SPEC + """\))?\s+set\s+fileformat\s+(\w+)\s*$""").r
   private val setNoopRe =
-    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)(?:\s+partition\s*\([^)]*\))?""" +
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)(\s+partition\s*\((?:[^()]|\([^()]*\))*\))?""" +
       """\s+(?:set\s+(?:fileformat|tblproperties|serdeproperties|owner|""" +
       """column\s+stats|cached|uncached)\b.*|sort\s+by\b.*|recover\s+partitions\s*)$""").r
   private val insertRe =
@@ -174,6 +222,23 @@ final class GoldenDdl(spark: SparkSession) {
       """invalidate\s+metadata|analyze\s+table|""" +
       """alter\s+table\s+[\w.]+(?:\s+partition\s*\([^)]*\))?\s+compact\b)""" +
       """.*$""").r
+  private val computeStatsRe =
+    ("""(?is)^\s*compute\s+(incremental\s+)?stats\s+([A-Za-z_]\w*)""" +
+      """\s*(?:\(([^)]*)\))?(?:\s+partition\s*\(""" + SPEC + """\))?\s*$""").r
+  private val dropStatsRe =
+    ("""(?is)^\s*drop\s+(incremental\s+)?stats\s+([A-Za-z_]\w*)""" +
+      """(?:\s+partition\s*\(""" + SPEC + """\))?\s*$""").r
+  private val setColStatsRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+set\s+column\s+stats\s+""" +
+      """([A-Za-z_]\w*)\s*\(([^)]*)\)\s*$""").r
+  private val setNumRowsRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)""" +
+      """(?:\s+partition\s*\(([^)]*)\))?\s+set\s+tblproperties\s*\(""" +
+      """[^)]*'numRows'\s*=\s*'(-?\d+)'[^)]*\)\s*$""").r
+  private val truncMissingRe =
+    """(?is)^\s*truncate\s+(?:table\s+)?if\s+exists\s+([A-Za-z_]\w*)\s*$""".r
+  private val recoverPartsRe =
+    """(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+recover\s+partitions\s*$""".r
   private val truncTblRe =
     """(?is)^\s*truncate\s+(?:table\s+)?(?:if\s+exists\s+)?([A-Za-z_]\w*)\s*$""".r
   private val deleteRe =
@@ -192,19 +257,47 @@ final class GoldenDdl(spark: SparkSession) {
     * recognized no-op); false = not this emulator's statement.
     */
   def exec(stmt: String): Boolean = try {
+    lastMessage = None
+    lastInsertReport = Nil
     stmt match {
-      case ctasRe(ine, name, parts, _, source) =>
+      case ctasRe(ine, name, parts, fmt, source) =>
         if (ine == null || !tables.contains(name))
-          ctas(name, Option(parts), source)
+          ctas(name, Option(parts), source, Option(fmt))
+        true
+      case createLikeParquetRe(ine, name, path, parts, fmt, loc) =>
+        if (ine == null || !tables.contains(name)) {
+          val base = normLoc(path).split('/').head.replaceAll(
+            "_(seq|rc|avro|parquet|orc|text)(_[a-z0-9]+)*$", "")
+          val df = spark.table(base)
+          val pcols = datasetPartCols.getOrElse(base.toLowerCase, Nil)
+          val dataSchema = StructType(df.schema.fields.filterNot(f =>
+            pcols.contains(f.name.toLowerCase)))
+          val partSchema = Option(parts).filter(_.trim.nonEmpty)
+            .map(s => normalizeSchema(StructType.fromDDL(s)))
+            .getOrElse(new StructType())
+          val t = new Tbl(dataSchema, partSchema,
+            Option(loc).map(normLoc).getOrElse(name), None)
+          t.format = fmtName(Option(fmt))
+          if (partSchema.isEmpty) {
+            ensureDir(t.baseLocation, raw = false)
+            t.parts(Nil) = (t.baseLocation, None)
+          }
+          tables(name) = t
+          publish(name)
+        }
         true
       case createLikeRe(ine, name, src, fmt, loc) =>
-        if (ine == null || !tables.contains(name))
+        if (ine == null || !tables.contains(name)) {
           createLike(name, src.split('.').last, Option(fmt), Option(loc))
+          lastMessage = Some("Table has been created.")
+        } else lastMessage = Some("Table already exists.")
         true
       case createRe(ine, name, cols, parts, serdeTxt, fmt, loc, tblProps) =>
-        if (ine == null || !tables.contains(name))
+        if (ine == null || !tables.contains(name)) {
           create(name, cols, Option(parts), Option(serdeTxt), Option(fmt),
             Option(loc), Option(tblProps))
+          lastMessage = Some("Table has been created.")
+        } else lastMessage = Some("Table already exists.")
         true
       case createAvroNoColsRe(ine, name, loc, tblProps) =>
         if (ine == null || !tables.contains(name))
@@ -213,16 +306,26 @@ final class GoldenDdl(spark: SparkSession) {
         true
       case renameRe(from, to) if tables.contains(from) =>
         tables(to) = tables.remove(from).get
+        ImpalaStats.rename(from, to)
         spark.catalog.dropTempView(from); published -= from
+        lastMessage = Some("Renaming was successful.")
         publish(to); true
       case addColsRe(name, ine1, colsParen, ine2, colsBare)
           if tables.contains(name) =>
         val colsTxt = Option(colsParen).getOrElse(colsBare)
-        addColumns(name, colsTxt, ine1 != null || ine2 != null); true
+        val before = tables(name).dataSchema.length
+        addColumns(name, colsTxt, ine1 != null || ine2 != null)
+        lastMessage = Some(
+          if (tables(name).dataSchema.length > before)
+            "New column(s) have been added to the table."
+          else "No new column(s) have been added to the table.")
+        true
       case dropColRe(name, col) if tables.contains(name) =>
         val t = tables(name)
         t.dataSchema = StructType(
           t.dataSchema.fields.filterNot(_.name.equalsIgnoreCase(col)))
+        ImpalaStats.forgetColumn(name, col)
+        lastMessage = Some("Column has been dropped.")
         publish(name); true
       case changeColRe(name, oldN, newN, typeTxt, comment)
           if tables.contains(name) =>
@@ -241,9 +344,13 @@ final class GoldenDdl(spark: SparkSession) {
             Option(comment).orElse(keep).map(sf.withComment).getOrElse(sf)
           } else f
         })
+        ImpalaStats.forgetColumn(name, oldN)
+        ImpalaStats.forgetColumn(name, newN)
+        lastMessage = Some("Column has been altered.")
         publish(name); true
       case replaceColsRe(name, colsTxt) if tables.contains(name) =>
         tables(name).dataSchema = StructType.fromDDL(colsTxt)
+        lastMessage = Some("Table columns have been replaced.")
         publish(name); true
       case alterColCommentRe(name, col, comment) if tables.contains(name) =>
         val t = tables(name)
@@ -254,11 +361,17 @@ final class GoldenDdl(spark: SparkSession) {
         onePartRe.findAllMatchIn(specsTxt).foreach { m =>
           addPartition(name, m.group(1), Option(m.group(2)))
         }
+        lastMessage = Some("New partition has been added to the table.")
         publish(name); true
       case dropPartRe(name, pred) if tables.contains(name) =>
         dropPartitions(name, pred); publish(name); true
       case setLocRe(name, partSpec, loc) if tables.contains(name) =>
-        setLocation(name, Option(partSpec), loc); publish(name); true
+        setLocation(name, Option(partSpec), loc)
+        lastMessage = Some(
+          if (partSpec != null)
+            "New location has been set for the specified partition."
+          else "New location has been set.")
+        publish(name); true
       case setRowFormatRe(name, partSpec, serdeTxt)
           if tables.contains(name) =>
         val t = tables(name)
@@ -266,11 +379,17 @@ final class GoldenDdl(spark: SparkSession) {
           t.tableSerde.getOrElse(Serde("", "\n")))
         Option(partSpec) match {
           case Some(spec) =>
-            val key = partKey(tables(name), spec)
-            t.parts.get(key).foreach { case (p, _) =>
-              t.parts(key) = (p, Some(s))
+            val keys = ImpalaStats.matchPartitions(spark, name, spec)
+              .getOrElse(Seq(partKey(t, spec)))
+            keys.foreach { key =>
+              t.parts.get(key).foreach { case (p, _) =>
+                t.parts(key) = (p, Some(s))
+              }
             }
-          case None => t.tableSerde = Some(s)
+            lastMessage = Some(s"Updated ${keys.size} partition(s).")
+          case None =>
+            t.tableSerde = Some(s)
+            lastMessage = Some("Updated table.")
         }
         publish(name); true
       // a NEW avro.schema.literal redefines an Avro table's schema on
@@ -284,25 +403,130 @@ final class GoldenDdl(spark: SparkSession) {
           t.dataSchema = schemaFromAvroLiteral(m.group(1), None)
         }
         publish(name); true
-      case setNoopRe(name) if tables.contains(name) => true
+      case recoverPartsRe(name) if tables.contains(name) &&
+          tables(name).recoverSrc.isDefined &&
+          tables(name).partSchema.nonEmpty =>
+        // materialize every partition present in the location's data
+        // (AlterTableRecoverPartitionsStmt — the dir walk IS the source
+        // dataset here)
+        val t = tables(name)
+        val src = t.recoverSrc.get
+        val pIdx = t.partSchema.fields.map(pf =>
+          src.schema.fields.indexWhere(_.name.equalsIgnoreCase(pf.name)))
+        val dIdx = t.dataSchema.fields.map(f =>
+          src.schema.fields.indexWhere(_.name.equalsIgnoreCase(f.name)))
+        src.collect().toSeq.groupBy { r =>
+          pIdx.toSeq.map(i =>
+            if (i < 0 || r.isNullAt(i)) None
+            else Some(String.valueOf(r.get(i))))
+        }.foreach { case (key, rs) =>
+          val df = spark.createDataFrame(
+            new java.util.ArrayList[Row](
+              scala.jdk.CollectionConverters.SeqHasAsJava(rs.map(r =>
+                Row.fromSeq(dIdx.toSeq.map(i =>
+                  if (i < 0) null else r.get(i))))).asJava),
+            t.dataSchema)
+          store(t, key, df, overwrite = true)
+        }
+        lastMessage = Some("Partitions have been recovered.")
+        publish(name); true
+      case computeStatsRe(incr, name, cols, partSpec)
+          if tables.contains(name) =>
+        val colList = Option(cols).map(_.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty))
+        // a scoped spec may be a partial k=v list or an arbitrary
+        // partition predicate (j<2) — resolve to explicit keys
+        val keys = Option(partSpec).flatMap(
+          ImpalaStats.matchPartitions(spark, name, _))
+        lastMessage =
+          ImpalaStats.computeStats(spark, name, incr != null, colList, keys)
+        true
+      case dropStatsRe(incr, name, partSpec) if tables.contains(name) =>
+        if (incr != null && partSpec != null)
+          ImpalaStats.dropIncrementalPartition(name,
+            partKey(tables(name), partSpec))
+        else ImpalaStats.dropStats(name)
+        true
+      case setColStatsRe(name, colName, propsTxt)
+          if tables.contains(name) =>
+        val props = """'([^']*)'\s*=\s*'([^']*)'""".r
+          .findAllMatchIn(propsTxt)
+          .map(m => m.group(1) -> m.group(2)).toMap
+        ImpalaStats.setColumnStats(name, colName, props)
+        true
+      case setNumRowsRe(name, partSpec, n) if tables.contains(name) =>
+        Option(partSpec) match {
+          case Some(spec) =>
+            val key = partKey(tables(name), spec)
+            ImpalaStats.lookup(name).foreach(_._2.partRows(key) = n.toLong)
+            lastMessage = Some("Updated 1 partition(s).")
+          case None =>
+            ImpalaStats.setRowCount(name, n.toLong)
+            lastMessage = Some("Updated table.")
+        }
+        true
+      case setFileFormatRe(name, partSpec, fmt) if tables.contains(name) =>
+        val t = tables(name)
+        Option(partSpec) match {
+          case Some(spec) =>
+            val keys = ImpalaStats.matchPartitions(spark, name, spec)
+              .getOrElse(Seq(partKey(t, spec)))
+            keys.foreach(t.partFmt(_) = fmtName(Some(fmt)))
+            lastMessage = Some(s"Updated ${keys.size} partition(s).")
+          case None =>
+            t.format = fmtName(Some(fmt))
+            lastMessage = Some("Updated table.")
+        }
+        publish(name); true
+      case setNoopRe(name, partSpec) if tables.contains(name) =>
+        lastMessage = Some(Option(partSpec) match {
+          case Some(specTxt) =>
+            val inner = """(?is)partition\s*\((.*)\)\s*$""".r
+              .findFirstMatchIn(specTxt).map(_.group(1)).getOrElse("")
+            val n = ImpalaStats.matchPartitions(spark, name, inner)
+              .map(_.size).getOrElse(1)
+            s"Updated $n partition(s)."
+          case None => "Updated table."
+        })
+        true
       case insertRe(mode, name, partSpec, source)
           if tables.contains(name) =>
         insert(name, mode.equalsIgnoreCase("overwrite"),
           Option(partSpec), source)
         publish(name); true
       case dropTableRe(name) if tables.contains(name) =>
-        tables.remove(name)
-        spark.catalog.dropTempView(name); published -= name; true
+        val t = tables.remove(name).get
+        // a managed drop purges the table's own directories (a
+        // recreated same-name table must not see the old files);
+        // replicated warehouse datasets (Fixed) stay — external data
+        dirs.keys.toSeq.filter(p => p == t.baseLocation ||
+            p.startsWith(t.baseLocation + "/")).foreach { p =>
+          dirs.get(p) match {
+            case Some(Fixed(_)) =>
+            case _ => dirs.remove(p); dirFiles.remove(p)
+          }
+        }
+        ImpalaStats.drop(name)
+        spark.catalog.dropTempView(name); published -= name
+        lastMessage = Some("Table has been dropped.")
+        true
       case truncTblRe(name) if tables.contains(name) =>
         // TRUNCATE removes the data, keeps the partitions (Impala
         // writes an empty base dir per partition — acid-truncate.test)
+        // and drops table/column stats (CatalogOpExecutor truncateTable)
         val t = tables(name)
         t.parts.values.foreach { case (path, _) =>
           dirs(path) =
             if (t.rawMode) Raw(new StringBuilder)
             else emptyRows(t.dataSchema)
+          dirFiles(path) = Vector.empty
         }
+        ImpalaStats.lookup(name).foreach(_._2.clearAll())
+        lastMessage = Some("Table has been truncated.")
         publish(name); true
+      case truncMissingRe(name) if !tables.contains(name) =>
+        lastMessage = Some("Table does not exist.")
+        true
       case deleteRe(name, pred) if tables.contains(name) =>
         deleteWhere(name, Option(pred)); publish(name); true
       case updateRe(name, setTxt, pred) if tables.contains(name) =>
@@ -311,7 +535,12 @@ final class GoldenDdl(spark: SparkSession) {
       case _ => false
     }
   } catch {
-    case _: Throwable => true // consumed-but-failed, like Impala erroring
+    case t: Throwable =>
+      if (sys.env.contains("GRAFT_DDL_TRACE")) {
+        println(s"[ddl THREW] ${stmt.replaceAll("\\s+", " ").take(120)}")
+        t.printStackTrace()
+      }
+      true // consumed-but-failed, like Impala erroring
   }
 
   // ------------------------------------------------------------------
@@ -473,6 +702,9 @@ final class GoldenDdl(spark: SparkSession) {
     val serde = serdeTxt.map(parseSerde(_, Serde("", "\n")))
     val t = new Tbl(dataSchema, partSchema,
       loc.map(normLoc).getOrElse(name), serde, isAvro)
+    t.format = fmtName(fmt)
+    t.locStyleDb = loc.forall(l =>
+      l.contains("$DATABASE") || l.contains("/db/") || !l.contains("test-warehouse"))
     if (partSchema.isEmpty) {
       // an explicit LOCATION may point at existing data (a warehouse
       // dataset dir); otherwise the fresh table dir is empty
@@ -492,12 +724,27 @@ final class GoldenDdl(spark: SparkSession) {
     "alltypes" -> Seq("year", "month"),
     "alltypessmall" -> Seq("year", "month"),
     "alltypestiny" -> Seq("year", "month"),
-    "alltypesagg" -> Seq("year", "month", "day"))
+    "alltypesagg" -> Seq("year", "month", "day"),
+    "date_tbl" -> Seq("date_part"),
+    "decimal_tbl" -> Seq("d6"))
+
+  /** SHOW TABLE STATS format text per HdfsFileFormat. */
+  private def fmtName(fmt: Option[String]): String =
+    fmt.map(_.toLowerCase) match {
+      case Some("parquet") => "PARQUET"
+      case Some("avro") => "AVRO"
+      case Some("rcfile") => "RC_FILE"
+      case Some("sequencefile") => "SEQUENCE_FILE"
+      case Some("orc") => "ORC"
+      case Some("textfile") | None => "TEXT"
+      case Some(other) => other.toUpperCase
+    }
 
   private def createLike(name: String, src: String, fmt: Option[String],
       loc: Option[String]): Unit = {
     val isAvro = fmt.exists(_.equalsIgnoreCase("avro"))
     def init(t: Tbl): Unit = {
+      if (fmt.isDefined) t.format = fmtName(fmt)
       if (isAvro) t.dataSchema = avroPromote(t.dataSchema)
       if (t.partSchema.isEmpty) {
         val path = loc.map(l => resolveDir(t, l)).getOrElse {
@@ -510,18 +757,46 @@ final class GoldenDdl(spark: SparkSession) {
     }
     tables.get(src) match {
       case Some(s) if src != name =>
-        init(new Tbl(s.dataSchema, s.partSchema,
-          loc.map(normLoc).getOrElse(name), s.tableSerde))
+        val t = new Tbl(s.dataSchema, s.partSchema,
+          loc.map(normLoc).getOrElse(name), s.tableSerde)
+        t.format = s.format
+        t.locStyleDb = loc.forall(l =>
+          l.contains("$DATABASE") || l.contains("/db/") || !l.contains("test-warehouse"))
+        init(t)
       case Some(_) => // LIKE itself under IF NOT EXISTS — no-op
       case None =>
         val df = spark.table(src)
-        val pcols = datasetPartCols.getOrElse(src.toLowerCase, Nil)
+        // a __fx_<db>__<name> alias carries its source db: an HBase
+        // mapping has NO partition columns (year/month are ordinary
+        // row-key columns there); hdfs datasets keep theirs
+        val (srcDb, srcName) = {
+          val s = src.toLowerCase
+          if (s.startsWith("__fx_")) {
+            val rest = s.stripPrefix("__fx_")
+            val i = rest.indexOf("__")
+            if (i > 0) (rest.take(i), rest.drop(i + 2)) else ("", rest)
+          } else ("", s)
+        }
+        val pcols =
+          if (srcDb.startsWith("functional_hbase")) Nil
+          else datasetPartCols.getOrElse(srcName, Nil)
         val dataSchema = StructType(
           df.schema.fields.filterNot(f => pcols.contains(f.name.toLowerCase)))
         val partSchema = StructType(
           pcols.flatMap(p => df.schema.fields.find(_.name.equalsIgnoreCase(p))))
-        init(new Tbl(dataSchema, partSchema,
-          loc.map(normLoc).getOrElse(name), None))
+        val t = new Tbl(dataSchema, partSchema,
+          loc.map(normLoc).getOrElse(name), None)
+        t.locStyleDb = loc.forall(l =>
+          l.contains("$DATABASE") || l.contains("/db/") || !l.contains("test-warehouse"))
+        if (srcDb.contains("parquet")) t.format = "PARQUET"
+        else if (srcDb.contains("rc")) t.format = "RC_FILE"
+        else if (srcDb.contains("seq")) t.format = "SEQUENCE_FILE"
+        else if (srcDb.contains("avro")) t.format = "AVRO"
+        else if (srcDb.contains("orc")) t.format = "ORC"
+        // RECOVER PARTITIONS re-materializes from the location's
+        // existing warehouse data — remember the source snapshot
+        t.recoverSrc = Some(df)
+        init(t)
     }
   }
 
@@ -548,6 +823,7 @@ final class GoldenDdl(spark: SparkSession) {
       !exists
     }
     t.dataSchema = StructType(t.dataSchema.fields ++ add)
+    if (add.nonEmpty) ImpalaStats.invalidateIncremental(name)
     publish(name)
   }
 
@@ -560,7 +836,9 @@ final class GoldenDdl(spark: SparkSession) {
       s"SELECT CAST(CAST(($expr) AS STRING) AS ${dt.sql}) AS v").head()
     if (r.isNullAt(0)) None
     else {
-      val s = String.valueOf(r.get(0))
+      // canonical partition-value strings use Impala's partition-name
+      // rendering (%.16g floats — `float_col=0`, not `0.0`)
+      val s = sources.ImpalaTextFormat.render(r.get(0)).getOrElse("")
       if (s.isEmpty) None else Some(s)
     }
   }
@@ -571,7 +849,8 @@ final class GoldenDdl(spark: SparkSession) {
     val m = entries.flatMap { e =>
       val i = e.indexOf('=')
       if (i < 0) None
-      else Some(e.take(i).trim.toLowerCase -> e.drop(i + 1).trim)
+      else Some(e.take(i).trim.toLowerCase
+        .stripPrefix("`").stripSuffix("`") -> e.drop(i + 1).trim)
     }.toMap
     t.partSchema.fields.toSeq.map { pf =>
       m.get(pf.name.toLowerCase) match {
@@ -610,6 +889,7 @@ final class GoldenDdl(spark: SparkSession) {
       val p = defaultPartPath(t, key); ensureDir(p, t.rawMode); p
     }
     t.parts(key) = (path, pinnedSerde(t))
+    t.partFmt(key) = t.format
   }
 
   /** Resolve a LOCATION to a directory path in the store, creating an
@@ -636,9 +916,15 @@ final class GoldenDdl(spark: SparkSession) {
             d.where(org.apache.spark.sql.functions.col(k) === v)
           }
           val pcols = datasetPartCols.getOrElse(base.toLowerCase, Nil)
-          dirs(n) = Fixed(filtered.select(filtered.columns
+          val fixed = filtered.select(filtered.columns
             .filterNot(c => pcols.contains(c.toLowerCase))
-            .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+            .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+          dirs(n) = Fixed(fixed)
+          // the dataset dir holds one loaded file; SHOW TABLE STATS
+          // reports its text-writer byte size
+          val bytes = sources.ImpalaTextFormat.fileBytes(
+            fixed.collect().toSeq)
+          dirFiles(n) = if (bytes > 0) Vector(bytes) else Vector.empty
         case None => ensureDir(n, owner.rawMode)
       }
     }
@@ -660,12 +946,14 @@ final class GoldenDdl(spark: SparkSession) {
         if (t.partSchema.isEmpty)
           t.parts(Nil) = (resolveDir(t, loc), t.parts(Nil)._2)
         t.baseLocation = normLoc(loc)
+        t.locStyleDb = loc.contains("$DATABASE") ||
+          loc.contains("/db/") || !loc.contains("test-warehouse")
     }
   }
 
   private def dropPartitions(name: String, predTxt: String): Unit = {
     val t = tables(name)
-    if (t.partSchema.isEmpty) return
+    if (t.partSchema.isEmpty) { lastMessage = None; return }
     // a comma-separated partition SPEC is a conjunction
     // (AlterTableDropPartitionStmt accepts both spec and predicate
     // forms); Impala matches the DEFAULT partition on `col=NULL` and
@@ -680,13 +968,18 @@ final class GoldenDdl(spark: SparkSession) {
       k.zip(t.partSchema.fields).map { case (v, pf) =>
         v.map(s => castValue(s, pf.dataType)).orNull
       } :+ i) }
-    val schema = StructType(t.partSchema.fields :+
+    // force nullability: partition fields cloned from a fixture view
+    // can carry nullable=false, under which the NULL partition's key
+    // silently reads as 0 and `col IS NULL` never matches
+    val schema = StructType(t.partSchema.fields.map(f =>
+      StructField(f.name, f.dataType, nullable = true)) :+
       StructField("__idx", IntegerType))
     val df = spark.createDataFrame(
       new java.util.ArrayList[Row](
         scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
     val hit = df.where(pred).collect().map(_.getInt(schema.length - 1))
     hit.sorted.reverse.foreach(i => t.parts.remove(keys(i)))
+    lastMessage = Some(s"Dropped ${hit.length} partition(s).")
   }
 
   private def castValue(s: String, dt: DataType): Any = dt match {
@@ -703,7 +996,7 @@ final class GoldenDdl(spark: SparkSession) {
     * analysis — partition columns must exist in the select list).
     */
   private def ctas(name: String, partsTxt: Option[String],
-      sourceTxt: String): Unit = {
+      sourceTxt: String, fmt: Option[String] = None): Unit = {
     val src = ImpalaDialect.sql(spark, sourceTxt)
     val partNames = partsTxt.map(_.split(",").map(_.trim.toLowerCase)
       .filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -712,6 +1005,7 @@ final class GoldenDdl(spark: SparkSession) {
     val partFields = partNames.flatMap(p =>
       src.schema.fields.find(_.name.equalsIgnoreCase(p)))
     val t = new Tbl(StructType(dataFields), StructType(partFields), name, None)
+    t.format = fmtName(fmt)
     tables(name) = t
     if (partFields.isEmpty) {
       ensureDir(name, raw = false)
@@ -814,9 +1108,26 @@ final class GoldenDdl(spark: SparkSession) {
       if (sourceTxt.trim.toLowerCase.startsWith("values"))
         s"SELECT * FROM ($sourceTxt)"
       else sourceTxt)
+    // Hive FileUtils.escapePathName: a fixed special-char set escapes
+    // as %XX (slash, colon, brackets…); spaces stay literal
+    // (`year=2010 /day=7`), unlike URL encoding
+    def hiveEscape(s: String): String = {
+      val special = "\"#%'*/:=?\\{[]^"
+      s.flatMap { c =>
+        if (c < ' ' || special.indexOf(c) >= 0) f"%%${c.toInt}%02X"
+        else c.toString
+      }
+    }
+    def reportLine(key: Seq[Option[String]], n: Long): String =
+      t.partSchema.fields.toSeq.zip(key).map { case (pf, v) =>
+        pf.name.toLowerCase + "=" + v.map(hiveEscape)
+          .getOrElse("__HIVE_DEFAULT_PARTITION__") + "/"
+      }.mkString + ": " + n
     if (t.partSchema.isEmpty) {
       val data = positional(src0, t.dataSchema)
+      val n = data.count()
       store(t, Nil, data, overwrite)
+      lastInsertReport = Seq(": " + n)
       return
     }
     // static entries bind by name; dynamic partition columns take the
@@ -825,9 +1136,11 @@ final class GoldenDdl(spark: SparkSession) {
       .map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)
     val static = entries.filter(_.contains("=")).map { e =>
       val i = e.indexOf('=')
-      e.take(i).trim.toLowerCase -> e.drop(i + 1).trim
+      e.take(i).trim.toLowerCase.stripPrefix("`").stripSuffix("`") ->
+        e.drop(i + 1).trim
     }.toMap
-    val dyn = entries.filterNot(_.contains("=")).map(_.trim.toLowerCase)
+    val dyn = entries.filterNot(_.contains("="))
+      .map(_.trim.toLowerCase.stripPrefix("`").stripSuffix("`"))
     val nData = t.dataSchema.length
     if (dyn.isEmpty) {
       val data = positional(src0.select(src0.columns.take(nData)
@@ -840,11 +1153,30 @@ final class GoldenDdl(spark: SparkSession) {
           case None => None
         }
       }
+      val n = data.count()
       store(t, key, data, overwrite)
+      lastInsertReport = Seq(reportLine(key, n))
     } else {
-      // dynamic columns are the source columns AFTER the data columns
-      val rows = src0.collect()
+      // dynamic columns are the source columns AFTER the data columns;
+      // their values cast to the partition COLUMN type before
+      // canonicalization (a 0.0 decimal literal into a FLOAT column
+      // names the partition `float_col=0`)
       val dynIdx = dyn.zipWithIndex.map { case (d, j) => d -> (nData + j) }.toMap
+      val dynTypes: Map[Int, DataType] = dynIdx.flatMap { case (nm, i) =>
+        t.partSchema.fields.find(_.name.equalsIgnoreCase(nm))
+          .map(f => i -> f.dataType)
+      }
+      val renamed = src0.toDF(
+        src0.columns.indices.map(j => s"__c$j"): _*)
+      val casted = renamed.select(
+        renamed.columns.zipWithIndex.map { case (nm, j) =>
+          dynTypes.get(j) match {
+            case Some(dt) =>
+              org.apache.spark.sql.functions.col(nm).cast(dt).as(nm)
+            case None => org.apache.spark.sql.functions.col(nm)
+          }
+        }.toIndexedSeq: _*)
+      val rows = casted.collect()
       val grouped = rows.groupBy { r =>
         t.partSchema.fields.toSeq.map { pf =>
           static.get(pf.name.toLowerCase) match {
@@ -854,12 +1186,14 @@ final class GoldenDdl(spark: SparkSession) {
               val i = dynIdx(pf.name.toLowerCase)
               if (r.isNullAt(i)) None
               else {
-                val s = String.valueOf(r.get(i))
+                val s = sources.ImpalaTextFormat
+                  .render(r.get(i)).getOrElse("")
                 if (s.isEmpty) None else Some(s)
               }
           }
         }
       }
+      val report = scala.collection.mutable.ArrayBuffer.empty[String]
       grouped.foreach { case (key, rs) =>
         val df = spark.createDataFrame(
           new java.util.ArrayList[Row](
@@ -867,7 +1201,9 @@ final class GoldenDdl(spark: SparkSession) {
               rs.toSeq.map(r => Row.fromSeq(r.toSeq.take(nData)))).asJava),
           StructType(src0.schema.fields.take(nData)))
         store(t, key, positional(df, t.dataSchema), overwrite)
+        report += reportLine(key, rs.length.toLong)
       }
+      lastInsertReport = report.toSeq
     }
   }
 
@@ -876,8 +1212,12 @@ final class GoldenDdl(spark: SparkSession) {
     * column COMMENTs survive into the published view for DESCRIBE. An
     * uncastable reinterpretation reads NULL.
     */
-  private def positional(df: DataFrame, schema: StructType): DataFrame = {
+  private def positional(df0: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
+    // bind by ORDINAL under fresh names — a source select list may
+    // carry duplicate output names (two bare NULL literals), which a
+    // by-name lookup would reject as ambiguous
+    val df = df0.toDF(df0.columns.indices.map(j => s"__p$j"): _*)
     val cols = schema.fields.zipWithIndex.map { case (f, i) =>
       val c =
         if (i < df.columns.length &&
@@ -899,7 +1239,11 @@ final class GoldenDdl(spark: SparkSession) {
       val p = defaultPartPath2(t, key)
       ensureDir(p, t.rawMode)
       t.parts(key) = (p, pinnedSerde(t))
+      t.partFmt(key) = t.format
     }
+    // a write staleness-marks the partition's incremental stats
+    tables.collectFirst { case (n, tt) if tt eq t => n }
+      .foreach(ImpalaStats.invalidatePartition(_, key))
     val (path, serdeOverride) = t.parts(key)
     if (t.rawMode) {
       val eff = serdeOverride.orElse(t.tableSerde).getOrElse(Serde("", "\n"))
@@ -913,6 +1257,10 @@ final class GoldenDdl(spark: SparkSession) {
       }
       sb.append(txt)
       dirs(path) = Raw(sb)
+      val bytes = txt.getBytes("UTF-8").length.toLong
+      val prior = if (overwrite) Vector.empty[Long]
+        else dirFiles.getOrElse(path, Vector.empty)
+      dirFiles(path) = if (bytes > 0) prior :+ bytes else prior
     } else {
       val merged = dirs.get(path) match {
         case Some(Rows(old)) if !overwrite && old.schema.nonEmpty =>
@@ -927,6 +1275,13 @@ final class GoldenDdl(spark: SparkSession) {
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
         merged.schema))
+      // this insert's rows land as ONE file; the ledger renders their
+      // Impala text-writer bytes (non-text formats get the same model
+      // — their SIZE cells are documented deltas where pinned)
+      val bytes = sources.ImpalaTextFormat.fileBytes(data.collect().toSeq)
+      val prior = if (overwrite) Vector.empty[Long]
+        else dirFiles.getOrElse(path, Vector.empty)
+      dirFiles(path) = if (bytes > 0) prior :+ bytes else prior
     }
   }
 
@@ -1026,5 +1381,25 @@ final class GoldenDdl(spark: SparkSession) {
       else dfs.reduce(_ unionAll _)
     view.createOrReplaceTempView(name)
     published += name
+    // keep the stats catalog's physical model in sync (partition
+    // listing + file ledger feed SHOW TABLE STATS; the published view
+    // is COMPUTE STATS' scan target)
+    ImpalaStats.register(ImpalaStats.Model(
+      name,
+      () => tables.get(name).map(_.dataSchema).getOrElse(new StructType()),
+      () => tables.get(name).map(_.partSchema).getOrElse(new StructType()),
+      () => tables.get(name).map { tt =>
+        tt.parts.toSeq.map { case (key, (path, _)) =>
+          // render the warehouse location the way the reference's
+          // goldens spell it (the runner leaves $NAMENODE/$DATABASE
+          // unsubstituted in our loader, so the literal text compares)
+          ImpalaStats.Partition(key,
+            dirFiles.getOrElse(path, Vector.empty),
+            tt.partFmt.getOrElse(key, tt.format),
+            (if (tt.locStyleDb) "$NAMENODE/test-warehouse/$DATABASE.db/"
+            else "$NAMENODE/test-warehouse/") + path)
+        }
+      }.getOrElse(Nil),
+      () => spark.table(name)))
   }
 }

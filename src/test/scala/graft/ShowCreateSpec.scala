@@ -15,8 +15,13 @@ import graft.ImpalaMeta.{ColDef, CreateTableModel}
   */
 class ShowCreateSpec extends SparkSpecBase {
 
-  private val file = Paths.get(
-    "/root/reference/testdata/workloads/functional-query/queries/QueryTest/show-create-table.test")
+  private val files = Seq(
+    "/root/reference/testdata/workloads/functional-query/queries/QueryTest/show-create-table.test",
+    // full-ACID flavor: HMS adds 'transactional_properties'='default'
+    // (RESULTS-HIVE-3 sections — the environment this models)
+    "/root/reference/testdata/workloads/functional-query/queries/QueryTest/show-create-table-full-acid.test")
+    .map(Paths.get(_))
+  private def file = files.head
 
   // the runner's per-test database (test_show_create_table.py)
   private val DB = "show_create_table_test_db"
@@ -98,7 +103,15 @@ class ShowCreateSpec extends SparkSpecBase {
     val external = nm.group(1) != null
     val name = nm.group(2)
     val tblPropsTxt = q1("""(?is)TBLPROPERTIES\s*\((.*?)\)\s*$""", sql)
-    val tblProps = tblPropsTxt.map(parseProps).getOrElse(Nil)
+    val tblProps0 = tblPropsTxt.map(parseProps).getOrElse(Nil)
+    // HMS fills in the ACID flavor: transactional=true without an
+    // explicit transactional_properties gets 'default'
+    val tblProps =
+      if (tblProps0.exists(p => p._1 == "transactional" &&
+            p._2.equalsIgnoreCase("true")) &&
+          !tblProps0.exists(_._1 == "transactional_properties"))
+        tblProps0 :+ ("transactional_properties" -> "default")
+      else tblProps0
     val storedAs = q1("""(?is)\bSTORED\s+AS\s+(\w+)""", sql)
     val comment = q1("""(?is)\)\s*(?:PARTITIONED\s+BY\s*\([^)]*\)\s*)?(?:SORT\s+BY[^)]*\)\s*)?COMMENT\s+'([^']*)'""", sql)
     val rowFmtTxt = q1("""(?is)ROW\s+FORMAT\s+DELIMITED(.*?)(?:STORED|LOCATION|TBLPROPERTIES|$)""", sql)
@@ -233,8 +246,12 @@ class ShowCreateSpec extends SparkSpecBase {
   private case class Block(kind: String, stmt: String,
       expected: Option[String])
 
-  private def parseFile(): Seq[Block] = {
-    val txt = new String(Files.readAllBytes(file))
+  private def parseFile(f: java.nio.file.Path): Seq[Block] = {
+    // only the full-acid file is an all-HIVE-3 environment; the main
+    // file's HIVE-3-only flavors model Hive's external-translation
+    // differences and stay skipped
+    val hive3 = f.getFileName.toString.contains("full-acid")
+    val txt = new String(Files.readAllBytes(f))
     txt.split("(?m)^====\\s*$").toSeq.flatMap { sec =>
       var cur: String = null
       val m = scala.collection.mutable.LinkedHashMap.empty[String, StringBuilder]
@@ -249,7 +266,9 @@ class ShowCreateSpec extends SparkSpecBase {
       val kind = Seq("CREATE_TABLE", "CREATE_VIEW", "QUERY")
         .find(m.contains)
       kind.map(k => Block(k, m(k).toString.trim,
-        m.get("RESULTS-HIVE").map(_.toString.trim).filter(_.nonEmpty)))
+        m.get("RESULTS-HIVE")
+          .orElse(if (hive3) m.get("RESULTS-HIVE-3") else None)
+          .map(_.toString.trim).filter(_.nonEmpty)))
     }
   }
 
@@ -259,7 +278,7 @@ class ShowCreateSpec extends SparkSpecBase {
     var pass = 0
     var skip = 0
     val mismatches = scala.collection.mutable.ArrayBuffer.empty[String]
-    parseFile().zipWithIndex.foreach { case (b, i) =>
+    files.flatMap(parseFile).zipWithIndex.foreach { case (b, i) =>
       b.expected match {
         case None => skip += 1 // HIVE-3-only flavor
         case Some(exp) =>
@@ -303,8 +322,9 @@ class ShowCreateSpec extends SparkSpecBase {
     info(s"show-create blocks: $pass matched, ${mismatches.size} mismatched, $skip skipped")
     mismatches.take(8).foreach(m => info("MISMATCH " + m))
     assert(mismatches.isEmpty, mismatches.headOption.getOrElse(""))
-    // floor pinned at the exact measurement (27 matched; the 5 skips
-    // are HIVE-3-only flavors with no RESULTS-HIVE section)
-    assert(pass >= 27, s"only $pass show-create blocks passed (floor 27)")
+    // floor pinned at the exact measurement (30 matched incl. the
+    // full-acid file; the 5 skips are the main file's HIVE-3-only
+    // flavors with no RESULTS-HIVE section)
+    assert(pass >= 30, s"only $pass show-create blocks passed (floor 30)")
   }
 }

@@ -26,7 +26,7 @@ object ImpalaMeta {
   private val describeRe =
     """(?is)^\s*describe\s+(`?[A-Za-z_]\w*`?(?:\.`?[A-Za-z_]\w*`?)*)\s*;?\s*$""".r
   private val showTablesRe =
-    ("""(?is)^\s*show\s+tables(\s+in\s+[A-Za-z_]\w*)?""" +
+    ("""(?is)^\s*show\s+tables(\s+in\s+[$\w]+)?""" +
       """(?:\s+(?:like\s+)?["']([^"']*)["'])?\s*;?\s*$""").r
   private val showDatabasesRe =
     ("""(?is)^\s*show\s+(?:databases|schemas)""" +
@@ -38,6 +38,82 @@ object ImpalaMeta {
   private val showFilesRe =
     ("""(?is)^\s*show\s+files\s+in\s+((?:`[^`]+`|[$\w.])+)""" +
       """(?:\s+partition\s*\((.*)\))?\s*;?\s*$""").r
+
+  /** Databases of the warehouse model (CREATE/DROP DATABASE —
+    * `CatalogOpExecutor.createDatabase`). DESCRIBE DATABASE renders the
+    * reference's location spellings verbatim (the runner-variable
+    * forms $NAMENODE/$EXTERNAL_WAREHOUSE_DIR…, which the goldens carry
+    * unsubstituted here); HIVE-24175: a specified managedlocation is
+    * ignored, the default always prints.
+    */
+  final case class DbInfo(comment: String, location: Option[String])
+  val dbRegistry =
+    scala.collection.mutable.LinkedHashMap.empty[String, DbInfo]
+
+  /** Per-db registered functions: (signature, return type, aggregate?)
+    * — SHOW [AGGREGATE] FUNCTIONS IN db renders them
+    * (`fe/.../service/Frontend.getFunctions`).
+    */
+  val fnRegistry = scala.collection.mutable.LinkedHashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[(String, String, Boolean)]]
+
+  /** A representative _impala_builtins inventory by kind (scalar /
+    * aggregate / analytic) — the SHOW FUNCTIONS IN _impala_builtins
+    * subset/not-in probes pin these (functions-ddl.test; the full
+    * surface is asserted in SurfaceSpec).
+    */
+  private val builtinFns: Seq[(String, String, String)] = Seq(
+    // (kind, return type, signature)
+    ("scalar", "STRING", "upper(STRING)"),
+    ("scalar", "STRING", "lower(STRING)"),
+    ("scalar", "DOUBLE", "sin(DOUBLE)"),
+    ("scalar", "DOUBLE", "cos(DOUBLE)"),
+    ("scalar", "BIGINT", "length(STRING)"),
+    ("scalar", "STRING", "concat(STRING...)"),
+    ("scalar", "DOUBLE", "abs(DOUBLE)"),
+    ("aggregate", "DOUBLE", "avg(BIGINT)"),
+    ("aggregate", "DOUBLE", "avg(DOUBLE)"),
+    ("aggregate", "BIGINT", "count()"),
+    ("aggregate", "STRING", "group_concat(STRING)"),
+    ("aggregate", "BIGINT", "sum(INT)"),
+    ("aggregate", "BIGINT", "ndv(INT)"),
+    ("analytic", "BIGINT", "rank()"),
+    ("analytic", "BIGINT", "dense_rank()"),
+    ("analytic", "BIGINT", "row_number()"),
+    ("analytic", "DOUBLE", "percent_rank()"))
+
+  private val describeDbRe =
+    ("""(?is)^\s*describe\s+database\s+((?:extended|formatted)\s+)?""" +
+      """([A-Za-z_]\w*)\s*;?\s*$""").r
+  private val showFunctionsRe =
+    ("""(?is)^\s*show\s+(aggregate\s+|analytic\s+)?functions""" +
+      """(?:\s+in\s+([$\w]+))?\s*;?\s*$""").r
+
+  private def describeDb(spark: SparkSession, extended: Boolean,
+      db: String): Option[DataFrame] = {
+    val lower = db.toLowerCase
+    val info =
+      if (lower == "default") Some(DbInfo("Default Hive database",
+        Some("$NAMENODE/$EXTERNAL_WAREHOUSE_DIR")))
+      else dbRegistry.get(lower)
+    info.map { i =>
+      val ext = i.location.getOrElse(
+        s"$$NAMENODE/$$EXTERNAL_WAREHOUSE_DIR/$lower.db")
+      val managed =
+        if (lower == "default") "$NAMENODE/$MANAGED_WAREHOUSE_DIR"
+        else s"$$NAMENODE/$$MANAGED_WAREHOUSE_DIR/$lower.db"
+      val rows = Seq(Row(lower, ext, i.comment),
+        Row("managedlocation:", managed, "")) ++
+        (if (extended) Seq(Row("Owner: ", "", ""),
+          Row("", "$USER", "USER")) else Nil)
+      val schema = StructType(Seq(StructField("name", StringType),
+        StructField("location", StringType),
+        StructField("comment", StringType)))
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+    }
+  }
 
   private def statsName(raw: String): String =
     raw.split('.').map(_.stripPrefix("`").stripSuffix("`"))
@@ -60,6 +136,36 @@ object ImpalaMeta {
       case showFilesRe(raw, spec) =>
         val n = statsName(raw).split('.').last
         ImpalaStats.showFiles(spark, n, Option(spec))
+      case describeDbRe(ext, db) =>
+        describeDb(spark, ext != null, db)
+      case showFunctionsRe(kind, db0) if spark.conf
+          .getOption("graft.meta.ddlcatalog").contains("true") =>
+        // bare / IN $DATABASE = the session's test database (the
+        // default bucket); analytic lists nothing — user analytic
+        // functions don't exist
+        val db = Option(db0).map(_.toLowerCase)
+          .filterNot(_.startsWith("$")).getOrElse("$default$")
+        val kindTxt = Option(kind).map(_.trim.toLowerCase).getOrElse("")
+        val kindName = if (kindTxt.isEmpty) "scalar" else kindTxt
+        val fns: Seq[(String, String, Boolean)] =
+          if (db == "_impala_builtins")
+            builtinFns.filter(_._1 == kindName)
+              .map(b => (b._3, b._2, false))
+          else if (kindTxt == "analytic") Nil
+          else fnRegistry.getOrElse(db,
+            scala.collection.mutable.ArrayBuffer.empty[(String, String, Boolean)])
+            .filter(_._3 == (kindTxt == "aggregate")).toSeq
+        val schema = StructType(Seq(StructField("return type", StringType),
+          StructField("signature", StringType),
+          StructField("binary type", StringType),
+          StructField("is persistent", StringType)))
+        Some(spark.createDataFrame(
+          new java.util.ArrayList[Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              fns.map { case (sig, ret, _) =>
+                Row(ret, sig,
+                  if (db == "_impala_builtins") "BUILTIN" else "NATIVE",
+                  "true") }).asJava), schema))
       case showTablesRe(inDb, pattern) if inDb != null =>
         // a db-qualified listing: the temp-view namespace answers only
         // for the db it represents (graft.meta.tempview.db — harness
@@ -68,7 +174,22 @@ object ImpalaMeta {
         // parsing so the NOT_FOUND error surfaces instead of a
         // misreported every-temp-view listing
         val db = inDb.trim.split("\\s+").last.toLowerCase
-        if (spark.conf.getOption("graft.meta.tempview.db")
+        // the warehouse model's qualified side-tables (cross-db
+        // renames) list under their db
+        if (spark.conf.getOption("graft.meta.ddlcatalog").contains("true") &&
+            (ImpalaStats.tableNames.exists(_.startsWith(db + ".")) ||
+              dbRegistry.contains(db)))
+          Some(oneCol(spark, "name",
+            (ImpalaStats.tableNames ++
+              spark.catalog.listTables().collect().map(_.name.toLowerCase))
+              .flatMap { n =>
+                if (n.startsWith(db + ".")) Some(n.stripPrefix(db + "."))
+                else if (n.startsWith(db + "__"))
+                  Some(n.stripPrefix(db + "__"))
+                else None
+              }.distinct.sorted
+              .filter(matchesPattern(_, Option(pattern)))))
+        else if (spark.conf.getOption("graft.meta.tempview.db")
             .exists(_.equalsIgnoreCase(db)))
           Some(oneCol(spark, "name",
             spark.catalog.listTables().collect().map(_.name.toLowerCase)
@@ -83,10 +204,17 @@ object ImpalaMeta {
               .filter(matchesPattern(_, Option(pattern)))))
         else None
       case showTablesRe(_, pattern) =>
-        Some(oneCol(spark, "name",
-          spark.catalog.listTables().collect().map(_.name.toLowerCase)
-            .distinct.sorted.toSeq
-            .filter(matchesPattern(_, Option(pattern)))))
+        // a warehouse-model session (graft.meta.ddlcatalog) lists the
+        // model's tables — the test database's content — instead of
+        // every temp view in the single namespace
+        val names =
+          if (spark.conf.getOption("graft.meta.ddlcatalog").contains("true"))
+            ImpalaStats.tableNames
+              .filterNot(n => n.startsWith("__") || n.contains("."))
+          else spark.catalog.listTables().collect()
+            .map(_.name.toLowerCase).distinct.toSeq
+        Some(oneCol(spark, "name", names.sorted
+          .filter(matchesPattern(_, Option(pattern)))))
       case showDatabasesRe(pattern) =>
         // real catalog first; a harness may overlay extra fixture
         // environments via graft.meta.databases.extra
@@ -103,8 +231,10 @@ object ImpalaMeta {
             if (i < 0) (e.toLowerCase, "")
             else (e.take(i).toLowerCase, e.drop(i + 1))
           }
-        val dbs = (scala.collection.immutable.ListMap(real: _*) ++ extra)
-          .toSeq.sortBy(_._1)
+        val created = dbRegistry.toSeq.map { case (n, i) =>
+          n -> i.comment }
+        val dbs = (scala.collection.immutable.ListMap(real: _*) ++ extra ++
+          created).toSeq.sortBy(_._1)
         val hit = dbs.filter(d => matchesPattern(d._1, Option(pattern)))
         val schema = StructType(Seq(StructField("name", StringType),
           StructField("comment", StringType)))

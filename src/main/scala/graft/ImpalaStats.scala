@@ -95,6 +95,8 @@ object ImpalaStats {
   def clear(): Unit = registry.clear()
   def lookup(name: String): Option[(Model, State)] =
     registry.get(name.toLowerCase)
+  /** Registered table names (the warehouse model's catalog listing). */
+  def tableNames: Seq[String] = registry.keys.toSeq
 
   /** Resolve a partition spec/predicate against a table's partitions
     * (Impala's PartitionSet analysis: `AlterTableDropPartitionStmt`

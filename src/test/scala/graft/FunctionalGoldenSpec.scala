@@ -265,7 +265,16 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // 1234 partitions over one shared dir (create-table-many-blocks.sh)
     "compute-stats-many-partitions.test",
     // IMPALA-867 avro coldef-vs-schema reconciliation under stats
-    "compute-stats-avro.test")
+    "compute-stats-avro.test",
+    // the CREATE TABLE statement surface: messages, serde clauses,
+    // avro.schema.url schemas, test-db SHOW TABLES, insert reports
+    "create-table.test",
+    // CREATE/DROP DATABASE lifecycle (cascade/restrict), DESCRIBE
+    // DATABASE [EXTENDED] shapes, SHOW DATABASES of created dbs
+    "create-database.test", "describe-db.test",
+    // CREATE/DROP FUNCTION lifecycle: overloads, varargs, per-kind
+    // SHOW FUNCTIONS, the _impala_builtins probes
+    "functions-ddl.test")
 
   /** Files whose fixture tables swap to the ACID-layout-backed twins. */
   private val acidFullFiles = Set(
@@ -568,7 +577,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // numRows overrides) are the gated surface
     Seq(9, 12, 15, 16, 19, 22, 23).map(i =>
       ("corrupt-stats.test", i) ->
-        "EXPLAIN pins the reference distributed planner (small-query collapse, merge-agg ids, cardinality estimator)").toMap
+        "EXPLAIN pins the reference distributed planner (small-query collapse, merge-agg ids, cardinality estimator)").toMap ++
+    Seq(37, 42).map(i =>
+      ("functions-ddl.test", i) ->
+        "a per-db UDF shadowing a builtin name (the single-namespace catalog keeps the builtin)").toMap
 
   // test-runner substitution variables are ALL-CAPS ($ORIGINAL_DB,
   // $NAMENODE, $IMPALA_HOME…) — a literal '$' inside a string value
@@ -753,8 +765,14 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     */
   private def execSetupStmt(spark: org.apache.spark.sql.SparkSession,
       raw: String): Unit = {
-    val s = dbPrefix.replaceAllIn(
+    val s0 = dbPrefix.replaceAllIn(
       if (fixtureAlias) fxRewrite(raw) else raw, "")
+    // model-database qualifiers fold into the single namespace for
+    // every handler (views included), matching GoldenDdl's own folding
+    val s = ImpalaMeta.dbRegistry.keys.foldLeft(s0) { (acc, db) =>
+      acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(db) + "\\.",
+        db + "__")
+    }
     // DDL-emulation files route through the GoldenDdl store FIRST —
     // its statements may carry runner variables inside LOCATION
     // strings, which the store normalizes away
@@ -930,7 +948,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       "compute-stats-incremental.test", "acid-compute-stats.test",
       "corrupt-stats.test", "partition-ddl-predicates-all-fs.test",
       "partition-col-types.test", "compute-stats-many-partitions.test",
-      "compute-stats-avro.test")
+      "compute-stats-avro.test", "create-table.test",
+      "create-database.test", "describe-db.test", "functions-ddl.test")
   private var ddlEmu = false
   private lazy val ddlStore = new GoldenDdl(spark)
 
@@ -1110,11 +1129,19 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           (ddlEmu &&
             """^show\s+((table|column)\s+stats|partitions|files)\b""".r
             .findFirstIn(q).isDefined) ||
+          // SHOW [AGGREGATE|ANALYTIC] FUNCTIONS from the fn registry
+          (ddlEmu &&
+            """^show\s+(aggregate\s+|analytic\s+)?functions\b""".r
+            .findFirstIn(q).isDefined) ||
           // SHOW TABLES/DATABASES with an explicit pattern — the
           // bare forms list a per-test database this single-namespace
           // registry can't scope
           """^show\s+(tables|databases|schemas)\b.*['"]""".r
-            .findFirstIn(q).isDefined)))
+            .findFirstIn(q).isDefined ||
+          // bare SHOW TABLES under DDL emulation lists the test db;
+          // IN $OTHERDB lists the model's qualified side-tables
+          (ddlEmu && """^show\s+tables(\s+in\s+\$?\w+)?\s*;?\s*$""".r
+            .findFirstIn(q).isDefined))))
       Some("non-select")
     else if (prefix.exists(decimalV2FalseRe.matches))
       Some("documented delta: legacy DECIMAL_V2=false arithmetic")
@@ -1129,6 +1156,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           // them disqualify the block
           if (ddlEmu) s.replaceAll("(?is)location\\s+'[^']*'", "location ''")
             .replaceAll("(?is)like\\s+parquet\\s+'[^']*'", "like parquet ''")
+            // cross-db renames are handled by the store
+            .replaceAll("(?is)rename\\s+to\\s+\\$[A-Z_0-9]+\\.",
+              "rename to otherdb.")
+            .replaceAll("(?is)alter\\s+table\\s+\\$[A-Z_0-9]+\\.",
+              "alter table otherdb.")
           else s).isDefined))
       // a runner variable inside an execution-neutral SET (e.g. `SET
       // RUNTIME_FILTER_WAIT_TIME_MS=$RUNTIME_FILTER_WAIT_TIME_MS`) is
@@ -1147,7 +1179,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       Some("column regex")
     else if (!(Set("", "VERIFY_IS_EQUAL_SORTED", "VERIFY_IS_EQUAL")
           .contains(c.resultsTag) ||
-        (isExplain && c.resultsTag == "VERIFY_IS_SUBSET")))
+        ((isExplain || (ddlEmu && q.startsWith("show"))) &&
+          c.resultsTag == "VERIFY_IS_SUBSET")))
       Some(s"tag ${c.resultsTag}")
     else None
   }
@@ -1159,6 +1192,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private val msgDdlRe =
     ("""(?is)^\s*(compute\s+(incremental\s+)?stats|truncate\b|""" +
       """alter\s+table\b|drop\s+table\b|""" +
+      """create\s+(database|schema)\b|drop\s+(database|schema)\b|""" +
+      """create\s+(aggregate\s+)?function\b|""" +
+      """drop\s+(aggregate\s+)?function\b|""" +
       """create\s+(external\s+)?table\b(?![\s\S]*\bas\s+select\b))""").r
   private def isMsgDdl(queryStmt: String, c: GoldenTest.Case): Boolean =
     ddlEmu && msgDdlRe.findFirstIn(queryStmt).isDefined &&
@@ -1384,6 +1420,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       }
       ddlEmu = ddlFiles(f)
       fixtureAlias = fixtureAliasFiles(f)
+      // bare SHOW TABLES in a DDL-emulation file lists the test
+      // database = the warehouse model's tables
+      if (ddlEmu) spark.conf.set("graft.meta.ddlcatalog", "true")
+      else scala.util.Try(spark.conf.unset("graft.meta.ddlcatalog"))
       if (f == "alter-table.test") ddlStore.preloadPartData()
       // the runner pre-creates keyword-named tables in a db named
       // `parquet` (tests/metadata/test_compute_stats.py:103-106); the
@@ -1428,6 +1468,19 @@ class FunctionalGoldenSpec extends SparkSpecBase {
             "float_col float, double_col double, " +
             "date_string_col string, string_col string, " +
             "timestamp_col timestamp")
+      }
+      // describe-db.test's five databases (tests/metadata/test_ddl.py
+      // test_describe_db creates them with these comments/locations)
+      if (f == "describe-db.test") {
+        ddlStore.exec("create database impala_test_desc_db1")
+        ddlStore.exec(
+          "create database impala_test_desc_db2 comment 'test comment'")
+        ddlStore.exec(
+          "create database impala_test_desc_db3 location '$NAMENODE/testdb'")
+        ddlStore.exec("create database impala_test_desc_db4 " +
+          "comment 'test comment' location '$NAMENODE/test2.db'")
+        ddlStore.exec("create database impala_test_desc_db5 " +
+          "comment 'test comment' managedlocation '$NAMENODE/testdb5'")
       }
       // scale_db.num_partitions_1234_blocks_per_partition_1
       // (testdata/bin/create-table-many-blocks.sh): 1234 partitions all
@@ -1539,7 +1592,22 @@ class FunctionalGoldenSpec extends SparkSpecBase {
                 .fromDDL("int_map map<string,int>"))
           }
       }
-      val cases = GoldenTest.load(dir.resolve(f))
+      // per-file runner-variable substitutions applied to BOTH the
+      // statements and the golden rows (what the reference's runner
+      // does with its generated names)
+      val varSubs: Map[String, String] =
+        if (f == "create-database.test") Map(
+          "$DATABASE_2" -> "testdb2", "$DATABASE_loc" -> "testdbloc",
+          "$DATABASE_cascade" -> "testdbcascade",
+          "$DATABASE_restrict" -> "testdbrestrict")
+        else Map.empty
+      def subVars(t: String): String =
+        varSubs.foldLeft(t) { case (acc, (k, v)) => acc.replace(k, v) }
+      val cases =
+        if (varSubs.isEmpty) GoldenTest.load(dir.resolve(f))
+        else GoldenTest.load(dir.resolve(f)).map(c =>
+          c.copy(query = subVars(c.query),
+            results = c.results.map(subVars)))
       if (fixtureAlias) {
         // snapshot every db-qualified fixture the file references under
         // its __fx_ alias BEFORE any same-named table shadows it (the
@@ -1586,18 +1654,20 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         // referenced alltypes.json is the Hive-avro alltypes shape —
         // inline it, the generated json isn't in the sandbox
         val queryTxt =
-          if (f != "compute-stats-avro.test") queryTxt4
+          if (f != "compute-stats-avro.test" && f != "create-table.test")
+            queryTxt4
           else queryTxt4.replaceAll(
-            """(?is)create table (avro_impala_\w+)\s*(?:\([^)]*\))?\s*""" +
-              """partitioned by \(year int, month int\)\s*""" +
-              """with serdeproperties\s*\('avro\.schema\.url'[^)]*\)\s*""" +
+            """(?is)create table (\w+)\s*(?:\([^)]*\))?\s*""" +
+              """(partitioned by \(year int, month int\)\s*)?""" +
+              """with serdeproperties\s*\('avro\.schema\.url'[^)]*alltypes\.json'\)\s*""" +
               """stored as avro""",
             "create table $1 (id int, bool_col boolean, " +
               "tinyint_col int, smallint_col int, int_col int, " +
               "bigint_col bigint, float_col float, double_col double, " +
               "date_string_col string, string_col string, " +
               "timestamp_col string) " +
-              "partitioned by (year int, month int) stored as avro")
+              "$2 stored as avro")
+            .replaceAll("""(?i)\bin\s+\$DATABASE\b""", "")
         if (hbaseFile) shadowHbaseViews(stripLineComments(queryTxt))
         val stmts = splitStmts(queryTxt)
         val queryStmt = if (stmts.isEmpty) "" else stmts.last
@@ -1734,7 +1804,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
               GoldenResult.compare(goldenRows, actual, types,
                 orderedCompare(c) ||
                   (isExplain && c.resultsTag == "VERIFY_IS_EQUAL"),
-                subset = isExplain &&
+                subset = (isExplain ||
+                    """(?is)^\s*show\b""".r
+                      .findFirstIn(queryStmt).isDefined) &&
                   c.resultsTag == "VERIFY_IS_SUBSET") match {
                 case None => pass += 1
                 case Some(diff) =>
@@ -1775,8 +1847,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3201,
-      s"only $pass golden queries passed (floor 3201)")
+    assert(fileFilter.isDefined || pass >= 3286,
+      s"only $pass golden queries passed (floor 3286)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

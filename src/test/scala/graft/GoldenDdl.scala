@@ -111,6 +111,8 @@ final class GoldenDdl(spark: SparkSession) {
     dirFiles.clear()
     lastMessage = None
     ImpalaStats.clear()
+    ImpalaMeta.dbRegistry.clear()
+    ImpalaMeta.fnRegistry.clear()
   }
 
   /** Preload for alter-table.test: the runner creates `part_data (i
@@ -143,6 +145,7 @@ final class GoldenDdl(spark: SparkSession) {
       """(?:\s+partitioned\s+by\s*\(((?:[^()]|\([^()]*\))*)\))?""" +
       """(?:\s+sort\s+by\s+(?:zorder\s*|lexical\s*)?\([^)]*\))?""" +
       """(?:\s+row\s+format\s+delimited(.*?))?""" +
+      """(?:\s+with\s+serdeproperties\s*\((?:[^()]|\([^()]*\))*\)\s*)?""" +
       """(?:\s+stored\s+as\s+(\w+))?""" +
       """(?:\s+location\s+'([^']*)')?""" +
       """(?:\s+tblproperties\s*\((.*)\))?\s*$""").r
@@ -175,7 +178,11 @@ final class GoldenDdl(spark: SparkSession) {
   private val lineDelimRe =
     """(?is)lines\s+terminated\s+by\s+'((?:[^'\\]|\\.)*)'""".r
   private val renameRe =
-    """(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+rename\s+to\s+([A-Za-z_]\w*)\s*$""".r
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+rename\s+to\s+""" +
+      """(?:([\w$]+)\.)?([A-Za-z_]\w*)\s*$""").r
+  private val renameFromDbRe =
+    ("""(?is)^\s*alter\s+table\s+([\w$]+)\.([A-Za-z_]\w*)""" +
+      """\s+rename\s+to\s+(?:[\w$]+\.)?([A-Za-z_]\w*)\s*$""").r
   private val addColsRe =
     ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+add\s+""" +
       """(if\s+not\s+exists\s+)?columns?\s*""" +
@@ -217,6 +224,8 @@ final class GoldenDdl(spark: SparkSession) {
       """(?:\s+partition\s*\(([^)]*)\))?\s+(.*)$""").r
   private val dropTableRe =
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([A-Za-z_]\w*)\s*(?:purge\s*)?$""".r
+  private val dropTableMissingRe =
+    """(?is)^\s*drop\s+table\s+if\s+exists\s+([\w.]+)\s*(?:purge\s*)?$""".r
   private val statsNoopRe =
     ("""(?is)^\s*(?:compute\s+(?:incremental\s+)?stats|refresh|""" +
       """invalidate\s+metadata|analyze\s+table|""" +
@@ -235,6 +244,22 @@ final class GoldenDdl(spark: SparkSession) {
     ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)""" +
       """(?:\s+partition\s*\(([^)]*)\))?\s+set\s+tblproperties\s*\(""" +
       """[^)]*'numRows'\s*=\s*'(-?\d+)'[^)]*\)\s*$""").r
+  private val createFnRe =
+    ("""(?is)^\s*create\s+(aggregate\s+)?function\s+""" +
+      """(if\s+not\s+exists\s+)?([\w.]+)\s*\(([^)]*)\)\s*""" +
+      """returns\s+(\w+)\b.*$""").r
+  private val dropFnRe =
+    ("""(?is)^\s*drop\s+(?:aggregate\s+)?function\s+""" +
+      """(if\s+exists\s+)?([\w.]+)\s*(?:\(([^)]*)\))?\s*;?\s*$""").r
+  private val createDbRe =
+    ("""(?is)^\s*create\s+(?:database|schema)\s+(if\s+not\s+exists\s+)?""" +
+      """([A-Za-z_]\w*)""" +
+      """(?:\s+comment\s+["']([^"']*)["'])?""" +
+      """(?:\s+location\s+'([^']*)')?""" +
+      """(?:\s+managedlocation\s+'[^']*')?\s*;?\s*$""").r
+  private val dropDbRe =
+    ("""(?is)^\s*drop\s+(?:database|schema)\s+(if\s+exists\s+)?""" +
+      """([A-Za-z_]\w*)\s*(cascade|restrict)?\s*;?\s*$""").r
   private val truncMissingRe =
     """(?is)^\s*truncate\s+(?:table\s+)?if\s+exists\s+([A-Za-z_]\w*)\s*$""".r
   private val recoverPartsRe =
@@ -256,9 +281,15 @@ final class GoldenDdl(spark: SparkSession) {
   /** Attempt to consume one setup statement. True = handled (or a
     * recognized no-op); false = not this emulator's statement.
     */
-  def exec(stmt: String): Boolean = try {
+  def exec(stmt0: String): Boolean = try {
     lastMessage = None
     lastInsertReport = Nil
+    // a reference to a MODEL database's table qualifies as db.tbl —
+    // fold into the single namespace as db__tbl
+    val stmt = ImpalaMeta.dbRegistry.keys.foldLeft(stmt0) { (acc, db) =>
+      acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(db) + "\\.",
+        db + "__")
+    }
     stmt match {
       case ctasRe(ine, name, parts, fmt, source) =>
         if (ine == null || !tables.contains(name))
@@ -304,10 +335,28 @@ final class GoldenDdl(spark: SparkSession) {
           create(name, "", None, None, Some("avro"), Option(loc),
             Option(tblProps))
         true
-      case renameRe(from, to) if tables.contains(from) =>
-        tables(to) = tables.remove(from).get
-        ImpalaStats.rename(from, to)
-        spark.catalog.dropTempView(from); published -= from
+      case renameRe(from, toDb, to) if tables.contains(from) =>
+        if (toDb != null) {
+          // rename INTO another database: the table leaves this one
+          // but stays addressable under its qualified name (the model
+          // can rename it back — alter-table.test round-trips it)
+          val key = s"${toDb.toLowerCase}.$to"
+          tables(key) = tables.remove(from).get
+          ImpalaStats.rename(from, key)
+          spark.catalog.dropTempView(from); published -= from
+        } else {
+          tables(to) = tables.remove(from).get
+          ImpalaStats.rename(from, to)
+          spark.catalog.dropTempView(from); published -= from
+          publish(to)
+        }
+        lastMessage = Some("Renaming was successful.")
+        true
+      case renameFromDbRe(fromDb, from, to)
+          if tables.contains(s"${fromDb.toLowerCase}.$from") =>
+        val key = s"${fromDb.toLowerCase}.$from"
+        tables(to) = tables.remove(key).get
+        ImpalaStats.rename(key, to)
         lastMessage = Some("Renaming was successful.")
         publish(to); true
       case addColsRe(name, ine1, colsParen, ine2, colsBare)
@@ -430,6 +479,77 @@ final class GoldenDdl(spark: SparkSession) {
         }
         lastMessage = Some("Partitions have been recovered.")
         publish(name); true
+      case createFnRe(agg, ine, qname, argsTxt, ret) =>
+        // db__fn names fold back to their db; an unqualified name (the
+        // session's test database) lands in the default bucket
+        val name = qname.replace(".", "__")
+        val (db, fn) = ImpalaMeta.dbRegistry.keys
+          .find(d => name.startsWith(d + "__"))
+          .map(d => (d, name.stripPrefix(d + "__")))
+          .getOrElse(("$default$", name))
+        val args = argsTxt.split(",").map(_.trim.toUpperCase)
+          .filter(_.nonEmpty).mkString(", ")
+        val sig = s"$fn($args)"
+        val buf = ImpalaMeta.fnRegistry.getOrElseUpdate(db,
+          scala.collection.mutable.ArrayBuffer.empty)
+        if (buf.exists(_._1 == sig))
+          lastMessage = Some(
+            if (ine != null) "Function already exists."
+            else "Function already exists.")
+        else {
+          buf += ((sig, ret.toUpperCase, agg != null))
+          lastMessage = Some("Function has been created.")
+        }
+        true
+      case dropFnRe(ife, qname, argsTxt) =>
+        val name = qname.replace(".", "__")
+        val (db, fn) = ImpalaMeta.dbRegistry.keys
+          .find(d => name.startsWith(d + "__"))
+          .map(d => (d, name.stripPrefix(d + "__")))
+          .getOrElse(("$default$", name))
+        val args = Option(argsTxt).getOrElse("").split(",")
+          .map(_.trim.toUpperCase).filter(_.nonEmpty).mkString(", ")
+        val sig = s"$fn($args)"
+        val buf = ImpalaMeta.fnRegistry.getOrElse(db,
+          scala.collection.mutable.ArrayBuffer.empty)
+        val i = buf.indexWhere(_._1 == sig)
+        if (i >= 0) {
+          buf.remove(i)
+          lastMessage = Some("Function has been dropped.")
+        } else lastMessage = Some("Function does not exist.")
+        true
+      case createDbRe(ine, name, comment, loc) =>
+        val lower = name.toLowerCase
+        if (ImpalaMeta.dbRegistry.contains(lower) && ine != null)
+          lastMessage = Some("Database already exists.")
+        else {
+          ImpalaMeta.dbRegistry(lower) = ImpalaMeta.DbInfo(
+            Option(comment).getOrElse(""), Option(loc))
+          lastMessage = Some("Database has been created.")
+        }
+        true
+      case dropDbRe(ife, name, mode) =>
+        val lower = name.toLowerCase
+        if (ImpalaMeta.dbRegistry.remove(lower).isDefined) {
+          // CASCADE drops the database's tables too
+          if (mode != null && mode.equalsIgnoreCase("cascade")) {
+            tables.keys.toSeq.filter(_.startsWith(lower + "__"))
+              .foreach { t =>
+                tables.remove(t); ImpalaStats.drop(t)
+                scala.util.Try(spark.catalog.dropTempView(t))
+                published -= t
+              }
+            // views and functions of the db go with it
+            spark.catalog.listTables().collect().map(_.name)
+              .filter(_.toLowerCase.startsWith(lower + "__"))
+              .foreach(v => scala.util.Try(spark.catalog.dropTempView(v)))
+            ImpalaMeta.fnRegistry.remove(lower)
+          }
+          lastMessage = Some("Database has been dropped.")
+        } else lastMessage = Some(
+          if (ife != null) "Database does not exist."
+          else s"Database does not exist: $lower")
+        true
       case computeStatsRe(incr, name, cols, partSpec)
           if tables.contains(name) =>
         val colList = Option(cols).map(_.split(",").toSeq
@@ -527,6 +647,15 @@ final class GoldenDdl(spark: SparkSession) {
       case truncMissingRe(name) if !tables.contains(name) =>
         lastMessage = Some("Table does not exist.")
         true
+      case dropTableMissingRe(name)
+          if !tables.contains(name.split('.').last) =>
+        // a dotted name's db segment isn't a known database in the
+        // single-namespace model — Impala reports the db first
+        lastMessage = Some(
+          if (name.contains('.'))
+            s"Database does not exist: ${name.split('.').head}"
+          else "Table does not exist.")
+        true
       case deleteRe(name, pred) if tables.contains(name) =>
         deleteWhere(name, Option(pred)); publish(name); true
       case updateRe(name, setTxt, pred) if tables.contains(name) =>
@@ -537,7 +666,7 @@ final class GoldenDdl(spark: SparkSession) {
   } catch {
     case t: Throwable =>
       if (sys.env.contains("GRAFT_DDL_TRACE")) {
-        println(s"[ddl THREW] ${stmt.replaceAll("\\s+", " ").take(120)}")
+        println(s"[ddl THREW] ${stmt0.replaceAll("\\s+", " ").take(120)}")
         t.printStackTrace()
       }
       true // consumed-but-failed, like Impala erroring
@@ -612,7 +741,19 @@ final class GoldenDdl(spark: SparkSession) {
           metadata = new MetadataBuilder().withMetadata(f.metadata)
             .putString("__CHAR_VARCHAR_TYPE_STRING", s"char(${c.length})")
             .build())
-        case _ => f
+        // CHAR/VARCHAR nested inside complex types can't live in a
+        // DataFrame either — replace with STRING but keep the DECLARED
+        // type text so DESCRIBE still prints varchar(10) inside the
+        // struct (create-table.test struct_keywords)
+        case other =>
+          val replaced = org.apache.spark.sql.catalyst.util
+            .CharVarcharUtils.replaceCharVarcharWithString(other)
+          if (replaced == other) f
+          else f.copy(dataType = replaced,
+            metadata = new MetadataBuilder().withMetadata(f.metadata)
+              .putString("__CHAR_VARCHAR_TYPE_STRING",
+                ImpalaMeta.typeSql(other, 0))
+              .build())
       }
     })
 

@@ -2,6 +2,9 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
+/** Ad-hoc driver for poking at one query/fixture during development:
+  * `sbt "Test/runMain graft.tools.Scratch"`.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
@@ -9,13 +12,10 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     graft.sources.FunctionalTables.register(spark)
-    spark.table("alltypes").createOrReplaceTempView("__fx_functional__alltypes")
-    val ddl = new graft.GoldenDdl(spark)
-    ddl.exec("create table alltypes like __fx_functional__alltypes")
-    ddl.exec("insert into alltypes partition(year, month) select * from __fx_functional__alltypes")
-    ddl.exec("alter table alltypes add partition (year=NULL, month=NULL)")
-    ddl.exec("alter table alltypes add partition (year=2011, month=NULL)")
-    ddl.exec("alter table alltypes drop partition (year=NULL, month=NULL)")
+    val sql = args.headOption.getOrElse("select count(*) from alltypes")
+    val df = graft.ImpalaDialect.sql(spark, sql)
+    df.explain(false)
+    df.show(50, false)
     spark.stop()
   }
 }

@@ -274,7 +274,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "create-database.test", "describe-db.test",
     // CREATE/DROP FUNCTION lifecycle: overloads, varargs, per-kind
     // SHOW FUNCTIONS, the _impala_builtins probes
-    "functions-ddl.test")
+    "functions-ddl.test",
+    // CREATE TABLE LIKE PARQUET schema inference from the shipped
+    // footer files (int32 widening, enum→string, nested lists)
+    "create-table-like-file.test")
 
   /** Files whose fixture tables swap to the ACID-layout-backed twins. */
   private val acidFullFiles = Set(
@@ -949,7 +952,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       "corrupt-stats.test", "partition-ddl-predicates-all-fs.test",
       "partition-col-types.test", "compute-stats-many-partitions.test",
       "compute-stats-avro.test", "create-table.test",
-      "create-database.test", "describe-db.test", "functions-ddl.test")
+      "create-database.test", "describe-db.test", "functions-ddl.test",
+      "create-table-like-file.test")
   private var ddlEmu = false
   private lazy val ddlStore = new GoldenDdl(spark)
 
@@ -1847,8 +1851,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3286,
-      s"only $pass golden queries passed (floor 3286)")
+    assert(fileFilter.isDefined || pass >= 3305,
+      s"only $pass golden queries passed (floor 3305)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

@@ -297,16 +297,53 @@ final class GoldenDdl(spark: SparkSession) {
         true
       case createLikeParquetRe(ine, name, path, parts, fmt, loc) =>
         if (ine == null || !tables.contains(name)) {
+          // when the referenced warehouse file ships with the reference
+          // (testdata/data/<path-under-test-warehouse>), infer the
+          // schema from the REAL parquet footer with Impala's type
+          // mapping (CreateTableLikeFileStmt / ParquetHelper.java:
+          // int32 → INT whatever its logical annotation; every column
+          // comments 'Inferred from Parquet file.')
+          val rel = path.replaceAll("^.*test-warehouse/", "")
+          val dataRoot = java.nio.file.Paths.get(
+            "/root/reference/testdata/data")
+          val refFile = Seq(
+            dataRoot.resolve(rel),
+            dataRoot.resolve("schemas/nested")
+              .resolve(rel.split('/').last),
+            dataRoot.resolve("schemas/enum")
+              .resolve(rel.split('/').last))
+            .find(java.nio.file.Files.isRegularFile(_))
+          val inferredDf = refFile.flatMap(fp =>
+            scala.util.Try(spark.read.parquet(fp.toString)).toOption)
+          val inferred: Option[StructType] = inferredDf.map { fdf =>
+            def widen(dt: DataType): DataType = dt match {
+              case ByteType | ShortType => IntegerType
+              // un-annotated BINARY infers as STRING
+              // (ParquetHelper.java BYTE_ARRAY → STRING)
+              case BinaryType => StringType
+              case StructType(fields) => StructType(fields.map(f =>
+                f.copy(dataType = widen(f.dataType))))
+              case ArrayType(e, n) => ArrayType(widen(e), n)
+              case MapType(k, v, n) => MapType(widen(k), widen(v), n)
+              case other => other
+            }
+            StructType(fdf.schema.fields.map(f =>
+              f.copy(dataType = widen(f.dataType))
+                .withComment("Inferred from Parquet file.")))
+          }
           val base = normLoc(path).split('/').head.replaceAll(
             "_(seq|rc|avro|parquet|orc|text)(_[a-z0-9]+)*$", "")
-          val df = spark.table(base)
-          val pcols = datasetPartCols.getOrElse(base.toLowerCase, Nil)
-          val dataSchema = StructType(df.schema.fields.filterNot(f =>
-            pcols.contains(f.name.toLowerCase)))
+          lazy val df = spark.table(base)
+          val pcols =
+            if (inferred.isDefined) Nil
+            else datasetPartCols.getOrElse(base.toLowerCase, Nil)
+          val dataSchema = inferred.getOrElse(
+            StructType(df.schema.fields.filterNot(f =>
+              pcols.contains(f.name.toLowerCase))))
           val partSchema = Option(parts).filter(_.trim.nonEmpty)
             .map(s => normalizeSchema(StructType.fromDDL(s)))
             .getOrElse(new StructType())
-          val t = new Tbl(dataSchema, partSchema,
+          val t = new Tbl(normalizeSchema(dataSchema), partSchema,
             Option(loc).map(normLoc).getOrElse(name), None)
           t.format = fmtName(Option(fmt))
           if (partSchema.isEmpty) {
@@ -314,8 +351,19 @@ final class GoldenDdl(spark: SparkSession) {
             t.parts(Nil) = (t.baseLocation, None)
           }
           tables(name) = t
+          // the reference environment's dir holds the source file —
+          // an external like-parquet table reads it (the enum probe
+          // selects its row)
+          inferredDf.filter(_ => partSchema.isEmpty).foreach { fdf =>
+            dirs(t.baseLocation) = Fixed(fdf)
+            val bytes = scala.util.Try(sources.ImpalaTextFormat
+              .fileBytes(fdf.collect().toSeq)).getOrElse(0L)
+            dirFiles(t.baseLocation) =
+              if (bytes > 0) Vector(bytes) else Vector.empty
+          }
           publish(name)
-        }
+          lastMessage = Some("Table has been created.")
+        } else lastMessage = Some("Table already exists.")
         true
       case createLikeRe(ine, name, src, fmt, loc) =>
         if (ine == null || !tables.contains(name)) {

@@ -177,6 +177,9 @@ object GoldenResult {
         case '\t' => "\\t"
         case '\r' => "\\r"
         case c if c < 0x20 => f"\\x${c.toInt}%02x"
+        // unicode_escape also hex-escapes DEL and the 0x80-0xFF range
+        // (delimited-latin-text.test's thorn/e-circumflex bytes)
+        case c if c >= 0x7f && c <= 0xff => f"\\x${c.toInt}%02x"
         case c => c.toString
       }
       "'" + esc + "'"

@@ -1380,6 +1380,10 @@ object ImpalaDialect {
       case Some(df) => return df
       case None =>
     }
+    ImpalaOptions.intercept(spark, text) match {
+      case Some(df) => return df
+      case None =>
+    }
     text match {
       case explainRe(body) =>
         return plans.ImpalaExplain.explainSql(spark, body, sql)

@@ -85,6 +85,124 @@ object ImpalaMeta {
   private val describeDbRe =
     ("""(?is)^\s*describe\s+database\s+((?:extended|formatted)\s+)?""" +
       """([A-Za-z_]\w*)\s*;?\s*$""").r
+  private val describeFormattedRe =
+    """(?is)^\s*describe\s+(?:formatted|extended)\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val describeHistoryRe =
+    """(?is)^\s*describe\s+history\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+
+  /** Iceberg tables of the warehouse model: physical layout dir +
+    * the MODEL location/properties the observability statements
+    * render (`fe/.../analysis/DescribeTableStmt.java`,
+    * `IcebergUtil.java`). Populated by the harness sim or by a user
+    * registering a layout-backed table.
+    */
+  final class IcebergTbl(
+      val dir: String, val location: String, val external: Boolean,
+      val props: scala.collection.mutable.LinkedHashMap[String, String],
+      var owner: String = "impala", var ownerType: String = "USER")
+  val icebergRegistry =
+    scala.collection.mutable.LinkedHashMap.empty[String, IcebergTbl]
+
+  private def pad20(s: String): String = s.padTo(20, ' ')
+
+  private def strDf(spark: SparkSession, cols: Seq[String],
+      rows: Seq[Seq[String]]): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.map(r => Row(r: _*))).asJava),
+      StructType(cols.map(c => StructField(c, StringType))))
+
+  /** Hive's DESCRIBE FORMATTED table layout (key/value/NULL section
+    * rows, 20-char-padded parameter rows) for a registered iceberg
+    * table — the subset the goldens pin plus the standard sections.
+    */
+  private def describeFormatted(spark: SparkSession, name: String)
+      : Option[DataFrame] = icebergRegistry.get(name.toLowerCase).map { t =>
+    val dirPath = java.nio.file.Paths.get(t.dir)
+    val schema = scala.util.Try(spark.table(name).schema)
+      .getOrElse(sources.IcebergLayout.schemaOf(dirPath))
+    val colRows = Seq(
+      Seq(pad20("# col_name"), pad20("data_type"), pad20("comment")),
+      Seq("", "NULL", "NULL")) ++
+      schema.fields.map(f =>
+        Seq(pad20(f.name), f.dataType.simpleString, ""))
+    val hintV = scala.util.Try(new String(java.nio.file.Files.readAllBytes(
+      dirPath.resolve("metadata/version-hint.text"))).trim).getOrElse("1")
+    val fileFormat = t.props.getOrElse("iceberg.file_format", "parquet")
+    val paramRows =
+      (t.props.toSeq ++ Seq(
+        "iceberg.file_format" -> fileFormat,
+        "table_type" -> "ICEBERG",
+        "metadata_location" ->
+          s"${t.location}/metadata/v$hintV.metadata.json",
+        "numRows" -> "-1", "EXTERNAL" -> "TRUE"))
+        .distinctBy(_._1)
+        .map { case (k, v) => Seq("", pad20(k), pad20(v)) }
+    val sectionRows = Seq(
+      Seq("", "NULL", "NULL"),
+      Seq(pad20("# Detailed Table Information"), "NULL", "NULL"),
+      Seq(pad20("Database:"), pad20("default"), "NULL"),
+      Seq(pad20("OwnerType:"), pad20(t.ownerType), "NULL"),
+      Seq(pad20("Owner:"), pad20(t.owner), "NULL"),
+      Seq(pad20("Location:"), pad20(t.location), "NULL"),
+      Seq(pad20("Table Type:"),
+        pad20(if (t.external) "EXTERNAL_TABLE" else "MANAGED_TABLE"),
+        "NULL"),
+      Seq(pad20("Table Parameters:"), "NULL", "NULL")) ++ paramRows
+    strDf(spark, Seq("name", "type", "comment"), colRows ++ sectionRows)
+  }
+
+  /** DESCRIBE HISTORY — Iceberg snapshot log rendered in the session
+    * timezone with Impala's 9-digit fraction
+    * (`fe/.../service/DescribeResultFactory.java` describeHistory).
+    */
+  private def describeHistory(spark: SparkSession, name: String)
+      : Option[DataFrame] = icebergRegistry.get(name.toLowerCase).map { t =>
+    val zone = java.time.ZoneId.of(
+      spark.conf.get("spark.sql.session.timeZone", "UTC"))
+    val rows = sources.IcebergLayout.history(
+      java.nio.file.Paths.get(t.dir)).map { case (ms, id, parent, cur) =>
+      val ldt = java.time.Instant.ofEpochMilli(ms).atZone(zone)
+      val base = ldt.format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val frac = f".${ms % 1000}%03d000000"
+      Seq(base + frac, id.toString,
+        parent.map(_.toString).getOrElse("NULL"),
+        if (cur) "TRUE" else "FALSE")
+    }
+    strDf(spark, Seq("creation_time", "snapshot_id", "parent_id",
+      "is_current_ancestor"), rows)
+  }
+
+  /** SHOW PARTITIONS on an Iceberg table: the partition SPEC
+    * (specId, sourceId, fieldId, name, transform) — not directory
+    * partitions (`IcebergUtil.java` getPartitionSpec rows).
+    */
+  private def icebergPartitions(spark: SparkSession, name: String)
+      : Option[DataFrame] = icebergRegistry.get(name.toLowerCase).map { t =>
+    val spec = sources.IcebergLayout.specOf(java.nio.file.Paths.get(t.dir))
+    val rows = spec.map(f => Row(0L, f.sourceId.toLong, f.fieldId.toLong,
+      f.name, f.transform))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(
+        StructField("spec_id", LongType),
+        StructField("source_id", LongType),
+        StructField("field_id", LongType),
+        StructField("field_name", StringType),
+        StructField("transform", StringType))))
+  }
+
+  private def icebergFiles(spark: SparkSession, name: String)
+      : Option[DataFrame] = icebergRegistry.get(name.toLowerCase).map { t =>
+    val rows = sources.IcebergLayout
+      .dataFiles(java.nio.file.Paths.get(t.dir))
+      .map { case (model, _, _, size) =>
+        Seq(model, ImpalaStats.printBytes(size), "") }
+    strDf(spark, Seq("Path", "Size", "Partition"), rows)
+  }
   private val showFunctionsRe =
     ("""(?is)^\s*show\s+(aggregate\s+|analytic\s+)?functions""" +
       """(?:\s+in\s+([$\w]+))?\s*;?\s*$""").r
@@ -125,6 +243,11 @@ object ImpalaMeta {
     */
   def intercept(spark: SparkSession, text: String): Option[DataFrame] =
     text match {
+      case showTableStatsRe(raw)
+          if icebergRegistry.contains(statsName(raw).split('.').last) &&
+            raw != null && """(?is)^\s*show\s+partitions\b""".r
+              .findFirstIn(text).isDefined =>
+        icebergPartitions(spark, statsName(raw).split('.').last)
       case showTableStatsRe(raw) =>
         val n = statsName(raw)
         ImpalaStats.showTableStats(spark, n).orElse(
@@ -133,9 +256,17 @@ object ImpalaMeta {
         val n = statsName(raw)
         ImpalaStats.showColumnStats(spark, n).orElse(
           ImpalaStats.showColumnStats(spark, n.split('.').last))
+      case showFilesRe(raw, spec)
+          if icebergRegistry.contains(statsName(raw).split('.').last) =>
+        icebergFiles(spark, statsName(raw).split('.').last)
       case showFilesRe(raw, spec) =>
         val n = statsName(raw).split('.').last
         ImpalaStats.showFiles(spark, n, Option(spec))
+      case describeHistoryRe(name) =>
+        describeHistory(spark, name)
+      case describeFormattedRe(name)
+          if icebergRegistry.contains(name.toLowerCase) =>
+        describeFormatted(spark, name)
       case describeDbRe(ext, db) =>
         describeDb(spark, ext != null, db)
       case showFunctionsRe(kind, db0) if spark.conf

@@ -203,9 +203,12 @@ object ImpalaStats {
 
   private def isVarWidth(f: StructField): Boolean = fixedWidth(f) < 0
 
-  /** Impala type text in SHOW COLUMN STATS (upper-case). */
+  /** Impala type text in SHOW COLUMN STATS (upper-case keywords,
+    * lower-case struct field names — show-stats.test allcomplextypes).
+    */
   private def typeText(f: StructField): String =
-    charVarchar(f).getOrElse(ImpalaMeta.typeSql(f.dataType, 0)).toUpperCase
+    charVarchar(f).map(_.toUpperCase)
+      .getOrElse(ImpalaMeta.upperTypeSql(f.dataType))
 
   // ------------------------------------------------------------------
   // COMPUTE / DROP STATS

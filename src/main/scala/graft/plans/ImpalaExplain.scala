@@ -57,12 +57,15 @@ object ImpalaExplain {
 
   private[plans] final class Node(
       val kind: String, // SCAN | EXCHANGE | JOIN | AGG | SORT | ...
-      val title: String, // text after "NN:" (or the full line if unnumbered)
+      var title: String, // text after "NN:" (or the full line if unnumbered)
       var details: List[String] = Nil,
       var child: Option[Node] = None, // the inline (probe) input
       var builds: List[Node] = Nil // |-- branches (build/union inputs)
   ) {
     var id: Int = -1
+    // a Spark Partial-mode aggregate with grouping keys (Impala's
+    // streaming preaggregation candidate)
+    var aggPartialGrouping: Boolean = false
     // runtime-filter bookkeeping (hash joins and targeted scans)
     var rfProbeKeys: Seq[Expression] = Nil
     var rfBuildKeys: Seq[Expression] = Nil
@@ -81,6 +84,16 @@ object ImpalaExplain {
       sqlRunner: (SparkSession, String) => DataFrame): DataFrame = {
     val level = spark.conf.getOption("graft.explain.level")
       .flatMap(_.toIntOption).getOrElse(1)
+    // DISABLE_STREAMING_PREAGGREGATIONS renders phase-1 aggregates
+    // without the [STREAMING] tag (Impala's non-streaming preagg)
+    noStreamingAgg = spark.conf
+      .getOption("graft.explain.noStreamingAgg").contains("true")
+    partitionKeyScan(spark, body).foreach { lines =>
+      val rows = new java.util.ArrayList[Row](lines.length)
+      lines.foreach(l => rows.add(Row(l)))
+      return spark.createDataFrame(rows,
+        StructType(Seq(StructField("Explain String", StringType))))
+    }
     val (stripped, names) = resolveNames(spark, body)
     val statsScan = statsScanNode(spark, body, names)
     // the rendered plan is the STATIC one, like Impala's (AQE re-plans
@@ -96,6 +109,41 @@ object ImpalaExplain {
     lines.foreach(l => rows.add(Row(l)))
     spark.createDataFrame(rows,
       StructType(Seq(StructField("Explain String", StringType))))
+  }
+
+  @volatile private var noStreamingAgg = false
+
+  /** OPTIMIZE_PARTITION_KEY_SCANS: an aggregate whose inputs are all
+    * partition-key columns of one registered table collapses to a
+    * UNION of constant tuples — one per partition — under a FINALIZE
+    * aggregate (`fe/.../planner/HdfsScanNode` applyPartitionKeyScan /
+    * IMPALA-1795). Synthesized from the stats registry's partition
+    * listing when the `graft.explain.partitionKeyScans` conf is set.
+    */
+  private def partitionKeyScan(spark: SparkSession,
+      body: String): Option[Seq[String]] = {
+    if (!spark.conf.getOption("graft.explain.partitionKeyScans")
+        .contains("true")) return None
+    val m = """(?is)^\s*select\s+(.*?)\s+from\s+([\w.]+)\s*;?\s*$""".r
+      .findFirstMatchIn(body).getOrElse(return None)
+    val selectList = m.group(1)
+    val table = m.group(2)
+    val bare = table.split('.').last
+    graft.ImpalaStats.lookup(bare).flatMap { case (model, _) =>
+      val partNames = model.partCols().fields.map(_.name.toLowerCase).toSet
+      if (partNames.isEmpty) return None
+      // column references only — strip aggregate-function names
+      val ids = identifiers(
+        selectList.replaceAll("[A-Za-z_]\\w*\\s*\\(", "("))
+      if (ids.isEmpty || !ids.forall(partNames)) return None
+      val n = model.partitions().size
+      Some(Seq(
+        "01:AGGREGATE [FINALIZE]",
+        s"|  output: ${selectList.trim}",
+        "|",
+        "00:UNION",
+        s"   constant-operands=$n"))
+    }
   }
 
   /** Collect relation names in text order; rewrite db-qualified names
@@ -280,6 +328,7 @@ object ImpalaExplain {
         new Node("EXCHANGE", "EXCHANGE [UNPARTITIONED]",
           child = Some(treeNoRoot))
       else treeNoRoot
+    tagAggs(tree)
     number(tree)
     planRuntimeFilters(tree)
     val sink = new Node("SINK", "PLAN-ROOT SINK", child = Some(tree))
@@ -425,11 +474,14 @@ object ImpalaExplain {
     case a: BaseAggregateExec =>
       import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
       val modes = a.aggregateExpressions.map(_.mode).distinct
-      val phase =
-        if (modes.contains(Partial)) "STREAMING"
-        else "FINALIZE"
-      val n = new Node("AGG", s"AGGREGATE [$phase]",
+      // the FINALIZE/STREAMING/plain tag is finalized tree-wide by
+      // tagAggs (it depends on the node's position in the agg chain)
+      val n = new Node("AGG", "AGGREGATE",
         child = Some(build(a.child, scanNames)))
+      // grouping aggs are streaming-preagg candidates; a keys-only
+      // dedup phase (count distinct) carries no aggregate modes, so
+      // the merge-vs-phase1 split happens in tagAggs via tree position
+      n.aggPartialGrouping = a.groupingExpressions.nonEmpty
       if (a.groupingExpressions.nonEmpty)
         n.details = List(
           s"group by: ${a.groupingExpressions.map(exprText).mkString(", ")}")
@@ -525,17 +577,50 @@ object ImpalaExplain {
   /** Impala's two-phase ids: single-node operators first (post-order,
     * probe before build), then exchanges in the same traversal order.
     */
+  /** Impala's AGGREGATE tags (PlanFragment.getExplainString):
+    * FINALIZE on the agg completing its chain (no aggregate above it
+    * through exchanges), [STREAMING] on a grouping preaggregation
+    * below a merge (unless DISABLE_STREAMING_PREAGGREGATIONS), plain
+    * AGGREGATE on intermediate merges and non-grouping phase-1 aggs.
+    */
+  private def tagAggs(root: Node): Unit = {
+    def walk(n: Node, aggAbove: Boolean): Unit = {
+      if (n.kind == "AGG") {
+        val merge = n.child.exists(_.kind == "EXCHANGE")
+        n.title =
+          if (!aggAbove) "AGGREGATE [FINALIZE]"
+          else if (n.aggPartialGrouping && !merge && !noStreamingAgg)
+            "AGGREGATE [STREAMING]"
+          else "AGGREGATE"
+      }
+      val below = aggAbove || n.kind == "AGG"
+      n.child.foreach(walk(_, below))
+      n.builds.foreach(walk(_, below))
+    }
+    walk(root, aggAbove = false)
+  }
+
+  /** Impala's creation-order node ids: the single-node plan's nodes
+    * first (scans, joins, phase aggs — bottom-up), then the
+    * DistributedPlanner's additions — each exchange and, directly
+    * after it, the merge aggregate it feeds
+    * (`fe/.../planner/DistributedPlanner.java`).
+    */
   private def number(root: Node): Unit = {
     var next = 0
-    def walk(n: Node, exchanges: Boolean): Unit = {
-      n.child.foreach(walk(_, exchanges))
-      n.builds.foreach(walk(_, exchanges))
-      if ((n.kind == "EXCHANGE") == exchanges && n.kind != "SINK") {
+    def mergeAgg(n: Node): Boolean =
+      n.kind == "AGG" && n.child.exists(_.kind == "EXCHANGE")
+    def distributedPhase(n: Node): Boolean =
+      n.kind == "EXCHANGE" || mergeAgg(n)
+    def walk(n: Node, distributed: Boolean): Unit = {
+      n.child.foreach(walk(_, distributed))
+      n.builds.foreach(walk(_, distributed))
+      if (distributedPhase(n) == distributed && n.kind != "SINK") {
         n.id = next; next += 1
       }
     }
-    walk(root, exchanges = false)
-    walk(root, exchanges = true)
+    walk(root, distributed = false)
+    walk(root, distributed = true)
   }
 
   /** One runtime filter per hash join with equi-keys, numbered in node

@@ -251,6 +251,37 @@ object EventsQueries extends QueryGroup {
       ORDER BY event_type"""
     )),
 
+    // ---- Iceberg write path: two IcebergLayout.append commits (two
+    // snapshots: metadata.json chain, avro manifest lists/manifests,
+    // parquet data files), read back through the native metadata-chain
+    // reader — the oracle recomputes from the source, proving the
+    // commit/read cycle is lossless (ref write side:
+    // fe/.../service/IcebergCatalogOpExecutor.java appendFiles).
+    Q.Def("q_iceberg_write_read", (s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_iceberg_events")
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.sources.IcebergLayout.create(out,
+        "hdfs://graft/test-warehouse/events_ice", ev.schema, Nil,
+        Map("write.format.default" -> "parquet"))
+      graft.sources.IcebergLayout.append(s, out,
+        ev.where(col("event_id") % 2 === 0))
+      graft.sources.IcebergLayout.append(s, out,
+        ev.where(col("event_id") % 2 === 1))
+      graft.sources.IcebergFiles.readTable(s, out.toString)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("value_sum"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS value_sum
+      FROM events
+      GROUP BY event_type
+      ORDER BY event_type"""
+    )),
+
     // ---- dynamic partition overwrite (HdfsTableSink INSERT OVERWRITE
     // PARTITION semantics, hdfs-table-sink.h:90): rewrite ONLY the
     // partitions present in the incoming frame, leave the rest intact.

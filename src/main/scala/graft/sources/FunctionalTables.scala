@@ -730,6 +730,12 @@ object FunctionalTables {
     if (java.nio.file.Files.isRegularFile(dhp))
       mk(loadCustomDelimited(dhp, delimSch, '$', '#', '|'), delimSch,
         "text_dollar_hash_pipe")
+    // extended-ASCII delimiters: thorn (0xFE) fields, e-circumflex
+    // (0xEA) escape (delimited-latin-text.test; schema template :1195)
+    val ten = refRoot.resolve("data/text-thorn-ecirc-newline.txt")
+    if (java.nio.file.Files.isRegularFile(ten))
+      mk(loadCustomDelimited(ten, delimSch, 'þ', 'ê', '\n'),
+        delimSch, "text_thorn_ecirc_newline")
     // overflow: boundary-value text fixture (overflow.txt)
     val ovf = refRoot.resolve("data/overflow.txt")
     if (java.nio.file.Files.isRegularFile(ovf)) {

@@ -277,7 +277,32 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "functions-ddl.test",
     // CREATE TABLE LIKE PARQUET schema inference from the shipped
     // footer files (int32 widening, enum→string, nested lists)
-    "create-table-like-file.test")
+    "create-table-like-file.test",
+    // round 12: partition-key-scan row counting (the RUNTIME_PROFILE
+    // counter is a loader-ignored section), the IMPALA-875 static
+    // partition-key type-promotion insert
+    "partition-key-scans-plan-rows.test", "insert_part_key.test",
+    // round 12b: the Iceberg WRITE path — CREATE/INSERT/ALTER/DROP
+    // against real HadoopTables metadata chains (IcebergLayout), reads
+    // back through IcebergFiles; DESCRIBE HISTORY renders the real
+    // snapshot log (incl. the reference's shipped iceberg_partitioned
+    // fixture metadata)
+    "iceberg-create.test", "iceberg-insert.test", "iceberg-alter.test",
+    "iceberg-table-history.test", "iceberg-negative.test",
+    // round 12c: the loaded-stats environment (SHOW TABLE/COLUMN
+    // STATS over the functional db's datasets), mt-dop compute stats,
+    // hidden-file-skipping partition ledger
+    "show-stats.test", "mt-dop-compute-stats.test", "hidden-files.test",
+    // round 12d: the SET statement surface (SET ALL inventory, option
+    // overrides, the explain-shape toggles)
+    "set.test",
+    // round 12e: local-filesystem external tables (file:// LOCATION
+    // seeds real bytes), extended-ASCII serde delimiters, dynamic
+    // partitioning under nondeterministic keys, hdfs-only partition
+    // predicates
+    "local-filesystem.test", "delimited-latin-text.test",
+    "insert-random-partition.test",
+    "partition-ddl-predicates-hdfs-only.test")
 
   /** Files whose fixture tables swap to the ACID-layout-backed twins. */
   private val acidFullFiles = Set(
@@ -322,7 +347,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // SET timezone here governs how TIMESTAMP columns themselves
     // render (isAdjustedToUTC=true parquet columns are instants);
     // Spark's session timezone is exactly that knob
-    "parquet-int64-timestamps.test")
+    "parquet-int64-timestamps.test",
+    // DESCRIBE HISTORY renders snapshot commit instants in the
+    // session timezone
+    "iceberg-table-history.test")
 
   /** Documented engine deltas, each verified against the reference
     * source — cases where Spark's core semantics differ by design and
@@ -776,6 +804,16 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(db) + "\\.",
         db + "__")
     }
+    // iceberg files: STORED AS ICEBERG DDL/DML replays against real
+    // metadata-chain layouts (must run before GoldenDdl — its generic
+    // CREATE/DROP/INSERT shapes would otherwise swallow these)
+    if (icebergMode) {
+      val handled = scala.util.Try(icebergSim.exec(s))
+      if (sys.env.contains("GRAFT_SIM_TRACE") && handled.isFailure)
+        println(s"[icesim THREW ${handled.failed.get}] " +
+          s.replaceAll("\\s+", " ").take(120))
+      if (handled.getOrElse(false)) return
+    }
     // DDL-emulation files route through the GoldenDdl store FIRST —
     // its statements may carry runner variables inside LOCATION
     // strings, which the store normalizes away
@@ -953,7 +991,27 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       "partition-col-types.test", "compute-stats-many-partitions.test",
       "compute-stats-avro.test", "create-table.test",
       "create-database.test", "describe-db.test", "functions-ddl.test",
-      "create-table-like-file.test")
+      "create-table-like-file.test", "insert_part_key.test",
+      "iceberg-create.test", "iceberg-insert.test", "iceberg-alter.test",
+      "iceberg-table-history.test", "iceberg-negative.test",
+      "show-stats.test", "mt-dop-compute-stats.test", "hidden-files.test",
+      "set.test", "local-filesystem.test", "delimited-latin-text.test",
+      "insert-random-partition.test",
+      "partition-ddl-predicates-hdfs-only.test")
+  /** set.test: SET statements are the queries themselves; per-block
+    * option state resets like the reference runner's session clear. */
+  private var setFile = false
+  private val optSetRe =
+    """(?is)^\s*set\s+([A-Za-z_]\w*)\s*=\s*(.*?)\s*;?\s*$""".r
+
+  /** Files whose iceberg DDL/DML replays through IcebergSim (real
+    * metadata-chain writes via IcebergLayout).
+    */
+  private val icebergSimFiles = Set(
+    "iceberg-create.test", "iceberg-insert.test", "iceberg-alter.test",
+    "iceberg-table-history.test", "iceberg-negative.test")
+  private var icebergMode = false
+  private lazy val icebergSim = new IcebergSim(spark, ddlStore)
   private var ddlEmu = false
   private lazy val ddlStore = new GoldenDdl(spark)
 
@@ -967,7 +1025,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "compute-stats.test", "compute-stats-date.test",
     "compute-stats-decimal.test", "compute-stats-keywords.test",
     "truncate-table.test", "alter-table-set-column-stats.test",
-    "compute-stats-incremental.test", "compute-stats-avro.test")
+    "compute-stats-incremental.test", "compute-stats-avro.test",
+    // iceberg-insert creates tables NAMED LIKE the fixtures it
+    // selects from (decimal_tbl, chars_formats)
+    "iceberg-insert.test")
   private var fixtureAlias = false
   private val dbQualRe =
     ("""\b(functional(?:_[a-z0-9]+)*|tpch(?:_[a-z0-9]+)*|""" +
@@ -1123,9 +1184,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         !(q.startsWith("select") || q.startsWith("with") ||
           q.startsWith("values") || isExplain ||
           // plain DESCRIBE <path> produces Impala-shaped rows via
-          // ImpalaMeta; FORMATTED/EXTENDED stay out of scope
+          // ImpalaMeta; FORMATTED/EXTENDED stay out of scope — except
+          // under DDL emulation, where the model renders the Hive
+          // FORMATTED layout (iceberg files' subset probes)
           """^describe\s+(?!formatted\b|extended\b)""".r
             .findFirstIn(q).isDefined ||
+          (icebergMode && """^describe\s+formatted\b""".r
+            .findFirstIn(q).isDefined) ||
           // SHOW TABLE/COLUMN STATS and SHOW PARTITIONS render from
           // the ImpalaStats registry — the DDL-emulation files, whose
           // tables the GoldenDdl store registers (the acid-sim and
@@ -1145,13 +1210,16 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           // bare SHOW TABLES under DDL emulation lists the test db;
           // IN $OTHERDB lists the model's qualified side-tables
           (ddlEmu && """^show\s+tables(\s+in\s+\$?\w+)?\s*;?\s*$""".r
-            .findFirstIn(q).isDefined))))
+            .findFirstIn(q).isDefined) ||
+          // set.test: SET statements are themselves the queries
+          // (SET ALL inventories; a plain SET answers empty)
+          (setFile && q.startsWith("set")))))
       Some("non-select")
     else if (prefix.exists(decimalV2FalseRe.matches))
       Some("documented delta: legacy DECIMAL_V2=false arithmetic")
     else if (prefix.nonEmpty &&
         !prefix.forall(s => isSetupStmt(s) || isNeutralSet(s) ||
-          isSessionSet(s)))
+          isSessionSet(s) || (setFile && optSetRe.matches(s))))
       Some("multi-statement")
     else if ((prefix.filterNot(isNeutralSet) :+ queryStmt)
         .exists(s => runnerVarRe.findFirstIn(
@@ -1174,7 +1242,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     else if (c.sections.contains("CATCH")) Some("error-path block")
     else if (c.sections.contains("DML_RESULTS")) Some("dml block")
     else if (!c.sections.contains("RESULTS")) Some("no RESULTS section")
-    else if (!isExplain && c.results.exists(_.trim.startsWith("row_regex")))
+    else if (!isExplain &&
+        !(icebergMode && (q.startsWith("show") || q.startsWith("describe"))) &&
+        c.results.exists(_.trim.startsWith("row_regex")))
       Some("row_regex expectation")
     else if (!isExplain && !q.startsWith("show") &&
         c.results.exists(_.contains("regex:")))
@@ -1183,7 +1253,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       Some("column regex")
     else if (!(Set("", "VERIFY_IS_EQUAL_SORTED", "VERIFY_IS_EQUAL")
           .contains(c.resultsTag) ||
-        ((isExplain || (ddlEmu && q.startsWith("show"))) &&
+        ((isExplain || (ddlEmu && q.startsWith("show")) ||
+            (icebergMode && q.startsWith("describe")) ||
+            (setFile && q.startsWith("set"))) &&
           c.resultsTag == "VERIFY_IS_SUBSET")))
       Some(s"tag ${c.resultsTag}")
     else None
@@ -1423,6 +1495,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         sources.FunctionalTables.register(spark)
       }
       ddlEmu = ddlFiles(f)
+      setFile = f == "set.test"
       fixtureAlias = fixtureAliasFiles(f)
       // bare SHOW TABLES in a DDL-emulation file lists the test
       // database = the warehouse model's tables
@@ -1502,6 +1575,20 @@ class FunctionalGoldenSpec extends SparkSpecBase {
               "'/test-warehouse/many_blocks_num_blocks_per_partition_1'")
               .mkString(" "))
       }
+      // show-stats.test sees the reference data load's COMPUTE STATS
+      // output over the warehouse datasets — register the loaded-stats
+      // models (stats recomputed from the fixture data, not transcribed)
+      if (f == "show-stats.test") StatsFixtureEnv.register(spark)
+      // mt-dop compute stats runs over a runner-made alltypes clone
+      // (tests/query_test/test_mt_dop.py test_compute_stats)
+      if (f == "mt-dop-compute-stats.test") {
+        ddlStore.exec("create table mt_dop like alltypes")
+        ddlStore.exec(
+          "insert into mt_dop partition(year, month) select * from alltypes")
+      }
+      if (f == "hidden-files.test")
+        StatsFixtureEnv.registerHiddenFiles(spark)
+      if (f == "set.test") StatsFixtureEnv.registerAlltypesAgg(spark)
       // the reference environment has the functional/tpch/tpcds dbs
       // loaded; overlay them for SHOW DATABASES (ImpalaMeta itself
       // reports the real catalog — the fixture env is harness state)
@@ -1533,6 +1620,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         sources.AcidFixtures.registerStreaming(spark, ids))
       simMode = acidSimFiles(f)
       if (simMode) acidSim.reset()
+      icebergMode = icebergSimFiles(f)
+      if (icebergMode) {
+        icebergSim.reset()
+        if (f == "iceberg-table-history.test")
+          icebergSim.registerFixture("iceberg_partitioned",
+            "/root/reference/testdata/data/iceberg_test/iceberg_partitioned")
+      } else ImpalaMeta.icebergRegistry.clear()
       if (f == "load.test") acidSim.prepareLoadFixtures()
       harnessViews.foreach(n =>
         scala.util.Try(spark.catalog.dropTempView(n)))
@@ -1604,6 +1698,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           "$DATABASE_2" -> "testdb2", "$DATABASE_loc" -> "testdbloc",
           "$DATABASE_cascade" -> "testdbcascade",
           "$DATABASE_restrict" -> "testdbrestrict")
+        else if (icebergSimFiles(f)) Map(
+          "$NAMENODE" -> icebergSim.namenode,
+          "$DATABASE" -> icebergSim.database,
+          "$EXTERNAL_WAREHOUSE_DIR" -> "test-warehouse",
+          "$MANAGED_WAREHOUSE_DIR" -> "test-warehouse/managed")
+        else if (f == "local-filesystem.test")
+          Map("$IMPALA_HOME" -> "/root/reference")
         else Map.empty
       def subVars(t: String): String =
         varSubs.foldLeft(t) { case (acc, (k, v)) => acc.replace(k, v) }
@@ -1695,6 +1796,32 @@ class FunctionalGoldenSpec extends SparkSpecBase {
               }
             skipReasons(effective) = skipReasons.getOrElse(effective, 0) + 1
           case None =>
+            if (setFile) {
+              // the reference runner clears session options between
+              // blocks; the block's own SETs then apply in order
+              ImpalaOptions.clear(spark)
+              Seq("graft.explain.partitionKeyScans",
+                "graft.explain.noStreamingAgg", "graft.explain.level")
+                .foreach(k => scala.util.Try(spark.conf.unset(k)))
+              prefix.foreach {
+                case optSetRe(nm, v0) =>
+                  val v = v0.stripPrefix("'").stripSuffix("'")
+                    .stripPrefix("\"").stripSuffix("\"")
+                  ImpalaOptions.set(spark, nm, v)
+                  nm.toLowerCase match {
+                    case "explain_level" if v.matches("[0-3]") =>
+                      spark.conf.set("graft.explain.level", v)
+                    case "optimize_partition_key_scans"
+                        if Set("true", "1")(v.toLowerCase) =>
+                      spark.conf.set("graft.explain.partitionKeyScans", "true")
+                    case "disable_streaming_preaggregations"
+                        if Set("true", "1")(v.toLowerCase) =>
+                      spark.conf.set("graft.explain.noStreamingAgg", "true")
+                    case _ =>
+                  }
+                case _ =>
+              }
+            }
             prefix.filter(isSetupStmt).foreach(execSetupStmt(spark, _))
             if (overlays.nonEmpty) {
               // name/position from the block's SET (Impala default:
@@ -1809,7 +1936,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
                 orderedCompare(c) ||
                   (isExplain && c.resultsTag == "VERIFY_IS_EQUAL"),
                 subset = (isExplain ||
-                    """(?is)^\s*show\b""".r
+                    """(?is)^\s*(show|describe|set)\b""".r
                       .findFirstIn(queryStmt).isDefined) &&
                   c.resultsTag == "VERIFY_IS_SUBSET") match {
                 case None => pass += 1
@@ -1851,8 +1978,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3305,
-      s"only $pass golden queries passed (floor 3305)")
+    assert(fileFilter.isDefined || pass >= 3417,
+      s"only $pass golden queries passed (floor 3417)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

@@ -901,6 +901,26 @@ final class GoldenDdl(spark: SparkSession) {
         ensureDir(t.baseLocation, t.rawMode); t.baseLocation
       }
       t.parts(Nil) = (path, None)
+      // a file:// LOCATION naming a REAL local directory seeds the
+      // model with its bytes — Impala's external table over the local
+      // filesystem (local-filesystem.test)
+      loc.map(_.trim).filter(_.startsWith("file://")).foreach { l =>
+        val real = java.nio.file.Paths.get(l.stripPrefix("file://"))
+        if (java.nio.file.Files.isDirectory(real)) {
+          val s = java.nio.file.Files.list(real)
+          val bytes =
+            try scala.jdk.CollectionConverters.IteratorHasAsScala(
+                s.iterator()).asScala.toSeq
+              .filter(java.nio.file.Files.isRegularFile(_))
+              .sortBy(_.getFileName.toString)
+              .map(p => new String(java.nio.file.Files.readAllBytes(p),
+                java.nio.charset.StandardCharsets.ISO_8859_1))
+              .mkString
+            finally s.close()
+          if (bytes.nonEmpty && t.rawMode)
+            dirs(path) = Raw(new StringBuilder(bytes))
+        }
+      }
     }
     tables(name) = t
     publish(name)
@@ -1291,8 +1311,13 @@ final class GoldenDdl(spark: SparkSession) {
   }
 
   private def insert(name: String, overwrite: Boolean,
-      partSpec: Option[String], sourceTxt: String): Unit = {
+      partSpec: Option[String], sourceTxt0: String): Unit = {
     val t = tables(name)
+    // an Impala insert hint between the target and the source
+    // (`insert into t partition(p) /*+noclustered*/ select …`) is a
+    // physical-layout knob — drop it before parsing
+    val sourceTxt = sourceTxt0.replaceAll("""^\s*/\*\+[^*]*\*/\s*""", "")
+      .replaceAll("""^\s*\[\s*\w+\s*\]\s*""", "")
     val src0 = ImpalaDialect.sql(spark,
       if (sourceTxt.trim.toLowerCase.startsWith("values"))
         s"SELECT * FROM ($sourceTxt)"

@@ -46,7 +46,8 @@ object ImpalaMeta {
     * unsubstituted here); HIVE-24175: a specified managedlocation is
     * ignored, the default always prints.
     */
-  final case class DbInfo(comment: String, location: Option[String])
+  final case class DbInfo(comment: String, location: Option[String],
+      params: Seq[(String, String)] = Nil)
   val dbRegistry =
     scala.collection.mutable.LinkedHashMap.empty[String, DbInfo]
 
@@ -222,8 +223,13 @@ object ImpalaMeta {
         else s"$$NAMENODE/$$MANAGED_WAREHOUSE_DIR/$lower.db"
       val rows = Seq(Row(lower, ext, i.comment),
         Row("managedlocation:", managed, "")) ++
-        (if (extended) Seq(Row("Owner: ", "", ""),
-          Row("", "$USER", "USER")) else Nil)
+        (if (extended)
+          (if (i.params.nonEmpty)
+            Row("Parameter: ", "", "") +:
+              i.params.sortBy(_._1).map(p => Row("", p._1, p._2))
+          else Nil) ++
+            Seq(Row("Owner: ", "", ""), Row("", "$USER", "USER"))
+        else Nil)
       val schema = StructType(Seq(StructField("name", StringType),
         StructField("location", StringType),
         StructField("comment", StringType)))

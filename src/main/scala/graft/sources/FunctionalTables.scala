@@ -1095,6 +1095,24 @@ object FunctionalTables {
             THEN NULL ELSE ts END AS ts""")
         .createOrReplaceTempView("out_of_range_timestamp")
     } catch { case _: Throwable => }
+    // the hive-2.1.1-written legacy int96 twins (IMPALA-7559): rows the
+    // writer stored OUT of Impala's [1400, 9999] range wrapped through
+    // int96 overflow and land below 1400 under the reader's julian
+    // arithmetic — the same valid-range NULL rule as
+    // out_of_range_timestamp applies (Impala NULLs with a scan error)
+    Seq("out_of_range_timestamp_hive_211",
+        "out_of_range_timestamp2_hive_211").foreach { n =>
+      if (exists(s"data/$n.parquet")) try {
+        val df = spark.read.parquet(refRoot.resolve(s"data/$n.parquet").toString)
+        df.selectExpr(df.columns.map {
+          case "timestamp_col" =>
+            """CASE WHEN timestamp_col < TIMESTAMP'1400-01-01 00:00:00'
+               OR timestamp_col > TIMESTAMP'9999-12-31 23:59:59.999999'
+               THEN NULL ELSE timestamp_col END AS timestamp_col"""
+          case c => c
+        }.toIndexedSeq: _*).createOrReplaceTempView(n)
+      } catch { case _: Throwable => }
+    }
     if (exists("data/out_of_range_time_of_day.parquet")) try {
       spark.read.parquet(
           refRoot.resolve("data/out_of_range_time_of_day.parquet").toString)

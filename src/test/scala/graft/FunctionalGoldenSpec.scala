@@ -302,7 +302,21 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // predicates
     "local-filesystem.test", "delimited-latin-text.test",
     "insert-random-partition.test",
-    "partition-ddl-predicates-hdfs-only.test")
+    "partition-ddl-predicates-hdfs-only.test",
+    // round 12f: format-invariant tz conversions, the hive-2.1.1
+    // legacy-int96 out-of-range twins, table-metadata-vs-file schema
+    // mismatch (jointbl_test)
+    "file-formats-with-local-tz-conversion.test",
+    "out-of-range-timestamp-local-tz-conversion.test",
+    "test-unmatched-schema.test",
+    // Hive-created databases with dbproperties (DESCRIBE DATABASE
+    // EXTENDED parameter rows)
+    "describe-hive-db.test",
+    // DATE across fileformats: shipped parquet/avro/orc date files,
+    // shared-location partitions over them
+    "date-fileformat-support.test",
+    // the missing-stats EXPLAIN warning over a complex-typed table
+    "compute-stats-complextype-warning.test")
 
   /** Files whose fixture tables swap to the ACID-layout-backed twins. */
   private val acidFullFiles = Set(
@@ -350,7 +364,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "parquet-int64-timestamps.test",
     // DESCRIBE HISTORY renders snapshot commit instants in the
     // session timezone
-    "iceberg-table-history.test")
+    "iceberg-table-history.test",
+    // the file runs under convert_legacy_hive_parquet_utc_timestamps
+    // — int96 instants render as session-tz wall clock
+    "out-of-range-timestamp-local-tz-conversion.test")
 
   /** Documented engine deltas, each verified against the reference
     * source — cases where Spark's core semantics differ by design and
@@ -997,7 +1014,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       "show-stats.test", "mt-dop-compute-stats.test", "hidden-files.test",
       "set.test", "local-filesystem.test", "delimited-latin-text.test",
       "insert-random-partition.test",
-      "partition-ddl-predicates-hdfs-only.test")
+      "partition-ddl-predicates-hdfs-only.test",
+      "test-unmatched-schema.test", "date-fileformat-support.test",
+      "compute-stats-complextype-warning.test")
   /** set.test: SET statements are the queries themselves; per-block
     * option state resets like the reference runner's session clear. */
   private var setFile = false
@@ -1028,8 +1047,18 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "compute-stats-incremental.test", "compute-stats-avro.test",
     // iceberg-insert creates tables NAMED LIKE the fixtures it
     // selects from (decimal_tbl, chars_formats)
-    "iceberg-insert.test")
+    "iceberg-insert.test",
+    // the avro format twin's STRING timestamps need the qualified ref
+    // resolved to a promoted snapshot
+    "file-formats-with-local-tz-conversion.test",
+    // date-fileformat-support creates date_tbl SHADOWING the fixture
+    // its inserts select from (functional_parquet.date_tbl)
+    "date-fileformat-support.test")
   private var fixtureAlias = false
+  /** fx aliases a per-file prep snapshotted BEFORE shadowing the
+    * fixture (the automatic snapshot loop must not overwrite them
+    * with the shadowed view). Cleared per file. */
+  private val preSnapshotted = scala.collection.mutable.Set.empty[String]
   private val dbQualRe =
     ("""\b(functional(?:_[a-z0-9]+)*|tpch(?:_[a-z0-9]+)*|""" +
       """tpcds(?:_[a-z0-9]+)*)\.([A-Za-z_]\w*)""").r
@@ -1497,6 +1526,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       ddlEmu = ddlFiles(f)
       setFile = f == "set.test"
       fixtureAlias = fixtureAliasFiles(f)
+      preSnapshotted.clear()
       // bare SHOW TABLES in a DDL-emulation file lists the test
       // database = the warehouse model's tables
       if (ddlEmu) spark.conf.set("graft.meta.ddlcatalog", "true")
@@ -1589,6 +1619,96 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       if (f == "hidden-files.test")
         StatsFixtureEnv.registerHiddenFiles(spark)
       if (f == "set.test") StatsFixtureEnv.registerAlltypesAgg(spark)
+      // date-fileformat-support: the runner creates three date tables
+      // over the SHIPPED date_tbl.{parquet,avro,orc} files, then a
+      // partitioned table whose partitions alias those locations
+      // (tests/query_test/test_date_queries.py test_fileformat_support)
+      if (f == "date-fileformat-support.test") {
+        // snapshot the fixture date_tbl FIRST — the created date_tbl
+        // below shadows it, and the file's inserts select from the
+        // functional/functional_parquet originals
+        Seq("functional", "functional_parquet").foreach { db =>
+          val fx = spark.table("date_tbl")
+          fx.schema
+          fx.createOrReplaceTempView(fxAlias(db, "date_tbl"))
+          preSnapshotted += fxAlias(db, "date_tbl")
+        }
+        def seed(tbl: String, fmt: String,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          ddlStore.exec(s"create table $tbl (date_col date) stored as " +
+            s"$fmt location '/test-warehouse/dftest.db/$tbl'")
+          val vals = df.collect().map { r =>
+            Option(r.get(0)).map(d => s"(DATE'$d')").getOrElse("(NULL)")
+          }.mkString(", ")
+          ddlStore.exec(s"insert into $tbl values $vals")
+          ()
+        }
+        seed("parquet_date_tbl", "parquet", spark.read.parquet(
+          "/root/reference/testdata/data/date_tbl.parquet")
+          .toDF("date_col"))
+        seed("avro_date_tbl", "avro", sources.AvroFiles.readAvro(spark,
+          "/root/reference/testdata/data/date_tbl.avro").toDF("date_col"))
+        // the orc file carries a year-0 value — outside Impala's DATE
+        // range it reads NULL; Spark's ORC reader clamps instead, so
+        // take the raw epoch-days (same pattern as the orc date twins)
+        val orcConf = new org.apache.hadoop.conf.Configuration()
+        val orcReader = org.apache.orc.OrcFile.createReader(
+          new org.apache.hadoop.fs.Path(
+            "/root/reference/testdata/data/date_tbl.orc"),
+          org.apache.orc.OrcFile.readerOptions(orcConf))
+        val orcDays = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val orcRows = orcReader.rows()
+        try {
+          val batch = orcReader.getSchema.createRowBatch()
+          while (orcRows.nextBatch(batch)) {
+            val col = batch.cols(0).asInstanceOf[
+              org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+            (0 until batch.size).foreach { i =>
+              val j = if (col.isRepeating) 0 else i
+              orcDays += (if (col.noNulls || !col.isNull(j)) col.vector(j)
+                else Long.MinValue)
+            }
+          }
+        } finally orcRows.close()
+        val orcVals = orcDays.toSeq.map {
+          case d if d >= -719162L && d <= 2932896L =>
+            Some(java.time.LocalDate.ofEpochDay(d))
+          case _ => None
+        }
+        val orcDf = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(
+              orcVals.map(v => org.apache.spark.sql.Row(v.orNull))).asJava),
+          org.apache.spark.sql.types.StructType.fromDDL("date_col date"))
+        seed("orc_date_tbl", "orc", orcDf)
+        ddlStore.exec("create table date_tbl (date_col date) " +
+          "partitioned by (date_part date)")
+        ddlStore.exec("alter table date_tbl add " +
+          "partition (date_part='1899-12-31') location " +
+          "'/test-warehouse/dftest.db/parquet_date_tbl' " +
+          "partition (date_part='1999-12-31') location " +
+          "'/test-warehouse/dftest.db/avro_date_tbl'")
+        ddlStore.exec("alter table date_tbl partition " +
+          "(date_part='1899-12-31') set fileformat parquet")
+        ddlStore.exec("alter table date_tbl partition " +
+          "(date_part='1999-12-31') set fileformat avro")
+      }
+      // the two Hive-side databases of describe-hive-db.test
+      // (tests/metadata/test_metadata_query_statements.py:187-190)
+      if (f == "describe-hive-db.test") {
+        ImpalaMeta.dbRegistry("hive_test_desc_db") = ImpalaMeta.DbInfo(
+          "test comment", None, Seq("e" -> "2.82", "pi" -> "3.14"))
+        ImpalaMeta.dbRegistry("hive_test_desc_db2") =
+          ImpalaMeta.DbInfo("test comment", None)
+      }
+      // jointbl_test: the runner points a 4-column table at jointbl's
+      // data files (tests/query_test/test_scanners.py TestUnmatchedSchema)
+      if (f == "test-unmatched-schema.test") {
+        ddlStore.exec(
+          "create table jointbl_test (test_id bigint, test_name string, " +
+            "test_zip int, alltypes_id int)")
+        ddlStore.exec("insert into jointbl_test select * from jointbl")
+      }
       // the reference environment has the functional/tpch/tpcds dbs
       // loaded; overlay them for SHOW DATABASES (ImpalaMeta itself
       // reports the real catalog — the fixture env is harness state)
@@ -1705,6 +1825,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           "$MANAGED_WAREHOUSE_DIR" -> "test-warehouse/managed")
         else if (f == "local-filesystem.test")
           Map("$IMPALA_HOME" -> "/root/reference")
+        else if (f == "date-fileformat-support.test")
+          // the unique-database qualifier folds into the single
+          // namespace; location spellings normalize inside GoldenDdl
+          Map("$DATABASE." -> "", "$NAMENODE" -> "", "$DATABASE" -> "dftest")
         else Map.empty
       def subVars(t: String): String =
         varSubs.foldLeft(t) { case (acc, (k, v)) => acc.replace(k, v) }
@@ -1720,9 +1844,22 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         cases.flatMap(c => dbQualRe.findAllMatchIn(c.query)
             .map(m => (m.group(1).toLowerCase, m.group(2).toLowerCase)))
             .distinct.foreach { case (db, n) =>
-          scala.util.Try {
-            val df = spark.table(n)
-            df.schema // force analysis against the CURRENT view
+          if (!preSnapshotted(fxAlias(db, n))) scala.util.Try {
+            val df0 = spark.table(n)
+            df0.schema // force analysis against the CURRENT view
+            // the Hive-avro datasets carry timestamps as STRING
+            // (file-formats-with-local-tz-conversion's functional_avro
+            // twin) — promote like the avro schema does
+            val df =
+              if (db == "functional_avro")
+                df0.select(df0.schema.fields.map(f => f.dataType match {
+                  case org.apache.spark.sql.types.TimestampType =>
+                    org.apache.spark.sql.functions.col(f.name)
+                      .cast(org.apache.spark.sql.types.StringType)
+                      .as(f.name)
+                  case _ => org.apache.spark.sql.functions.col(f.name)
+                }).toIndexedSeq: _*)
+              else df0
             df.createOrReplaceTempView(fxAlias(db, n))
           }
         }
@@ -1904,9 +2041,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
                 else dfU.select(dfU.schema.fields.zipWithIndex.map {
                   case (fl, j) if tzSet && fl.dataType ==
                       org.apache.spark.sql.types.TimestampType =>
-                    org.apache.spark.sql.functions.date_format(
-                      org.apache.spark.sql.functions.col(fl.name),
-                      "yyyy-MM-dd HH:mm:ss").as(fl.name)
+                    // Impala renders a 9-digit fraction when non-zero
+                    org.apache.spark.sql.functions.expr(
+                      s"""CASE WHEN date_format(${fl.name}, 'SSSSSS') = '000000'
+                          THEN date_format(${fl.name}, 'yyyy-MM-dd HH:mm:ss')
+                          ELSE concat(date_format(${fl.name}, 'yyyy-MM-dd HH:mm:ss'),
+                            '.', date_format(${fl.name}, 'SSSSSS'), '000')
+                          END""").as(fl.name)
                   // DATE renders engine-side: collect()'s java.sql.Date
                   // rebase collapses the 1582 Gregorian gap (proleptic
                   // 1582-10-05 prints 10-15); a string cast keeps the
@@ -1978,8 +2119,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3417,
-      s"only $pass golden queries passed (floor 3417)")
+    assert(fileFilter.isDefined || pass >= 3450,
+      s"only $pass golden queries passed (floor 3450)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

@@ -53,7 +53,12 @@ object ImpalaStats {
       cols: () => StructType,
       partCols: () => StructType,
       partitions: () => Seq[Partition],
-      data: () => DataFrame)
+      data: () => DataFrame,
+      // non-empty = an HBase mapping: SHOW TABLE STATS renders one
+      // row per region (start keys; "" = the first region) instead of
+      // the HDFS partition ledger (fe/.../service/Frontend
+      // getTableStats for HBaseTable)
+      hbaseRegions: Seq[String] = Nil)
 
   case class ColStat(ndv: Long, nulls: Long, maxSize: Long,
       avgSize: Double, trues: Long, falses: Long)
@@ -448,6 +453,30 @@ object ImpalaStats {
     */
   def showTableStats(spark: SparkSession, name: String): Option[DataFrame] =
     lookup(name).map { case (m, st) =>
+      if (m.hbaseRegions.nonEmpty) {
+        // HBase shape: (region location, start rowkey, estimated
+        // rows, size); one region per pre-split + a Total row when
+        // the table spans several regions. Estimates come from the
+        // region server (the goldens regex-pin them); the model
+        // apportions the known row count evenly.
+        val n = m.hbaseRegions.length
+        val rowsPerRegion =
+          math.max(if (st.rowCount >= 0) st.rowCount / n
+          else scala.util.Try(m.data().count()).getOrElse(0L) / n, 1L)
+        val bytesPerRegion = rowsPerRegion * 88L
+        val regionRows = m.hbaseRegions.map(k =>
+          Row("localhost:16201", k, rowsPerRegion,
+            printBytes(bytesPerRegion)))
+        val total =
+          if (n > 1) Seq(Row("Total", "", rowsPerRegion * n,
+            printBytes(bytesPerRegion * n)))
+          else Nil
+        return Some(mkDf(spark, StructType(Seq(
+          StructField("region_location", StringType),
+          StructField("start_rowkey", StringType),
+          StructField("est_num_rows", LongType),
+          StructField("size", StringType))), regionRows ++ total))
+      }
       val partCols = m.partCols()
       val parts = m.partitions()
       val statFields = Seq(

@@ -70,7 +70,7 @@ class AcidSim(spark: SparkSession) {
 
   // ---- statement shapes ----
   private val createRe =
-    ("""(?is)^\s*create\s+table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)""" +
+    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)""" +
       """\s*\(([^)]*)\)\s*(?:partitioned\s+by\s*\(([^)]*)\))?""" +
       """\s*(?:stored\s+as\s+(\w+))?\s*(?:tblproperties\s*\((.*)\))?\s*$""").r
   private val ctasRe =
@@ -97,6 +97,11 @@ class AcidSim(spark: SparkSession) {
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([A-Za-z_]\w*)\s*(?:purge\s*)?$""".r
   private val refreshRe =
     """(?is)^\s*(?:refresh|invalidate\s+metadata)\s+([A-Za-z_]\w*)\s*$""".r
+  // ADD PARTITION is metadata-only here — partition dirs materialize
+  // on insert (clear-statsaccurate's Hive-side setup)
+  private val addPartNoopRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+add\s+""" +
+      """(?:if\s+not\s+exists\s+)?partition\s*\(.*\)\s*$""").r
   private val analyzeRe =
     """(?is)^\s*analyze\s+table\b.*$""".r
   private val loadRe =
@@ -291,6 +296,8 @@ class AcidSim(spark: SparkSession) {
     case dropRe(name) if tables.contains(name.toLowerCase) =>
       tables.remove(name.toLowerCase)
       scala.util.Try(spark.catalog.dropTempView(name.toLowerCase))
+      true
+    case addPartNoopRe(name) if tables.contains(name.toLowerCase) =>
       true
     case refreshRe(name) if tables.contains(name.toLowerCase) =>
       register(name.toLowerCase)

@@ -81,6 +81,9 @@ final class GoldenDdl(spark: SparkSession) {
       * test-warehouse location (external tables over datasets).
       */
     var locStyleDb: Boolean = true
+    /** HBase mapping (CREATE TABLE LIKE functional_hbase.x): region
+      * start keys for SHOW TABLE STATS ("" = first region). */
+    var hbaseRegions: Seq[String] = Nil
     /** Per-partition file format, pinned at partition creation from
       * the table's then-current format; partition-scoped SET
       * FILEFORMAT overrides (alter-table.test formats probe).
@@ -984,11 +987,20 @@ final class GoldenDdl(spark: SparkSession) {
             val rest = s.stripPrefix("__fx_")
             val i = rest.indexOf("__")
             if (i > 0) (rest.take(i), rest.drop(i + 2)) else ("", rest)
-          } else ("", s)
+          } else if (s.startsWith("hbase__"))
+            // the harness's HBase-mapping views (hbaseize rewrites
+            // functional_hbase.x before the statement reaches here)
+            ("functional_hbase", s.stripPrefix("hbase__"))
+          else ("", s)
         }
         val pcols =
           if (srcDb.startsWith("functional_hbase")) Nil
           else datasetPartCols.getOrElse(srcName, Nil)
+        // the pre-split hbase datasets (schema template
+        // HBASE_REGION_SPLITS '1','3','5','7','9'); others load into
+        // a single region
+        val hbaseSplit = Set("alltypessmall", "alltypesagg", "date_tbl",
+          "stringids")
         val dataSchema = StructType(
           df.schema.fields.filterNot(f => pcols.contains(f.name.toLowerCase)))
         val partSchema = StructType(
@@ -1002,10 +1014,22 @@ final class GoldenDdl(spark: SparkSession) {
         else if (srcDb.contains("seq")) t.format = "SEQUENCE_FILE"
         else if (srcDb.contains("avro")) t.format = "AVRO"
         else if (srcDb.contains("orc")) t.format = "ORC"
+        if (srcDb.startsWith("functional_hbase"))
+          t.hbaseRegions =
+            if (hbaseSplit(srcName)) Seq("", "1", "3", "5", "7", "9")
+            else Seq("")
         // RECOVER PARTITIONS re-materializes from the location's
         // existing warehouse data — remember the source snapshot
         t.recoverSrc = Some(df)
         init(t)
+        // an hbase LIKE maps onto the SAME storage (hbase.table.name
+        // rides along) — the clone sees the source rows immediately
+        if (t.hbaseRegions.nonEmpty) {
+          t.parts.get(Nil).foreach { case (path, _) =>
+            dirs(path) = Fixed(df)
+          }
+          publish(name)
+        }
     }
   }
 
@@ -1614,6 +1638,8 @@ final class GoldenDdl(spark: SparkSession) {
             else "$NAMENODE/test-warehouse/") + path)
         }
       }.getOrElse(Nil),
-      () => spark.table(name)))
+      () => spark.table(name),
+      hbaseRegions =
+        tables.get(name).map(_.hbaseRegions).getOrElse(Nil)))
   }
 }

@@ -327,7 +327,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // Hive-side external-table stats cleared by Impala inserts — the
     // row effects gate; the COLUMN_STATS_ACCURATE show-create probes
     // stay row_regex skips
-    "clear-statsaccurate.test")
+    "clear-statsaccurate.test",
+    // HBase PUT semantics: same-key merge, null cells write nothing
+    "hbase-inserts.test")
 
   /** Files whose fixture tables swap to the ACID-layout-backed twins. */
   private val acidFullFiles = Set(
@@ -345,6 +347,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     "acid-clear-statsaccurate.test", "load.test",
     // non-acid Hive-side external tables + Impala inserts
     "clear-statsaccurate.test")
+
+  /** hbase-inserts.test: INSERTs replay with HBase PUT semantics
+    * (key merge, null cells write nothing).
+    */
+  private var hbaseInsMode = false
+  private lazy val hbaseInsSim = new HBaseInsertSim(spark, ddlStore)
   private var simMode = false
   private lazy val acidSim = new AcidSim(spark)
 
@@ -850,6 +858,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     if (ddlEmu && ddlStore.exec(s)) return
     // acid files: transactional-table DML replays against real ACID
     // directory layouts
+    if (hbaseInsMode &&
+        scala.util.Try(hbaseInsSim.exec(s)).getOrElse(false)) return
     if (simMode) {
       val handled = scala.util.Try(acidSim.exec(s))
       if (sys.env.contains("GRAFT_SIM_TRACE"))
@@ -1030,7 +1040,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       "partition-ddl-predicates-hdfs-only.test",
       "test-unmatched-schema.test", "date-fileformat-support.test",
       "compute-stats-complextype-warning.test",
-      "hbase-compute-stats.test", "hbase-compute-stats-incremental.test")
+      "hbase-compute-stats.test", "hbase-compute-stats-incremental.test",
+      "hbase-inserts.test")
   /** set.test: SET statements are the queries themselves; per-block
     * option state resets like the reference runner's session clear. */
   private var setFile = false
@@ -1809,6 +1820,22 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         sources.AcidFixtures.registerStreaming(spark, ids))
       simMode = acidSimFiles(f)
       if (simMode) acidSim.reset()
+      hbaseInsMode = f == "hbase-inserts.test"
+      if (hbaseInsMode) {
+        hbaseInsSim.reset()
+        // the data-load-created HBase insert targets: key first, the
+        // mapping's alphabetical column order
+        val agg = spark.table("alltypesagg")
+        def ty(c: String) = agg.schema(c).dataType
+        val aggSchema = org.apache.spark.sql.types.StructType(
+          ("id" +: agg.columns.filterNot(_ == "id").sorted.toSeq)
+            .map(c => org.apache.spark.sql.types.StructField(c, ty(c))))
+        hbaseInsSim.create("insertalltypesagg", aggSchema)
+        hbaseInsSim.create("insertalltypesaggbinary", aggSchema)
+        hbaseInsSim.create("insert_date_tbl",
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id_col int, date_col date, date_part date"))
+      }
       icebergMode = icebergSimFiles(f)
       if (icebergMode) {
         icebergSim.reset()
@@ -2199,8 +2226,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3481,
-      s"only $pass golden queries passed (floor 3481)")
+    assert(fileFilter.isDefined || pass >= 3507,
+      s"only $pass golden queries passed (floor 3507)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

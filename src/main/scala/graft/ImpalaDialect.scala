@@ -1398,7 +1398,14 @@ object ImpalaDialect {
       val fixed0 = analyzed.transformUpWithSubqueries {
         case p => p.transformExpressionsUp(impalaExpr)
       }
-      val fixed = emptyGroupingSetRow(fixed0)
+      val fixed1 = emptyGroupingSetRow(fixed0)
+      // OPTIMIZE_PARTITION_KEY_SCANS: answer partition-key-only
+      // aggregates from the stats registry's partition listing —
+      // zero file-scan tasks (IMPALA-1795; see PartitionKeyScans)
+      val fixed =
+        if (plans.PartitionKeyScans.enabled(spark))
+          plans.PartitionKeyScans.rewrite(spark, fixed1)
+        else fixed1
       if (fixed eq analyzed) df
       else org.apache.spark.sql.graft.Bridge.ofRows(spark, fixed)
     }

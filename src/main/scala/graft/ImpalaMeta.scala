@@ -87,7 +87,7 @@ object ImpalaMeta {
     ("""(?is)^\s*describe\s+database\s+((?:extended|formatted)\s+)?""" +
       """([A-Za-z_]\w*)\s*;?\s*$""").r
   private val describeFormattedRe =
-    """(?is)^\s*describe\s+(?:formatted|extended)\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+    """(?is)^\s*describe\s+(?:formatted|extended)\s+([A-Za-z_]\w*(?:\.\w+)?)\s*;?\s*$""".r
   private val describeHistoryRe =
     """(?is)^\s*describe\s+history\s+([A-Za-z_]\w*)\s*;?\s*$""".r
 
@@ -118,8 +118,14 @@ object ImpalaMeta {
     * rows, 20-char-padded parameter rows) for a registered iceberg
     * table — the subset the goldens pin plus the standard sections.
     */
-  private def describeFormatted(spark: SparkSession, name: String)
-      : Option[DataFrame] = icebergRegistry.get(name.toLowerCase).map { t =>
+  private def describeFormatted(spark: SparkSession, name0: String)
+      : Option[DataFrame] = {
+    // the qualifier (when written) names the database; bare names are
+    // the session default — not a hardcoded literal
+    val parts = name0.split('.')
+    val name = parts.last
+    val dbName = if (parts.length > 1) parts.head else "default"
+    icebergRegistry.get(name.toLowerCase).map { t =>
     val dirPath = java.nio.file.Paths.get(t.dir)
     val schema = scala.util.Try(spark.table(name).schema)
       .getOrElse(sources.IcebergLayout.schemaOf(dirPath))
@@ -143,7 +149,7 @@ object ImpalaMeta {
     val sectionRows = Seq(
       Seq("", "NULL", "NULL"),
       Seq(pad20("# Detailed Table Information"), "NULL", "NULL"),
-      Seq(pad20("Database:"), pad20("default"), "NULL"),
+      Seq(pad20("Database:"), pad20(dbName), "NULL"),
       Seq(pad20("OwnerType:"), pad20(t.ownerType), "NULL"),
       Seq(pad20("Owner:"), pad20(t.owner), "NULL"),
       Seq(pad20("Location:"), pad20(t.location), "NULL"),
@@ -152,6 +158,7 @@ object ImpalaMeta {
         "NULL"),
       Seq(pad20("Table Parameters:"), "NULL", "NULL")) ++ paramRows
     strDf(spark, Seq("name", "type", "comment"), colRows ++ sectionRows)
+    }
   }
 
   /** DESCRIBE HISTORY — Iceberg snapshot log rendered in the session
@@ -251,7 +258,7 @@ object ImpalaMeta {
     text match {
       case showTableStatsRe(raw)
           if icebergRegistry.contains(statsName(raw).split('.').last) &&
-            raw != null && """(?is)^\s*show\s+partitions\b""".r
+            """(?is)^\s*show\s+partitions\b""".r
               .findFirstIn(text).isDefined =>
         icebergPartitions(spark, statsName(raw).split('.').last)
       case showTableStatsRe(raw) =>
@@ -271,7 +278,7 @@ object ImpalaMeta {
       case describeHistoryRe(name) =>
         describeHistory(spark, name)
       case describeFormattedRe(name)
-          if icebergRegistry.contains(name.toLowerCase) =>
+          if icebergRegistry.contains(name.split('.').last.toLowerCase) =>
         describeFormatted(spark, name)
       case describeDbRe(ext, db) =>
         describeDb(spark, ext != null, db)

@@ -9,12 +9,16 @@ import org.apache.spark.sql.types._
   * `be/src/service/query-options.cc` TQueryOptionLevel drives
   * (REGULAR / ADVANCED / DEVELOPMENT / DEPRECATED / REMOVED).
   *
-  * Options whose semantics exist in this engine map onto Spark confs
-  * at the call sites (`graft.explain.level` etc.); the rest are
-  * session bookkeeping, as in Impala where unset options simply hold
-  * their defaults. Defaults below are the reference TEST harness's
-  * effective session (its exec-option dimensions pin abort_on_error=1
-  * — tests/common/test_dimensions.py).
+  * Options with semantics in this engine map onto the Spark confs the
+  * engine reads (`graft.explain.level`, `graft.explain.noStreamingAgg`,
+  * `graft.explain.partitionKeyScans`) directly in [[set]], so a product
+  * `SET EXPLAIN_LEVEL=2; EXPLAIN …` behaves like Impala's without any
+  * harness bridge. Unknown names are rejected with Impala's
+  * `Invalid query option` error (`be/src/service/query-options.cc`
+  * SetQueryOption); REMOVED options are accepted as silent no-ops with
+  * any value (set.test pins both behaviors). Defaults below are the
+  * reference TEST harness's effective session (its exec-option
+  * dimensions pin abort_on_error=1 — tests/common/test_dimensions.py).
   */
 object ImpalaOptions {
 
@@ -49,7 +53,44 @@ object ImpalaOptions {
     ("RUNTIME_FILTER_MODE", "GLOBAL", "REGULAR"),
     ("EXEC_SINGLE_NODE_ROWS_THRESHOLD", "100", "ADVANCED"))
 
-  private val known = table.map(_._1).toSet
+  /** Options the reference's own test workloads assign beyond the SET
+    * ALL inventory — all real entries in `query-options.cc`'s live
+    * table. Accepted and stored (their execution knobs have no Spark
+    * analog; the reference's goldens are invariant to them by design).
+    */
+  private val accepted: Set[String] = Set(
+    "ALLOW_ERASURE_CODED_FILES", "APPX_COUNT_DISTINCT",
+    "COMPRESSION_CODEC", "CPU_LIMIT_S", "DECIMAL_V2",
+    "DEFAULT_JOIN_DISTRIBUTION_MODE", "DEFAULT_SPILLABLE_BUFFER_SIZE",
+    "DEFAULT_TRANSACTIONAL_TYPE", "DISABLE_CODEGEN_ROWS_THRESHOLD",
+    "DISABLE_UNSAFE_SPILLS", "ENABLE_EXPR_REWRITES",
+    "ENABLED_RUNTIME_FILTER_TYPES", "EXEC_TIME_LIMIT_S",
+    "KUDU_READ_MODE", "MAX_MEM_ESTIMATE_FOR_ADMISSION", "MAX_ROW_SIZE",
+    "MIN_SPILLABLE_BUFFER_SIZE", "NOW_STRING", "NUM_ROWS_PRODUCED_LIMIT",
+    "OPTIMIZE_SIMPLE_LIMIT", "PARQUET_ARRAY_RESOLUTION",
+    "PARQUET_COMPRESSION_CODEC", "PARQUET_DICTIONARY_FILTERING",
+    "PARQUET_FALLBACK_SCHEMA_RESOLUTION", "PARQUET_PAGE_ROW_COUNT_LIMIT",
+    "PARQUET_READ_STATISTICS", "PARQUET_TIMESTAMP_TYPE",
+    "PREAGG_BYTES_LIMIT", "PREFETCH_MODE", "REPLICA_PREFERENCE",
+    "RUNTIME_BLOOM_FILTER_SIZE", "RUNTIME_FILTER_ERROR_RATE",
+    "RUNTIME_FILTER_MAX_SIZE", "RUNTIME_FILTER_MIN_SIZE",
+    "RUNTIME_FILTER_WAIT_TIME_MS", "SCAN_BYTES_LIMIT", "SCRATCH_LIMIT",
+    "SPOOL_QUERY_RESULTS", "THREAD_RESERVATION_AGGREGATE_LIMIT",
+    "THREAD_RESERVATION_LIMIT",
+    "USE_LOCAL_TZ_FOR_UNIX_TIMESTAMP_CONVERSIONS")
+
+  /** REMOVED options: any assignment is a silent no-op (set.test's
+    * "Setting some removed query options should be a no-op" block;
+    * query-options.h REMOVED_QUERY_OPT_FN).
+    */
+  private val removed: Set[String] = Set(
+    "ABORT_ON_DEFAULT_LIMIT_EXCEEDED", "ALLOW_UNSUPPORTED_FORMATS",
+    "DEFAULT_ORDER_BY_LIMIT", "DISABLE_CACHED_READS", "MAX_IO_BUFFERS",
+    "RM_INITIAL_MEM", "RESERVATION_REQUEST_TIMEOUT",
+    "SCAN_NODE_CODEGEN_THRESHOLD", "SEQ_COMPRESSION_MODE", "V_CPU_CORES")
+
+  private val known =
+    table.map(_._1).toSet ++ accepted ++ removed
 
   private def key(name: String) = s"graft.opt.${name.toUpperCase}"
 
@@ -57,31 +98,96 @@ object ImpalaOptions {
     Map("0" -> "MINIMAL", "1" -> "STANDARD", "2" -> "EXTENDED",
       "3" -> "VERBOSE")
 
-  /** Store a session override (values normalize like Impala's parser:
-    * surrounding quotes strip; EXPLAIN_LEVEL keeps its enum name).
+  /** The codec inventory `parquet_compression_codec` validates against
+    * (`common/thrift/CatalogObjects.thrift` THdfsCompression, rendered
+    * by query-options.cc's error).
+    */
+  private val codecs = Seq("NONE(0)", "DEFAULT(1)", "GZIP(2)",
+    "DEFLATE(3)", "BZIP2(4)", "SNAPPY(5)", "SNAPPY_BLOCKED(6)", "LZO(7)",
+    "LZ4(8)", "ZLIB(9)", "ZSTD(10)", "BROTLI(11)", "LZ4_BLOCKED(12)")
+
+  /** Strip one pair of MATCHING surrounding quotes (Impala's option
+    * parser unquotes balanced quotes only).
+    */
+  private def unquote(v: String): String =
+    if (v.length >= 2 &&
+        (v.head == '\'' || v.head == '"') && v.last == v.head)
+      v.substring(1, v.length - 1)
+    else v
+
+  private def truthy(v: String): Boolean =
+    Set("true", "1")(v.toLowerCase)
+
+  /** Store a session override, validating the name (Impala rejects
+    * unknown options) and the values set.test pins, then project the
+    * options with engine semantics onto the confs the engine reads.
     */
   def set(spark: SparkSession, name: String, value0: String): Unit = {
-    val value = value0.trim
-      .stripPrefix("'").stripSuffix("'")
-      .stripPrefix("\"").stripSuffix("\"")
-    val norm = name.toUpperCase match {
+    val upper = name.toUpperCase
+    if (!known(upper))
+      throw new IllegalArgumentException(s"Invalid query option: ${name.toLowerCase}")
+    if (removed(upper)) return // no-op, any value
+    val value = unquote(value0.trim)
+    val norm = upper match {
       case "EXPLAIN_LEVEL" =>
         explainLevels.getOrElse(value,
           explainLevels.values.find(_.equalsIgnoreCase(value))
             .getOrElse(value.toUpperCase))
+      case "PARQUET_COMPRESSION_CODEC" | "COMPRESSION_CODEC" =>
+        val base = value.split(':').head // codec:level form
+        if (value.nonEmpty &&
+            !codecs.exists(_.startsWith(base.toUpperCase + "(")))
+          throw new IllegalArgumentException(
+            s"Invalid compression codec: '$value'. Valid values are " +
+              codecs.mkString(", ") + ".")
+        value
+      case "MAX_ROW_SIZE" =>
+        val n = value.toLongOption.getOrElse(-1L)
+        if (n < 1L || n > 1099511627776L)
+          throw new IllegalArgumentException(
+            s"Invalid max row size of $value. " +
+              "Valid sizes are in [1, 1099511627776]")
+        value
       case _ => value
     }
     spark.conf.set(key(name), norm)
+    bridge(spark, upper, norm)
+  }
+
+  /** Project semantic options onto the engine's confs (the ones
+    * ImpalaExplain / PartitionKeyScans actually read), so SET works
+    * identically inside and outside the test harness.
+    */
+  private def bridge(spark: SparkSession, upper: String,
+      norm: String): Unit = upper match {
+    case "EXPLAIN_LEVEL" =>
+      explainLevels.collectFirst { case (d, e) if e == norm => d }
+        .foreach(spark.conf.set("graft.explain.level", _))
+    case "OPTIMIZE_PARTITION_KEY_SCANS" =>
+      if (truthy(norm))
+        spark.conf.set("graft.explain.partitionKeyScans", "true")
+      else scala.util.Try(
+        spark.conf.unset("graft.explain.partitionKeyScans"))
+    case "DISABLE_STREAMING_PREAGGREGATIONS" =>
+      if (truthy(norm))
+        spark.conf.set("graft.explain.noStreamingAgg", "true")
+      else scala.util.Try(spark.conf.unset("graft.explain.noStreamingAgg"))
+    case _ =>
   }
 
   def get(spark: SparkSession, name: String): Option[String] =
     spark.conf.getOption(key(name))
 
   /** Reset every override (the reference runner clears session options
-    * between test blocks).
+    * between test blocks), including the bridged engine confs.
     */
-  def clear(spark: SparkSession): Unit =
-    table.foreach(t => scala.util.Try(spark.conf.unset(key(t._1))))
+  def clear(spark: SparkSession): Unit = {
+    (table.map(_._1) ++ accepted)
+      .foreach(n => scala.util.Try(spark.conf.unset(key(n))))
+    Seq("graft.explain.level", "graft.explain.partitionKeyScans",
+      "graft.explain.noStreamingAgg")
+      .foreach(k => scala.util.Try(spark.conf.unset(k)))
+  }
 
   /** SET ALL result rows. */
   def showAll(spark: SparkSession): DataFrame = {

@@ -88,13 +88,13 @@ object ImpalaExplain {
     // without the [STREAMING] tag (Impala's non-streaming preagg)
     noStreamingAgg = spark.conf
       .getOption("graft.explain.noStreamingAgg").contains("true")
-    partitionKeyScan(spark, body).foreach { lines =>
+    val (stripped, names) = resolveNames(spark, body)
+    partitionKeyScan(spark, body, stripped, sqlRunner).foreach { lines =>
       val rows = new java.util.ArrayList[Row](lines.length)
       lines.foreach(l => rows.add(Row(l)))
       return spark.createDataFrame(rows,
         StructType(Seq(StructField("Explain String", StringType))))
     }
-    val (stripped, names) = resolveNames(spark, body)
     val statsScan = statsScanNode(spark, body, names)
     // the rendered plan is the STATIC one, like Impala's (AQE re-plans
     // at runtime; EXPLAIN describes the compile-time plan)
@@ -114,35 +114,33 @@ object ImpalaExplain {
   @volatile private var noStreamingAgg = false
 
   /** OPTIMIZE_PARTITION_KEY_SCANS: an aggregate whose inputs are all
-    * partition-key columns of one registered table collapses to a
-    * UNION of constant tuples — one per partition — under a FINALIZE
+    * partition-key columns of a registered table collapses to a UNION
+    * of constant tuples — one per partition — under a FINALIZE
     * aggregate (`fe/.../planner/HdfsScanNode` applyPartitionKeyScan /
-    * IMPALA-1795). Synthesized from the stats registry's partition
-    * listing when the `graft.explain.partitionKeyScans` conf is set.
+    * IMPALA-1795). The decision is NOT re-derived here: the plan the
+    * dialect will execute (PartitionKeyScans rewrites it inside
+    * `ImpalaDialect.sql`) is inspected for the substituted
+    * metadata-only relation, so EXPLAIN always renders exactly what
+    * runs.
     */
-  private def partitionKeyScan(spark: SparkSession,
-      body: String): Option[Seq[String]] = {
-    if (!spark.conf.getOption("graft.explain.partitionKeyScans")
-        .contains("true")) return None
-    val m = """(?is)^\s*select\s+(.*?)\s+from\s+([\w.]+)\s*;?\s*$""".r
-      .findFirstMatchIn(body).getOrElse(return None)
-    val selectList = m.group(1)
-    val table = m.group(2)
-    val bare = table.split('.').last
-    graft.ImpalaStats.lookup(bare).flatMap { case (model, _) =>
-      val partNames = model.partCols().fields.map(_.name.toLowerCase).toSet
-      if (partNames.isEmpty) return None
-      // column references only — strip aggregate-function names
-      val ids = identifiers(
-        selectList.replaceAll("[A-Za-z_]\\w*\\s*\\(", "("))
-      if (ids.isEmpty || !ids.forall(partNames)) return None
-      val n = model.partitions().size
-      Some(Seq(
-        "01:AGGREGATE [FINALIZE]",
-        s"|  output: ${selectList.trim}",
-        "|",
-        "00:UNION",
-        s"   constant-operands=$n"))
+  private def partitionKeyScan(spark: SparkSession, body: String,
+      stripped: String,
+      sqlRunner: (SparkSession, String) => DataFrame)
+      : Option[Seq[String]] = {
+    if (!PartitionKeyScans.enabled(spark)) return None
+    val df =
+      try sqlRunner(spark, stripped)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    PartitionKeyScans.substituted(df.queryExecution.analyzed).map {
+      case (_, n) =>
+        val selectList = """(?is)^\s*select\s+(.*?)\s+from\b""".r
+          .findFirstMatchIn(body).map(_.group(1).trim).getOrElse("*")
+        Seq(
+          "01:AGGREGATE [FINALIZE]",
+          s"|  output: $selectList",
+          "|",
+          "00:UNION",
+          s"   constant-operands=$n")
     }
   }
 

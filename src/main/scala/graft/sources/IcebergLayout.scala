@@ -404,6 +404,23 @@ object IcebergLayout {
       |{"name":"added_snapshot_id","type":"long","field-id":503}
       |]}""".stripMargin)
 
+  /** Row count from a data file's own footer (parquet metadata / ORC
+    * tail) — no scan job.
+    */
+  private def footerRowCount(p: Path, format: String): Long = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val hp = new org.apache.hadoop.fs.Path(p.toUri)
+    if (format == "orc") {
+      val r = org.apache.orc.OrcFile.createReader(hp,
+        org.apache.orc.OrcFile.readerOptions(conf))
+      try r.getNumberOfRows finally r.close()
+    } else {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(hp, conf))
+      try r.getRecordCount finally r.close()
+    }
+  }
+
   private def writeAvro(path: Path, schema: org.apache.avro.Schema,
       records: Seq[org.apache.avro.generic.GenericRecord]): Long = {
     import org.apache.avro.file.DataFileWriter
@@ -428,7 +445,6 @@ object IcebergLayout {
       .toLowerCase
     // write through a spark job, then move the part files into data/
     val tmp = Files.createTempDirectory(dir, "_stage")
-    val n = df.count()
     if (format == "orc") df.write.mode("overwrite").orc(tmp.toString)
     else df.write.mode("overwrite").parquet(tmp.toString)
     val dataDir = dir.resolve("data")
@@ -452,12 +468,18 @@ object IcebergLayout {
     }
     deleteRecursively(tmp)
 
+    // per-file record counts from the file footers (metadata-only, no
+    // extra scan) — each manifest entry must carry ITS file's rows for
+    // the chain to stay spec-faithful when Spark emits multiple parts
+    val fileRows = moved.map(p => p -> footerRowCount(p, format)).toMap
+    val n = fileRows.values.sum
+
     import org.apache.avro.generic.GenericData
     val entries = moved.map { p =>
       val fileRec = new GenericData.Record(dataFileAvro)
       fileRec.put("file_path", s"$location/data/${p.getFileName}")
       fileRec.put("file_format", format.toUpperCase)
-      fileRec.put("record_count", n)
+      fileRec.put("record_count", fileRows(p))
       fileRec.put("file_size_in_bytes", Files.size(p))
       val e = new GenericData.Record(manifestEntryAvro)
       e.put("status", 1) // ADDED

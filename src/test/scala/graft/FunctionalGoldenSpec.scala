@@ -2043,26 +2043,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
             if (setFile) {
               // the reference runner clears session options between
               // blocks; the block's own SETs then apply in order
+              // ImpalaOptions.set itself projects semantic options
+              // (EXPLAIN_LEVEL, OPTIMIZE_PARTITION_KEY_SCANS,
+              // DISABLE_STREAMING_PREAGGREGATIONS) onto the engine
+              // confs — the product path, no harness bridge
               ImpalaOptions.clear(spark)
-              Seq("graft.explain.partitionKeyScans",
-                "graft.explain.noStreamingAgg", "graft.explain.level")
-                .foreach(k => scala.util.Try(spark.conf.unset(k)))
               prefix.foreach {
-                case optSetRe(nm, v0) =>
-                  val v = v0.stripPrefix("'").stripSuffix("'")
-                    .stripPrefix("\"").stripSuffix("\"")
-                  ImpalaOptions.set(spark, nm, v)
-                  nm.toLowerCase match {
-                    case "explain_level" if v.matches("[0-3]") =>
-                      spark.conf.set("graft.explain.level", v)
-                    case "optimize_partition_key_scans"
-                        if Set("true", "1")(v.toLowerCase) =>
-                      spark.conf.set("graft.explain.partitionKeyScans", "true")
-                    case "disable_streaming_preaggregations"
-                        if Set("true", "1")(v.toLowerCase) =>
-                      spark.conf.set("graft.explain.noStreamingAgg", "true")
-                    case _ =>
-                  }
+                case optSetRe(nm, v0) => ImpalaOptions.set(spark, nm, v0)
                 case _ =>
               }
             }

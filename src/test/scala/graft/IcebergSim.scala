@@ -75,8 +75,13 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
     """(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+set\s+owner\s+(user|role)\s+([A-Za-z_]\w*)\s*;?\s*$""".r
   private val renameRe =
     """(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+rename\s+to\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  // INTO only: every replay appends a snapshot via IcebergLayout.append.
+  // An INSERT OVERWRITE must fail loudly (a replace snapshot is not
+  // implemented) instead of silently duplicating rows.
   private val insertRe =
-    """(?is)^\s*insert\s+(?:into|overwrite)\s+(?:table\s+)?([A-Za-z_]\w*)\s+((?:values|select|with)\b.*)$""".r
+    """(?is)^\s*insert\s+into\s+(?:table\s+)?([A-Za-z_]\w*)\s+((?:values|select|with)\b.*)$""".r
+  private val insertOverwriteRe =
+    """(?is)^\s*insert\s+overwrite\s+(?:table\s+)?([A-Za-z_]\w*)\b.*$""".r
   private val refreshRe =
     """(?is)^\s*(?:refresh|invalidate\s+metadata)\s+([A-Za-z_]\w*)\s*;?\s*$""".r
 
@@ -219,6 +224,9 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
       register(newName, Paths.get(t.dir))
       ddl.lastMessage = Some("Renaming was successful.")
       true
+    case insertOverwriteRe(name0) if registry.contains(name0.toLowerCase) =>
+      throw new UnsupportedOperationException(
+        "iceberg INSERT OVERWRITE (replace snapshot) is not replayed")
     case insertRe(name0, sourceTxt) if registry.contains(name0.toLowerCase) =>
       val name = name0.toLowerCase
       val dir = Paths.get(registry(name).dir)

@@ -188,4 +188,70 @@ class PlanSpec extends SparkSpecBase {
     // signature kernels evaluate inside project/codegen, not UDF nodes
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("OPTIMIZE_PARTITION_KEY_SCANS executes metadata-only: zero file-scan tasks") {
+    // IMPALA-1795: a distinct/min/max aggregate over partition keys
+    // answers from the partition listing. At a million partitions this
+    // is catalog-read vs full-table-scan — the plan must contain NO
+    // file scan, and ineligible shapes (count(*)) must keep the scan.
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pks").toString
+    import spark.implicits._
+    Seq((1, "a", 2009, 1), (2, "b", 2009, 2), (3, "c", 2010, 1),
+      (4, "d", 2010, 1))
+      .toDF("id", "s", "year", "month")
+      .write.mode("overwrite").partitionBy("year", "month").parquet(dir)
+    val tbl = spark.read.parquet(dir)
+    tbl.createOrReplaceTempView("pks_tbl")
+    val parts = Seq(Seq("2009", "1"), Seq("2009", "2"), Seq("2010", "1"))
+    ImpalaStats.register(ImpalaStats.Model("pks_tbl",
+      () => StructType(Seq(StructField("id", IntegerType),
+        StructField("s", StringType))),
+      () => StructType(Seq(StructField("year", IntegerType),
+        StructField("month", IntegerType))),
+      () => parts.map(p => ImpalaStats.Partition(
+        p.map(Option(_)), Seq(1L), "PARQUET", "")),
+      () => tbl))
+    def allScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+      case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+      case q: QueryStageExec => allScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(allScans)
+    }
+    try {
+      // the PRODUCT path: SET flows through ImpalaOptions onto the conf
+      ImpalaDialect.sql(spark, "set optimize_partition_key_scans=1")
+      val q = ImpalaDialect.sql(spark,
+        "select min(month) m1, max(year) m2, count(distinct year) c from pks_tbl")
+      val row = q.collect().head
+      assert(row.getInt(0) == 1 && row.getInt(1) == 2010 &&
+        row.getLong(2) == 2L, row.toString)
+      assert(allScans(q.queryExecution.executedPlan).isEmpty,
+        q.queryExecution.executedPlan.toString)
+      assert(q.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"))
+      // distinct form collapses too
+      val d = ImpalaDialect.sql(spark,
+        "select distinct year from pks_tbl")
+      assert(d.collect().map(_.getInt(0)).sorted.toSeq == Seq(2009, 2010))
+      assert(allScans(d.queryExecution.executedPlan).isEmpty)
+      // ineligible aggregate (count(*) is multiplicity-sensitive):
+      // the real scan stays and sees all 4 rows, not 3 partitions
+      val c = ImpalaDialect.sql(spark, "select count(*) c from pks_tbl")
+      assert(c.collect().head.getLong(0) == 4L)
+      assert(allScans(c.queryExecution.executedPlan).nonEmpty)
+      // EXPLAIN renders the collapsed plan that actually runs
+      val ex = ImpalaDialect.sql(spark,
+        "explain select min(month) from pks_tbl")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(ex.contains("00:UNION") && ex.contains("constant-operands=3"),
+        ex)
+    } finally {
+      ImpalaDialect.sql(spark, "set optimize_partition_key_scans=0")
+      ImpalaStats.drop("pks_tbl")
+      spark.catalog.dropTempView("pks_tbl")
+    }
+  }
 }

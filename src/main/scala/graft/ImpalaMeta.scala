@@ -104,6 +104,24 @@ object ImpalaMeta {
   val icebergRegistry =
     scala.collection.mutable.LinkedHashMap.empty[String, IcebergTbl]
 
+  /** External data sources (`CREATE DATA SOURCE` —
+    * `fe/.../analysis/CreateDataSrcStmt.java`; SHOW DATA SOURCES shape
+    * per `fe/.../service/Frontend.java` getDataSrcMetadata:
+    * NAME, LOCATION, CLASS NAME, API VERSION).
+    */
+  final case class DataSrc(location: String, className: String,
+      apiVersion: String)
+  val dataSourceRegistry =
+    scala.collection.mutable.LinkedHashMap.empty[String, DataSrc]
+  private val createDataSrcRe =
+    ("""(?is)^\s*create\s+data\s+source\s+(?:if\s+not\s+exists\s+)?""" +
+      """(\w+)\s+location\s+'([^']*)'\s+class\s+'([^']*)'\s+""" +
+      """api_version\s+'([^']*)'\s*;?\s*$""").r
+  private val dropDataSrcRe =
+    """(?is)^\s*drop\s+data\s+source\s+(?:if\s+exists\s+)?(\w+)\s*;?\s*$""".r
+  private val showDataSrcRe =
+    """(?is)^\s*show\s+data\s+sources(?:\s+like\s+'([^']*)')?\s*;?\s*$""".r
+
   private def pad20(s: String): String = s.padTo(20, ' ')
 
   private def strDf(spark: SparkSession, cols: Seq[String],
@@ -256,6 +274,23 @@ object ImpalaMeta {
     */
   def intercept(spark: SparkSession, text: String): Option[DataFrame] =
     text match {
+      case createDataSrcRe(name, loc, cls, api) =>
+        dataSourceRegistry(name.toLowerCase) = DataSrc(loc, cls, api)
+        Some(strDf(spark, Seq("summary"),
+          Seq(Seq("Data source has been created."))))
+      case dropDataSrcRe(name) =>
+        dataSourceRegistry.remove(name.toLowerCase)
+        Some(strDf(spark, Seq("summary"),
+          Seq(Seq("Data source has been dropped."))))
+      case showDataSrcRe(pattern) =>
+        val rows = dataSourceRegistry.toSeq
+          .filter(d => matchesPattern(d._1, Option(pattern)))
+          .sortBy(_._1)
+          .map { case (n, d) =>
+            Seq(n, d.location, d.className, d.apiVersion)
+          }
+        Some(strDf(spark,
+          Seq("name", "location", "class name", "api version"), rows))
       case showTableStatsRe(raw)
           if icebergRegistry.contains(statsName(raw).split('.').last) &&
             """(?is)^\s*show\s+partitions\b""".r

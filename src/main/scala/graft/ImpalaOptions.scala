@@ -106,6 +106,37 @@ object ImpalaOptions {
     "DEFLATE(3)", "BZIP2(4)", "SNAPPY(5)", "SNAPPY_BLOCKED(6)", "LZO(7)",
     "LZ4(8)", "ZLIB(9)", "ZSTD(10)", "BROTLI(11)", "LZ4_BLOCKED(12)")
 
+  /** Enum-valued options: (error-message noun, NAME(ordinal) values) —
+    * query-options.cc's GetThriftEnum error shape, which set.test's
+    * CATCH blocks pin. A value must be one of the names (any case) or
+    * a listed ordinal.
+    */
+  private val enumOptions: Map[String, (String, Seq[String])] = Map(
+    "EXPLAIN_LEVEL" -> ("explain level",
+      Seq("MINIMAL(0)", "STANDARD(1)", "EXTENDED(2)", "VERBOSE(3)")),
+    "RUNTIME_FILTER_MODE" -> ("runtime filter mode",
+      Seq("OFF(0)", "LOCAL(1)", "GLOBAL(2)")),
+    "REPLICA_PREFERENCE" -> ("replica memory distance preference",
+      Seq("CACHE_LOCAL(0)", "DISK_LOCAL(2)", "REMOTE(4)")),
+    "PARQUET_FALLBACK_SCHEMA_RESOLUTION" ->
+      ("parquet fallback schema resolution",
+        Seq("POSITION(0)", "NAME(1)")),
+    "PARQUET_ARRAY_RESOLUTION" -> ("parquet array resolution",
+      Seq("THREE_LEVEL(0)", "TWO_LEVEL(1)",
+        "TWO_LEVEL_THEN_THREE_LEVEL(2)")),
+    "PREFETCH_MODE" -> ("prefetch mode", Seq("NONE(0)", "HT_BUCKET(1)")),
+    "DEFAULT_JOIN_DISTRIBUTION_MODE" ->
+      ("default join distribution mode",
+        Seq("BROADCAST(0)", "SHUFFLE(1)")),
+    "KUDU_READ_MODE" -> ("Kudu read mode",
+      Seq("DEFAULT(0)", "READ_LATEST(1)", "READ_AT_SNAPSHOT(2)")),
+    "DEFAULT_FILE_FORMAT" -> ("default file format",
+      Seq("TEXT(0)", "RC_FILE(1)", "SEQUENCE_FILE(2)", "AVRO(3)",
+        "PARQUET(4)", "KUDU(5)", "ORC(6)", "HUDI_PARQUET(7)",
+        "ICEBERG(8)")),
+    "DEFAULT_TRANSACTIONAL_TYPE" -> ("default transactional type",
+      Seq("NONE(0)", "INSERT_ONLY(1)")))
+
   /** Strip one pair of MATCHING surrounding quotes (Impala's option
     * parser unquotes balanced quotes only).
     */
@@ -128,6 +159,15 @@ object ImpalaOptions {
       throw new IllegalArgumentException(s"Invalid query option: ${name.toLowerCase}")
     if (removed(upper)) return // no-op, any value
     val value = unquote(value0.trim)
+    enumOptions.get(upper).foreach { case (noun, vals) =>
+      val ok = value.isEmpty || vals.exists { v =>
+        val name = v.takeWhile(_ != '(')
+        val ord = v.dropWhile(_ != '(').stripPrefix("(").stripSuffix(")")
+        name.equalsIgnoreCase(value) || ord == value
+      }
+      if (!ok) throw new IllegalArgumentException(
+        s"Invalid $noun: '$value'. Valid values are ${vals.mkString(", ")}.")
+    }
     val norm = upper match {
       case "EXPLAIN_LEVEL" =>
         explainLevels.getOrElse(value,
@@ -140,6 +180,22 @@ object ImpalaOptions {
           throw new IllegalArgumentException(
             s"Invalid compression codec: '$value'. Valid values are " +
               codecs.mkString(", ") + ".")
+        value
+      case "PARQUET_FILE_SIZE" =>
+        // bytes or a size suffix; capped below 2GB (query-options.cc)
+        val bytes = """(?i)^(\d+)\s*([kmg]b?)?$""".r.findFirstMatchIn(value)
+          .map { m =>
+            val n = m.group(1).toLong
+            Option(m.group(2)).map(_.toLowerCase.head) match {
+              case Some('k') => n << 10
+              case Some('m') => n << 20
+              case Some('g') => n << 30
+              case _ => n
+            }
+          }
+        if (bytes.exists(_ >= (2L << 30)))
+          throw new IllegalArgumentException(
+            "The PARQUET_FILE_SIZE query option must be less than 2GB.")
         value
       case "MAX_ROW_SIZE" =>
         val n = value.toLongOption.getOrElse(-1L)

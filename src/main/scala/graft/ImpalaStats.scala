@@ -58,7 +58,12 @@ object ImpalaStats {
       // row per region (start keys; "" = the first region) instead of
       // the HDFS partition ledger (fe/.../service/Frontend
       // getTableStats for HBaseTable)
-      hbaseRegions: Seq[String] = Nil)
+      hbaseRegions: Seq[String] = Nil,
+      // per-region store sizes (parallel to hbaseRegions); empty =
+      // apportion evenly from the row count. Real regions are skewed
+      // by key distribution, which the loaded-stats goldens pin at
+      // the KB/MB unit level
+      hbaseRegionBytes: Seq[Long] = Nil)
 
   case class ColStat(ndv: Long, nulls: Long, maxSize: Long,
       avgSize: Double, trues: Long, falses: Long)
@@ -463,13 +468,15 @@ object ImpalaStats {
         val rowsPerRegion =
           math.max(if (st.rowCount >= 0) st.rowCount / n
           else scala.util.Try(m.data().count()).getOrElse(0L) / n, 1L)
-        val bytesPerRegion = rowsPerRegion * 88L
-        val regionRows = m.hbaseRegions.map(k =>
-          Row("localhost:16201", k, rowsPerRegion,
-            printBytes(bytesPerRegion)))
+        val bytes: Seq[Long] =
+          if (m.hbaseRegionBytes.length == n) m.hbaseRegionBytes
+          else Seq.fill(n)(rowsPerRegion * 88L)
+        val regionRows = m.hbaseRegions.zip(bytes).map { case (k, b) =>
+          Row("localhost:16201", k, rowsPerRegion, printBytes(b))
+        }
         val total =
           if (n > 1) Seq(Row("Total", "", rowsPerRegion * n,
-            printBytes(bytesPerRegion * n)))
+            printBytes(bytes.sum)))
           else Nil
         return Some(mkDf(spark, StructType(Seq(
           StructField("region_location", StringType),

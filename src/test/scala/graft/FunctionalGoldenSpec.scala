@@ -324,6 +324,14 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // COMPUTE STATS over HBase-mapped clones (region-shaped SHOW
     // TABLE STATS, key-first alphabetical column order)
     "hbase-compute-stats.test", "hbase-compute-stats-incremental.test",
+    // LOADED stats over the hbase mappings (snapshot-era extra keys)
+    "hbase-show-stats.test",
+    // SHOW DATA SOURCES over the registered external data sources
+    "show-data-sources.test",
+    // the native-UDF loader/interpreter error contract (CATCH blocks)
+    "udf-errors.test",
+    // LIKE ORC schema inference from real ORC footers
+    "create-table-like-file-orc.test",
     // Hive-side external-table stats cleared by Impala inserts — the
     // row effects gate; the COLUMN_STATS_ACCURATE show-create probes
     // stay row_regex skips
@@ -1041,7 +1049,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       "test-unmatched-schema.test", "date-fileformat-support.test",
       "compute-stats-complextype-warning.test",
       "hbase-compute-stats.test", "hbase-compute-stats-incremental.test",
-      "hbase-inserts.test")
+      "hbase-inserts.test", "hbase-show-stats.test",
+      "show-data-sources.test", "udf-errors.test",
+      "create-table-like-file-orc.test")
+  /** Files whose CATCH (error-path) blocks replay — the engine (or its
+    * sim layer) models the exact error contract these pin. */
+  private val catchFiles = Set("udf-errors.test", "set.test")
+
   /** set.test: SET statements are the queries themselves; per-block
     * option state resets like the reference runner's session clear. */
   private var setFile = false
@@ -1250,7 +1264,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           // tables the GoldenDdl store registers (the acid-sim and
           // iceberg SHOW PARTITIONS shapes are different surfaces)
           (ddlEmu &&
-            """^show\s+((table|column)\s+stats|partitions|files)\b""".r
+            """^show\s+((table|column)\s+stats|partitions|files|data\s+sources)\b""".r
             .findFirstIn(q).isDefined) ||
           // SHOW [AGGREGATE|ANALYTIC] FUNCTIONS from the fn registry
           (ddlEmu &&
@@ -1733,6 +1747,102 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           .sorted.toSeq).map(org.apache.spark.sql.functions.col): _*)
           .createOrReplaceTempView("hbase__allcomplextypes")
       }
+      // hbase-show-stats: LOADED stats of the hbase-mapped tables. The
+      // reference's metastore snapshot computed them at load time over
+      // the RAW (pre-mapping) values plus the hbase test load's extra
+      // keys beyond the 100-row generator table (id NDV 105 over 106
+      // bool cells, timestamp NDV 101 = the raw values' HLL estimate —
+      // the clone file's freshly-computed 99/100 differ on exactly
+      // those). The seed reproduces every pinned cell through the
+      // bit-exact COMPUTE pipeline: 6 extra keys duplicating rows 0–5's
+      // non-key values. NULL counts render -1 (the snapshot predates
+      // null-count computation, Frontend loaded-stats shape).
+      // create-table-like-file-orc: the reference's HIVE_QUERY setup
+      // CTAS-copies fixture tables to ORC; replayed by writing the
+      // same schemas through the ORC writer (LIKE ORC reads footers)
+      if (f == "create-table-like-file-orc.test") {
+        import org.apache.spark.sql.functions.expr
+        ddlStore.likeOrcFiles.clear()
+        val tmp = java.nio.file.Files.createTempDirectory("graft_likeorc")
+        def writeOrc(dirName: String,
+            df: org.apache.spark.sql.DataFrame): Unit = {
+          val d = tmp.resolve(dirName)
+          df.coalesce(1).write.mode("overwrite").orc(d.toString)
+          val part = java.nio.file.Files.list(d).iterator()
+          val f0 = scala.jdk.CollectionConverters
+            .IteratorHasAsScala(part).asScala
+            .find(_.getFileName.toString.endsWith(".orc")).get
+          ddlStore.likeOrcFiles(dirName) = f0
+        }
+        writeOrc("copy_decimal_tiny", spark.table("decimal_tiny")
+          .select("c1", "c2", "c3").limit(0))
+        writeOrc("copy_zipcode_incomes",
+          spark.table("zipcode_incomes").limit(0))
+        writeOrc("copy_alltypestiny", spark.table("alltypestiny")
+          .selectExpr("id", "bool_col", "tinyint_col", "smallint_col",
+            "int_col", "bigint_col", "float_col", "double_col",
+            "date_string_col", "string_col", "timestamp_col").limit(0))
+        // the managed (full-ACID) complextypestbl bucket file: the
+        // nullable fixture wrapped in the six ACID columns, exactly
+        // Hive's transactional layout
+        val nn = spark.read.orc(
+          "/root/reference/testdata/ComplexTypesTbl/nullable.orc")
+        val rowStruct = "struct(" + nn.columns.map(c =>
+          s"$c as $c").mkString(", ") + ") as row"
+        writeOrc("graft-acid-complextypes", nn.selectExpr(
+          "cast(0 as int) as operation",
+          "cast(1 as bigint) as originaltransaction",
+          "cast(0 as int) as bucket",
+          "cast(0 as bigint) as rowid",
+          "cast(1 as bigint) as currenttransaction",
+          rowStruct).limit(0))
+        ddlStore.likeOrcFiles("bucket_00000") =
+          ddlStore.likeOrcFiles("graft-acid-complextypes")
+      }
+      // show-data-sources: the reference driver creates two sources
+      // before running the file (test_metadata_query_statements.py
+      // __create_data_sources) — replayed through the same statement
+      if (f == "show-data-sources.test") {
+        ImpalaMeta.dataSourceRegistry.clear()
+        Seq("show_test_ds1", "show_test_ds2").foreach { n =>
+          ImpalaDialect.sql(spark, s"CREATE DATA SOURCE $n LOCATION " +
+            "'$NAMENODE/test-warehouse/data-sources/test-data-source.jar' " +
+            "CLASS 'org.apache.impala.extdatasource.AllTypesDataSource' " +
+            "API_VERSION 'V1'")
+        }
+      }
+      if (f == "hbase-show-stats.test") {
+        import org.apache.spark.sql.functions.{col, lit}
+        val small0 = spark.table("alltypessmall")
+        val keyFirstCols =
+          "id" +: small0.columns.filterNot(_ == "id").sorted.toSeq
+        val small = small0.select(keyFirstCols.map(col): _*)
+        val extras = small.filter(col("id") < 6)
+          .withColumn("id", col("id") + lit(200))
+          .select(keyFirstCols.map(col): _*)
+        val loaded = small.unionByName(extras)
+        ImpalaStats.register(ImpalaStats.Model("hbase__alltypessmall",
+          () => loaded.schema,
+          () => org.apache.spark.sql.types.StructType(Nil),
+          () => Seq(ImpalaStats.Partition(Nil, Seq(0L), "HBASE", "")),
+          () => loaded))
+        ImpalaStats.computeStats(spark, "hbase__alltypessmall",
+          incremental = false)
+        ImpalaStats.lookup("hbase__alltypessmall").foreach { case (_, st) =>
+          st.colStats.mapValuesInPlace((_, cs) => cs.copy(nulls = -1L))
+        }
+        val agg = spark.table("alltypesagg")
+        ImpalaStats.register(ImpalaStats.Model("hbase__alltypesagg",
+          () => agg.schema,
+          () => org.apache.spark.sql.types.StructType(Nil),
+          () => Seq(ImpalaStats.Partition(Nil, Seq(0L), "HBASE", "")),
+          () => agg,
+          hbaseRegions = Seq("", "1", "3", "5", "7", "9"),
+          // key-skewed store sizes (string row keys: the ''→'1' and
+          // '9'→∞ regions hold few keys) — the golden pins the units
+          hbaseRegionBytes = Seq(84L << 10, 2200L << 10, 2300L << 10,
+            2250L << 10, 2280L << 10, 640L << 10)))
+      }
       // avro_date.test: the avro date_tbl twins. Hive wrote DATE
       // through the hybrid calendar (pre-1582 values shift when read
       // proleptically); a file holding a rebased value below
@@ -1860,6 +1970,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           "built-in")
       }
       if (f == "java-udf.test") functions.TestJavaUdfSuite.register(spark)
+      if (f == "udf-errors.test") {
+        functions.TestUdfSuite.register(spark)
+        ddlStore.sessionDb = Some("udf_errors_db")
+      } else ddlStore.sessionDb = None
       if (f == "uda.test") functions.TestUdaSuite.register(spark)
       if (f == "data-source-tables.test") {
         // Impala pushes contradictory conjuncts to the plugin instead
@@ -1921,6 +2035,20 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           "$MANAGED_WAREHOUSE_DIR" -> "test-warehouse/managed")
         else if (f == "local-filesystem.test")
           Map("$IMPALA_HOME" -> "/root/reference")
+        else if (f == "create-table-like-file-orc.test")
+          scala.collection.immutable.ListMap(
+            "$TRANSACTIONAL_COMPLEXTYPESTBL_FILE" ->
+              "/graft-acid-complextypes/bucket_00000",
+            "$DATABASE.db" -> "likeorc.db",
+            "$DATABASE." -> "", "$DATABASE" -> "likeorc",
+            "$NAMENODE" -> "", "$FILESYSTEM_PREFIX" -> "")
+        else if (f == "udf-errors.test")
+          // protect the bad-bitcode literal (its CATCH line carries
+          // $DATABASE unsubstituted), then bind the session db
+          scala.collection.immutable.ListMap(
+            "$DATABASE_bad_udf.ll" -> "__BADUDF__",
+            "$DATABASE" -> "udf_errors_db",
+            "__BADUDF__" -> "$DATABASE_bad_udf.ll")
         else if (f == "clear-statsaccurate.test")
           // the Hive-side setup's session-db switch is a no-op in the
           // single namespace
@@ -2021,7 +2149,49 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         val stmts = splitStmts(queryTxt)
         val queryStmt = if (stmts.isEmpty) "" else stmts.last
         val prefix = if (stmts.isEmpty) Nil else stmts.init
-        eligible(c, queryStmt, prefix).orElse(
+        // CATCH blocks (reference __verify_exceptions): run the block,
+        // expect a failure whose message carries ANY expected line
+        // (row_regex or substring). Opt-in per file — the general
+        // error-path surface stays scoped out.
+        val catchExpected0 =
+          if (!catchFiles(f)) Nil
+          else c.sections.getOrElse("CATCH", Nil).map(_.trim)
+            .filter(l => l.nonEmpty && !l.startsWith("#"))
+        // execution-resource error paths (mem_limit reservation floors)
+        // stay out of scope — the engine does not model memory limits
+        val catchExpected =
+          if (catchExpected0.exists(_.contains("memory available to the query")))
+            Nil
+          else catchExpected0
+        if (catchExpected.nonEmpty) {
+          def messageOf(t: Throwable): String =
+            (Option(t.getMessage).getOrElse("") + " " + t.toString)
+              .replace("\n", " ")
+          val err: Option[String] =
+            try {
+              prefix.foreach(execSetupStmt(spark, _))
+              val q = queryStmt.trim.toLowerCase
+              if (q.startsWith("select") || q.startsWith("with") ||
+                  q.startsWith("values") || q.startsWith("set")) {
+                ImpalaDialect.sql(spark, queryStmt).collect()
+                None
+              } else {
+                execSetupStmt(spark, queryStmt)
+                ddlStore.lastError
+              }
+            } catch { case t: Throwable => Some(messageOf(t)) }
+          val ok = err.exists(msg => catchExpected.exists { exp =>
+            if (exp.startsWith("row_regex:"))
+              scala.util.Try(java.util.regex.Pattern
+                .compile(exp.stripPrefix("row_regex:").trim)
+                .matcher(msg).find()).getOrElse(false)
+            else msg.contains(exp)
+          })
+          if (ok) pass += 1
+          else mismatches += s"$f[$i]: CATCH expected " +
+            s"${catchExpected.head.take(80)} got ${err.getOrElse("NO ERROR").take(160)}" +
+            s"\n  query: ${queryStmt.replaceAll("\\s+", " ").take(120)}"
+        } else eligible(c, queryStmt, prefix).orElse(
             documentedDeltas.get((f, i)).map("documented delta: " + _)) match {
           case Some(reason) =>
             skip += 1
@@ -2213,8 +2383,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3507,
-      s"only $pass golden queries passed (floor 3507)")
+    assert(fileFilter.isDefined || pass >= 3558,
+      s"only $pass golden queries passed (floor 3558)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

@@ -60,6 +60,26 @@ final class GoldenDdl(spark: SparkSession) {
     * compare against this.
     */
   var lastMessage: Option[String] = None
+  /** Message of the last statement that FAILED (Impala's error path) —
+    * the CATCH-block replay reads it. */
+  var lastError: Option[String] = None
+  /** The session's test database ($DATABASE) when a file pins
+    * drop-non-empty semantics against it. */
+  var sessionDb: Option[String] = None
+
+  /** The binary a CREATE FUNCTION names, when it is NOT one the
+    * reference ships (testdata/udfs + the hive/test jars): jars load
+    * via the JVM; .so must be a shipped test library; .ll the shipped
+    * bitcode. Returns the offending location as written. */
+  private def invalidFnBinary(stmt: String): Option[String] =
+    """(?is)\blocation\s+'([^']*)'""".r.findFirstMatchIn(stmt)
+      .map(_.group(1)).filterNot { loc =>
+        val base = loc.split('/').last.toLowerCase
+        base.endsWith(".jar") ||
+          (base.endsWith(".so") && (base.startsWith("libtestud") ||
+            base.startsWith("libuda") || base.startsWith("libudf"))) ||
+          (base.endsWith(".ll") && base.startsWith("test-udfs"))
+      }.map(loc => loc)
 
   /** The last INSERT's per-partition row report, in the runner's
     * `k1=v1/k2=v2/: n` rendering (Impala's insert result summary) —
@@ -176,6 +196,22 @@ final class GoldenDdl(spark: SparkSession) {
       """([A-Za-z_]\w*)\s+like\s+parquet\s+'([^']*)'""" +
       """(?:\s+partitioned\s+by\s*\(([^)]*)\))?""" +
       """(?:\s+stored\s+as\s+(\w+))?(?:\s+location\s+'([^']*)')?\s*$""").r
+  // CREATE TABLE … LIKE ORC 'file': column defs inferred from the real
+  // ORC file footer (CreateTableLikeFileStmt with OrcSchemaExtractor —
+  // unlike parquet, tinyint/smallint/char/varchar are preserved; every
+  // column comments 'Inferred from ORC file.')
+  private val createLikeOrcRe =
+    ("""(?is)^\s*create\s+(?:external\s+)?table\s+(if\s+not\s+exists\s+)?""" +
+      """([A-Za-z_]\w*)\s+like\s+orc\s+'([^']*)'""" +
+      """(?:\s+stored\s+as\s+(\w+))?\s*;?\s*$""").r
+
+  /** LIKE-ORC path resolution overrides: parent-dir (or file) name →
+    * the locally produced ORC file (the reference runner's HIVE_QUERY
+    * CTAS setup, replayed by the harness).
+    */
+  val likeOrcFiles =
+    scala.collection.mutable.Map.empty[String, java.nio.file.Path]
+
   private val fieldDelimRe =
     """(?is)fields\s+terminated\s+by\s+'((?:[^'\\]|\\.)*)'""".r
   private val lineDelimRe =
@@ -286,6 +322,7 @@ final class GoldenDdl(spark: SparkSession) {
     */
   def exec(stmt0: String): Boolean = try {
     lastMessage = None
+    lastError = None
     lastInsertReport = Nil
     // a reference to a MODEL database's table qualifies as db.tbl —
     // fold into the single namespace as db__tbl
@@ -364,6 +401,31 @@ final class GoldenDdl(spark: SparkSession) {
             dirFiles(t.baseLocation) =
               if (bytes > 0) Vector(bytes) else Vector.empty
           }
+          publish(name)
+          lastMessage = Some("Table has been created.")
+        } else lastMessage = Some("Table already exists.")
+        true
+      case createLikeOrcRe(ine, name, path, _) =>
+        if (ine == null || !tables.contains(name)) {
+          val base = path.split('/').last
+          val parent = path.split('/').dropRight(1).lastOption.getOrElse("")
+          val file = likeOrcFiles.get(parent)
+            .orElse(likeOrcFiles.get(base))
+            .orElse(Seq(
+              java.nio.file.Paths.get("/root/reference/testdata/data", base),
+              java.nio.file.Paths.get(
+                "/root/reference/testdata/ComplexTypesTbl", base))
+              .find(java.nio.file.Files.isRegularFile(_)))
+            .getOrElse(throw new IllegalArgumentException(
+              s"Cannot infer schema, path does not exist: $path"))
+          val schema = StructType(orcSchemaOf(file).fields.map(
+            _.withComment("Inferred from ORC file.")))
+          val t = new Tbl(normalizeSchema(schema), new StructType(),
+            name, None)
+          t.format = "ORC"
+          ensureDir(t.baseLocation, raw = false)
+          t.parts(Nil) = (t.baseLocation, None)
+          tables(name) = t
           publish(name)
           lastMessage = Some("Table has been created.")
         } else lastMessage = Some("Table already exists.")
@@ -530,6 +592,12 @@ final class GoldenDdl(spark: SparkSession) {
         }
         lastMessage = Some("Partitions have been recovered.")
         publish(name); true
+      case createFnRe(agg, ine, qname, argsTxt, ret)
+          if invalidFnBinary(stmt).isDefined =>
+        // the loader rejects unknown binaries before cataloging
+        // (LibCache::GetLocalLibPath — udf-errors.test pins the shape)
+        throw new IllegalArgumentException(
+          s"Could not load binary: ${invalidFnBinary(stmt).get}")
       case createFnRe(agg, ine, qname, argsTxt, ret) =>
         // db__fn names fold back to their db; an unqualified name (the
         // session's test database) lands in the default bucket
@@ -579,6 +647,14 @@ final class GoldenDdl(spark: SparkSession) {
           lastMessage = Some("Database has been created.")
         }
         true
+      case dropDbRe(ife, name, mode)
+          if mode == null && sessionDb.exists(_.equalsIgnoreCase(name)) &&
+            (tables.nonEmpty || ImpalaMeta.fnRegistry.getOrElse("$default$",
+              scala.collection.mutable.ArrayBuffer.empty).nonEmpty) =>
+        // dropping the session's own non-empty database without
+        // CASCADE (CatalogOpExecutor dropDatabase)
+        throw new IllegalStateException(
+          s"Cannot drop non-empty database: $name")
       case dropDbRe(ife, name, mode) =>
         val lower = name.toLowerCase
         if (ImpalaMeta.dbRegistry.remove(lower).isDefined) {
@@ -716,6 +792,7 @@ final class GoldenDdl(spark: SparkSession) {
     }
   } catch {
     case t: Throwable =>
+      lastError = Some(Option(t.getMessage).getOrElse(t.toString))
       if (sys.env.contains("GRAFT_DDL_TRACE")) {
         println(s"[ddl THREW] ${stmt0.replaceAll("\\s+", " ").take(120)}")
         t.printStackTrace()
@@ -775,6 +852,50 @@ final class GoldenDdl(spark: SparkSession) {
       // location strings too, leaving a bare `db/` segment
       .replaceAll("^db/", "")
       .stripSuffix("/")
+  }
+
+  /** The ORC file's own type description mapped to Catalyst types —
+    * CHAR/VARCHAR lengths and DECIMAL precision preserved (Spark's
+    * reader would erase char).
+    */
+  private def orcSchemaOf(file: java.nio.file.Path): StructType = {
+    import org.apache.orc.TypeDescription
+    import org.apache.orc.TypeDescription.Category
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(file.toUri),
+      org.apache.orc.OrcFile.readerOptions(
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      def conv(t: TypeDescription): DataType = t.getCategory match {
+        case Category.BOOLEAN => BooleanType
+        case Category.BYTE => ByteType
+        case Category.SHORT => ShortType
+        case Category.INT => IntegerType
+        case Category.LONG => LongType
+        case Category.FLOAT => FloatType
+        case Category.DOUBLE => DoubleType
+        case Category.STRING => StringType
+        case Category.CHAR => CharType(t.getMaxLength)
+        case Category.VARCHAR => VarcharType(t.getMaxLength)
+        case Category.BINARY => BinaryType
+        case Category.DECIMAL =>
+          DecimalType(t.getPrecision, t.getScale)
+        case Category.TIMESTAMP | Category.TIMESTAMP_INSTANT =>
+          TimestampType
+        case Category.DATE => DateType
+        case Category.LIST => ArrayType(conv(t.getChildren.get(0)))
+        case Category.MAP =>
+          MapType(conv(t.getChildren.get(0)), conv(t.getChildren.get(1)))
+        case Category.STRUCT =>
+          StructType(t.getFieldNames.toArray(Array.empty[String])
+            .zipWithIndex.map { case (n, i) =>
+              StructField(n, conv(t.getChildren.get(i)))
+            })
+        case other =>
+          throw new IllegalArgumentException(s"unmapped ORC type $other")
+      }
+      conv(reader.getSchema).asInstanceOf[StructType]
+    } finally reader.close()
   }
 
   /** DataFrame schemas can't carry CHAR/VARCHAR — normalize to

@@ -157,19 +157,7 @@ class LineageSpec extends SparkSpecBase {
     val cases = GoldenTest.parse(text)
 
     var pass = 0
-    var skipped = 0
     val failures = mutable.ArrayBuffer.empty[String]
-
-    // Nested-collection FROM refs (t.int_array_col a, t.struct_map_col m):
-    // their lineage pins Impala's canonical paths THROUGH the collection
-    // (….struct_map_col.value.f1, ….f2.item.f12.key) and, for top-level
-    // correlated refs, the collection column itself as a predicate
-    // source — tracing through the engine's lateral-view rewrite is not
-    // wired yet. Skipped with the count asserted so a fix is visible.
-    val nestedSkip = Seq(
-      "from functional.allcomplextypes.int_array_col a inner join",
-      "from functional.allcomplextypes t, t.int_array_col a",
-      "select a + b as ab, c, d, e from functional.allcomplextypes t")
 
     def registerTable(view: String, partCols: Seq[String],
         dataCols: Seq[String], external: Boolean): Unit = {
@@ -194,9 +182,7 @@ class LineageSpec extends SparkSpecBase {
             s"\nWANT: $want\nGOT : $got"
         }
 
-      if (nestedSkip.exists(queryText.replaceAll("\\s+", " ").contains)) {
-        skipped += 1
-      } else try stmt match {
+      try stmt match {
         case dbRe() =>
           if (stmt.toLowerCase.startsWith("drop")) {
             catalog.keys.foreach { v =>
@@ -271,12 +257,12 @@ class LineageSpec extends SparkSpecBase {
       }
     }
 
-    info(s"lineage graphs: $pass matched, ${failures.length} mismatched, " +
-      s"$skipped skipped (nested-collection refs)")
+    info(s"lineage graphs: $pass matched, ${failures.length} mismatched")
     failures.take(12).foreach(f => info(f))
     assert(failures.isEmpty,
       s"${failures.length} lineage mismatches (see info)")
-    assert(pass >= 40, s"only $pass lineage graphs compared")
-    assert(skipped <= 3, s"$skipped skipped — the skip list grew")
+    // floor pinned at the exact full count: every LINEAGE section of
+    // lineage.test compares green
+    assert(pass >= 43, s"only $pass lineage graphs compared (floor 43)")
   }
 }

@@ -62,7 +62,9 @@ object Bench {
     locally {
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
       val idx = Option(tmp.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
+        .filter(f => f.isDirectory &&
+          (f.getName.startsWith("graft_ann") ||
+            f.getName.startsWith("graft_ivf")))
       def touch(f: java.io.File): Unit =
         if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
           .foreach(touch)

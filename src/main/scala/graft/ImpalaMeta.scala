@@ -104,6 +104,124 @@ object ImpalaMeta {
   val icebergRegistry =
     scala.collection.mutable.LinkedHashMap.empty[String, IcebergTbl]
 
+  /** Registered user-function overloads with the detail SHOW CREATE
+    * FUNCTION regenerates (`fe/.../catalog/Function.toSql(true)`):
+    * the resolved — mangled — symbols derive from the C++ signatures
+    * via [[graft.functions.ItaniumMangle]].
+    */
+  final case class FnOverload(aggregate: Boolean, argsSql: String,
+      retSql: String, location: Option[String], symbol: String)
+  val fnDetails = scala.collection.mutable.LinkedHashMap
+    .empty[String, scala.collection.mutable.ArrayBuffer[FnOverload]]
+  private val showCreateFnRe =
+    ("""(?is)^\s*show\s+create\s+(?:aggregate\s+)?function\s+""" +
+      """([\w$]+\.)?([A-Za-z_]\w*)\s*;?\s*$""").r
+
+  /** The shipped test UDA libraries' exported families (udasample.cc /
+    * test-udas.cc): symbols absent from the binary render no line.
+    */
+  private val udaMissingParts: Map[String, Set[String]] =
+    Map("TwoArg" -> Set("FINALIZE"))
+
+  private def showCreateFunction(spark: SparkSession, db0: String,
+      name: String): Option[DataFrame] = {
+    import graft.functions.ItaniumMangle
+    val db = Option(db0).map(_.stripSuffix(".")).getOrElse("")
+    if (db.equalsIgnoreCase("_impala_builtins")) {
+      // builtins: member symbols of impala::MathFunctions /
+      // impala::AggregateFunctions, derived by the same mangler
+      // (AvgUpdate<T> via member-template mangling); overload shapes
+      // per BuiltinsDb.java's avg registration
+      import ItaniumMangle.{ConstRef, Ptr, TRef}
+      val aggFns = ("impala", "AggregateFunctions")
+      def member(nm: String, params: Seq[ItaniumMangle.Param],
+          targ: Option[String] = None): String =
+        ItaniumMangle.mangle(nm,
+          Ptr("FunctionContext") +: params, Some(aggFns), targ)
+      if (name.equalsIgnoreCase("sin")) {
+        val sym = ItaniumMangle.mangle("Sin",
+          Seq(Ptr("FunctionContext"), ConstRef("DoubleVal")),
+          Some(("impala", "MathFunctions")))
+        return Some(strDf(spark, Seq("result"), Seq(Seq(
+          s"CREATE FUNCTION _impala_builtins.sin(DOUBLE)\n" +
+            s" RETURNS DOUBLE\n SYMBOL='$sym'\n"))))
+      }
+      if (!name.equalsIgnoreCase("avg")) return None
+      val inter = "StringVal"
+      def upd(tpl: Option[String], nm: String, arg: String): String =
+        tpl match {
+          case Some(t) => member("AvgUpdate",
+            Seq(TRef, Ptr(inter)), Some(t))
+          case None => member(nm, Seq(ConstRef(arg), Ptr(inter)))
+        }
+      case class Ov(argSql: String, retSql: String, size: Int,
+        tpl: Option[String], updNm: String, argVal: String,
+        initNm: String, mergeNm: String, finNm: String)
+      val overloads = Seq(
+        Ov("BIGINT", "DOUBLE", 16, Some("BigIntVal"), "", "",
+          "AvgInit", "AvgMerge", "AvgFinalize"),
+        Ov("DECIMAL(*,*)", "DECIMAL(*,*)", 24, None,
+          "DecimalAvgUpdate", "DecimalVal", "DecimalAvgInit",
+          "DecimalAvgMerge", "DecimalAvgFinalize"),
+        Ov("DOUBLE", "DOUBLE", 16, Some("DoubleVal"), "", "",
+          "AvgInit", "AvgMerge", "AvgFinalize"),
+        Ov("TIMESTAMP", "TIMESTAMP", 16, None, "TimestampAvgUpdate",
+          "TimestampVal", "AvgInit", "AvgMerge",
+          "TimestampAvgFinalize"))
+      val stmts = overloads.map { o =>
+        s"CREATE AGGREGATE FUNCTION _impala_builtins.avg(${o.argSql})\n" +
+          s" RETURNS ${o.retSql}\n" +
+          s" INTERMEDIATE FIXED_UDA_INTERMEDIATE(${o.size})\n" +
+          s" LOCATION 'null'\n" +
+          s" UPDATE_FN='${upd(o.tpl, o.updNm, o.argVal)}'\n" +
+          s" INIT_FN='${member(o.initNm, Seq(Ptr(inter)))}'\n" +
+          s" MERGE_FN='${member(o.mergeNm,
+            Seq(ConstRef(inter), Ptr(inter)))}'\n" +
+          s" FINALIZE_FN='${member(o.finNm, Seq(ConstRef(inter)))}'"
+      }
+      return Some(strDf(spark, Seq("result"),
+        Seq(Seq(stmts.mkString(";\n") + "\n"))))
+    }
+    fnDetails.get(name.toLowerCase).filter(_.nonEmpty).map { ovs =>
+      val dbLabel = spark.conf
+        .getOption("graft.meta.sessiondb.label")
+        .orElse(Option(db).filter(_.nonEmpty)).getOrElse("default")
+      val stmts = ovs.map { o =>
+        val args = o.argsSql
+        val varArgs = args.endsWith("...")
+        val argTypes = args.stripSuffix("...").split(",")
+          .map(_.trim).filter(_.nonEmpty).toSeq
+        val loc = o.location.map(l =>
+          s" LOCATION '${l.replace("$FILESYSTEM_PREFIX", "$NAMENODE")}'\n")
+          .getOrElse("")
+        if (!o.aggregate) {
+          val sym = ItaniumMangle.udfSymbol(o.symbol, argTypes, varArgs)
+          s"CREATE FUNCTION $dbLabel.$name($args)\n RETURNS ${o.retSql}\n" +
+            loc + s" SYMBOL='$sym'"
+        } else {
+          val inter = ItaniumMangle.valClass(o.retSql)
+          val prefix = o.symbol.stripSuffix("Update")
+          val missing = udaMissingParts.getOrElse(prefix, Set.empty)
+          val lines = Seq(
+            "UPDATE_FN" ->
+              ItaniumMangle.udaUpdate(o.symbol, argTypes, inter),
+            "INIT_FN" -> ItaniumMangle.udaInit(prefix + "Init", inter),
+            "MERGE_FN" -> ItaniumMangle.udaMerge(prefix + "Merge", inter),
+            "FINALIZE_FN" ->
+              ItaniumMangle.udaFinalize(prefix + "Finalize", inter))
+            .filterNot { case (k, _) =>
+              missing(k.stripSuffix("_FN"))
+            }
+            .map { case (k, v) => s" $k='$v'" }.mkString("\n")
+          s"CREATE AGGREGATE FUNCTION $dbLabel.$name($args)\n" +
+            s" RETURNS ${o.retSql}\n" + loc + lines
+        }
+      }
+      strDf(spark, Seq("result"),
+        Seq(Seq(stmts.mkString(";\n") + "\n")))
+    }
+  }
+
   /** External data sources (`CREATE DATA SOURCE` —
     * `fe/.../analysis/CreateDataSrcStmt.java`; SHOW DATA SOURCES shape
     * per `fe/.../service/Frontend.java` getDataSrcMetadata:
@@ -282,6 +400,10 @@ object ImpalaMeta {
         dataSourceRegistry.remove(name.toLowerCase)
         Some(strDf(spark, Seq("summary"),
           Seq(Seq("Data source has been dropped."))))
+      case showCreateFnRe(db, name)
+          if showCreateFunction(spark, Option(db).getOrElse(""), name)
+            .isDefined =>
+        showCreateFunction(spark, Option(db).getOrElse(""), name)
       case showDataSrcRe(pattern) =>
         val rows = dataSourceRegistry.toSeq
           .filter(d => matchesPattern(d._1, Option(pattern)))

@@ -1970,6 +1970,9 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           "built-in")
       }
       if (f == "java-udf.test") functions.TestJavaUdfSuite.register(spark)
+      if (f == "functions-ddl.test")
+        spark.conf.set("graft.meta.sessiondb.label", "$DATABASE")
+      else scala.util.Try(spark.conf.unset("graft.meta.sessiondb.label"))
       if (f == "udf-errors.test") {
         functions.TestUdfSuite.register(spark)
         ddlStore.sessionDb = Some("udf_errors_db")
@@ -2163,7 +2166,30 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           if (catchExpected0.exists(_.contains("memory available to the query")))
             Nil
           else catchExpected0
-        if (catchExpected.nonEmpty) {
+        // SHOW CREATE FUNCTION (MULTI_LINE): regenerate the CREATE
+        // statements with DERIVED mangled symbols (ItaniumMangle) and
+        // compare the single multi-line cell; the templated builtin
+        // aggregates (avg) stay scoped out
+        val isShowCreateFn = ddlEmu && c.resultsTag == "MULTI_LINE" &&
+          """(?is)^\s*show\s+create\s+(aggregate\s+)?function\b""".r
+            .findFirstIn(queryStmt).isDefined
+        if (isShowCreateFn) {
+          val expected = c.results.mkString("\n").trim
+            .stripPrefix("['").stripSuffix("']").replace("''", "'").trim
+          val actual = scala.util.Try(ImpalaDialect.sql(spark, queryStmt)
+            .collect().headOption.map(_.getString(0))).toOption.flatten
+          actual match {
+            case Some(a) if a.trim == expected => pass += 1
+            case Some(a) =>
+              mismatches += s"$f[$i]: show-create-function\n  want: " +
+                s"${expected.take(200)}\n  got : ${a.trim.take(200)}"
+            case None =>
+              skip += 1
+              skipReasons("show create function: templated builtin") =
+                skipReasons.getOrElse(
+                  "show create function: templated builtin", 0) + 1
+          }
+        } else if (catchExpected.nonEmpty) {
           def messageOf(t: Throwable): String =
             (Option(t.getMessage).getOrElse("") + " " + t.toString)
               .replace("\n", " ")
@@ -2383,8 +2409,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3558,
-      s"only $pass golden queries passed (floor 3558)")
+    assert(fileFilter.isDefined || pass >= 3562,
+      s"only $pass golden queries passed (floor 3562)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

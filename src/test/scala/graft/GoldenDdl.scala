@@ -136,6 +136,7 @@ final class GoldenDdl(spark: SparkSession) {
     ImpalaStats.clear()
     ImpalaMeta.dbRegistry.clear()
     ImpalaMeta.fnRegistry.clear()
+    ImpalaMeta.fnDetails.clear()
   }
 
   /** Preload for alter-table.test: the runner creates `part_data (i
@@ -617,6 +618,18 @@ final class GoldenDdl(spark: SparkSession) {
             else "Function already exists.")
         else {
           buf += ((sig, ret.toUpperCase, agg != null))
+          // SHOW CREATE FUNCTION detail: location + the symbol as
+          // written (the renderer derives the mangled form)
+          val loc = """(?is)\blocation\s+'([^']*)'""".r
+            .findFirstMatchIn(stmt).map(_.group(1))
+          val sym = """(?is)\b(?:symbol|update_fn)\s*=\s*'([^']*)'""".r
+            .findFirstMatchIn(stmt).map(_.group(1))
+          sym.foreach { sm =>
+            ImpalaMeta.fnDetails.getOrElseUpdate(fn.toLowerCase,
+              scala.collection.mutable.ArrayBuffer.empty) +=
+              ImpalaMeta.FnOverload(agg != null, args, ret.toUpperCase,
+                loc, sm)
+          }
           lastMessage = Some("Function has been created.")
         }
         true
@@ -629,6 +642,13 @@ final class GoldenDdl(spark: SparkSession) {
         val args = Option(argsTxt).getOrElse("").split(",")
           .map(_.trim.toUpperCase).filter(_.nonEmpty).mkString(", ")
         val sig = s"$fn($args)"
+        ImpalaMeta.fnDetails.get(fn.toLowerCase).foreach { dbuf =>
+          if (argsTxt == null) dbuf.clear()
+          else {
+            val j = dbuf.indexWhere(_.argsSql == args)
+            if (j >= 0) dbuf.remove(j)
+          }
+        }
         val buf = ImpalaMeta.fnRegistry.getOrElse(db,
           scala.collection.mutable.ArrayBuffer.empty)
         val i = buf.indexWhere(_._1 == sig)

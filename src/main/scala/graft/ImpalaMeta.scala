@@ -89,7 +89,8 @@ object ImpalaMeta {
   private val describeFormattedRe =
     """(?is)^\s*describe\s+(?:formatted|extended)\s+([A-Za-z_]\w*(?:\.\w+)?)\s*;?\s*$""".r
   private val describeHistoryRe =
-    """(?is)^\s*describe\s+history\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+    ("""(?is)^\s*describe\s+history\s+""" +
+      """((?:[A-Za-z_]\w*\.)?[A-Za-z_]\w*)\s*;?\s*$""").r
 
   /** Iceberg tables of the warehouse model: physical layout dir +
     * the MODEL location/properties the observability statements
@@ -323,9 +324,13 @@ object ImpalaMeta {
     * (specId, sourceId, fieldId, name, transform) — not directory
     * partitions (`IcebergUtil.java` getPartitionSpec rows).
     */
-  private def icebergPartitions(spark: SparkSession, name: String)
+  private def icebergPartitions(spark: SparkSession, name: String,
+      asWritten: String)
       : Option[DataFrame] = icebergRegistry.get(name.toLowerCase).map { t =>
     val spec = sources.IcebergLayout.specOf(java.nio.file.Paths.get(t.dir))
+    if (spec.isEmpty)
+      throw new IllegalStateException(
+        s"AnalysisException: Table is not partitioned: $asWritten")
     val rows = spec.map(f => Row(0L, f.sourceId.toLong, f.fieldId.toLong,
       f.name, f.transform))
     spark.createDataFrame(
@@ -417,7 +422,8 @@ object ImpalaMeta {
           if icebergRegistry.contains(statsName(raw).split('.').last) &&
             """(?is)^\s*show\s+partitions\b""".r
               .findFirstIn(text).isDefined =>
-        icebergPartitions(spark, statsName(raw).split('.').last)
+        icebergPartitions(spark, statsName(raw).split('.').last,
+          statsName(raw))
       case showTableStatsRe(raw) =>
         val n = statsName(raw)
         ImpalaStats.showTableStats(spark, n).orElse(
@@ -432,8 +438,13 @@ object ImpalaMeta {
       case showFilesRe(raw, spec) =>
         val n = statsName(raw).split('.').last
         ImpalaStats.showFiles(spark, n, Option(spec))
+      case describeHistoryRe(name)
+          if icebergRegistry.contains(name.split('.').last.toLowerCase) =>
+        describeHistory(spark, name.split('.').last)
       case describeHistoryRe(name) =>
-        describeHistory(spark, name)
+        // DESCRIBE HISTORY is Iceberg-only (DescribeHistoryStmt)
+        throw new IllegalStateException(
+          s"DESCRIBE HISTORY must specify an Iceberg table: $name")
       case describeFormattedRe(name)
           if icebergRegistry.contains(name.split('.').last.toLowerCase) =>
         describeFormatted(spark, name)

@@ -858,7 +858,16 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       if (sys.env.contains("GRAFT_SIM_TRACE") && handled.isFailure)
         println(s"[icesim THREW ${handled.failed.get}] " +
           s.replaceAll("\\s+", " ").take(120))
-      if (handled.getOrElse(false)) return
+      handled match {
+        case scala.util.Failure(t) =>
+          // a validation rejection consumes the statement — the
+          // CATCH replay reads the message; nothing else may run it
+          ddlStore.lastError =
+            Some(Option(t.getMessage).getOrElse(t.toString))
+          return
+        case scala.util.Success(true) => return
+        case _ =>
+      }
     }
     // DDL-emulation files route through the GoldenDdl store FIRST —
     // its statements may carry runner variables inside LOCATION
@@ -1054,7 +1063,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       "create-table-like-file-orc.test")
   /** Files whose CATCH (error-path) blocks replay — the engine (or its
     * sim layer) models the exact error contract these pin. */
-  private val catchFiles = Set("udf-errors.test", "set.test")
+  private val catchFiles =
+    Set("udf-errors.test", "set.test", "iceberg-negative.test")
 
   /** set.test: SET statements are the queries themselves; per-block
     * option state resets like the reference runner's session clear. */
@@ -1952,6 +1962,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         if (f == "iceberg-table-history.test")
           icebergSim.registerFixture("iceberg_partitioned",
             "/root/reference/testdata/data/iceberg_test/iceberg_partitioned")
+        if (f == "iceberg-negative.test")
+          icebergSim.registerFixture("iceberg_non_partitioned",
+            "/root/reference/testdata/data/iceberg_test/" +
+              "iceberg_non_partitioned")
       } else ImpalaMeta.icebergRegistry.clear()
       if (f == "load.test") acidSim.prepareLoadFixtures()
       harnessViews.foreach(n =>
@@ -2160,6 +2174,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           if (!catchFiles(f)) Nil
           else c.sections.getOrElse("CATCH", Nil).map(_.trim)
             .filter(l => l.nonEmpty && !l.startsWith("#"))
+            .map(subVars) // the reference applies __do_replacements
         // execution-resource error paths (mem_limit reservation floors)
         // stay out of scope — the engine does not model memory limits
         val catchExpected =
@@ -2193,17 +2208,36 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           def messageOf(t: Throwable): String =
             (Option(t.getMessage).getOrElse("") + " " + t.toString)
               .replace("\n", " ")
+          // the raw block text (variables substituted, but none of the
+          // per-file query rewrites) — error messages pin names as
+          // written (DESCRIBE HISTORY functional_parquet.emptytable)
+          val cstmts = c.query.split(";").map(_.trim)
+            .filter(_.nonEmpty).toSeq // NO dbPrefix strip: messages pin
+                                      // names as written
+          val cFinal = if (cstmts.isEmpty) queryStmt else cstmts.last
+          val cPrefix = if (cstmts.isEmpty) prefix else cstmts.init
+          if (sys.env.contains("GRAFT_CATCH_TRACE"))
+            println(s"[catch] FINAL=${cFinal.replaceAll("\\s+", " ").take(120)}")
           val err: Option[String] =
             try {
-              prefix.foreach(execSetupStmt(spark, _))
+              ddlStore.lastError = None // not sticky across blocks
+              cPrefix.foreach(execSetupStmt(spark, _))
+              // a rejected setup statement (sim validation) is the
+              // block's error — the trailing probe never ran in the
+              // reference either
+              if (ddlStore.lastError.isDefined) ddlStore.lastError
+              else {
+              val queryStmt = cFinal
               val q = queryStmt.trim.toLowerCase
               if (q.startsWith("select") || q.startsWith("with") ||
-                  q.startsWith("values") || q.startsWith("set")) {
+                  q.startsWith("values") || q.startsWith("set") ||
+                  q.startsWith("show") || q.startsWith("describe")) {
                 ImpalaDialect.sql(spark, queryStmt).collect()
                 None
               } else {
                 execSetupStmt(spark, queryStmt)
                 ddlStore.lastError
+              }
               }
             } catch { case t: Throwable => Some(messageOf(t)) }
           val ok = err.exists(msg => catchExpected.exists { exp =>
@@ -2409,8 +2443,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3562,
-      s"only $pass golden queries passed (floor 3562)")
+    assert(fileFilter.isDefined || pass >= 3599,
+      s"only $pass golden queries passed (floor 3599)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

@@ -84,6 +84,19 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
     """(?is)^\s*insert\s+overwrite\s+(?:table\s+)?([A-Za-z_]\w*)\b.*$""".r
   private val refreshRe =
     """(?is)^\s*(?:refresh|invalidate\s+metadata)\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val ctasIcebergRe =
+    ("""(?is)^\s*create\s+(?:external\s+)?table\s+[A-Za-z_]\w*\b""" +
+      """.*?stored\s+as\s+iceberg\b.*\bas\s+select\b.*$""").r
+  private val truncateRe =
+    """(?is)^\s*truncate\s+(?:table\s+)?([A-Za-z_]\w*)\s*;?\s*$""".r
+  private val alterOtherRe =
+    """(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+(.*?)\s*;?\s*$""".r
+
+  /** Impala's client-visible validation errors (iceberg-negative.test
+    * pins the exact text, exception-class prefix included).
+    */
+  private def fail(msg: String): Nothing =
+    throw new IllegalStateException(msg)
 
   private def parseProps(txt: String)
       : scala.collection.mutable.LinkedHashMap[String, String] = {
@@ -115,8 +128,9 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
     catalog match {
       case "hadoop.catalog" =>
         val base = props.getOrElse("iceberg.catalog_location",
-          return Left("Table property 'iceberg.catalog_location' is " +
-            "necessary for Iceberg table with 'hadoop.catalog'."))
+          return Left("AnalysisException: Table property " +
+            "'iceberg.catalog_location' is necessary for Iceberg " +
+            "table with 'hadoop.catalog'."))
         val path = props.get("iceberg.table_identifier")
           .map(_.replace('.', '/'))
           .getOrElse(s"$database/$name")
@@ -148,14 +162,54 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
 
   /** Execute one statement; true = handled here. */
   def exec(stmt: String): Boolean = stmt match {
+    case ctasIcebergRe() =>
+      fail("AnalysisException: CREATE TABLE AS SELECT does not " +
+        "support the (ICEBERG) file format.")
     case createRe(ext, name0, colsTxt, specTxt, loc, propsTxt) =>
       val name = name0.toLowerCase
       val external = ext != null
       val props = parseProps(propsTxt)
+      val catalog = props.getOrElse("iceberg.catalog", "hive.catalog")
+      // CreateTableStmt/IcebergUtil validations, pinned by
+      // iceberg-negative.test
+      if (props.keys.exists(k => k.equalsIgnoreCase("transactional") ||
+          k.equalsIgnoreCase("transactional_properties")))
+        fail("Iceberg tables cannot have Hive ACID table properties.")
+      if (props.contains("metadata_location"))
+        fail("metadata_location cannot be set for Iceberg tables")
+      if (catalog != "hadoop.catalog" &&
+          props.contains("iceberg.catalog_location"))
+        fail("iceberg.catalog_location cannot be set for Iceberg " +
+          s"table stored in $catalog")
+      if (catalog == "hadoop.catalog" && loc != null)
+        fail("AnalysisException: Location cannot be set for Iceberg " +
+          "table with 'hadoop.catalog'.")
+      if (!external && Option(colsTxt).forall(_.trim.isEmpty))
+        fail("AnalysisException: Table requires at least 1 column for " +
+          "managed iceberg table.")
+      Option(specTxt).foreach { st =>
+        val colNames = Option(colsTxt).getOrElse("").split(",")
+          .map(_.trim.split("\\s+").head.toLowerCase)
+          .filter(_.nonEmpty).toSet
+        st.split(",").map(_.trim).filter(_.nonEmpty).foreach { item =>
+          val src = item.takeWhile(c => c.isLetterOrDigit || c == '_')
+            .toLowerCase
+          if (src.nonEmpty && !colNames(src))
+            fail(s"AnalysisException: Cannot find source column: $src")
+        }
+      }
       resolveLocation(external, name, Option(loc), props.toMap) match {
         case Left(err) => ddl.lastMessage = Some(err)
+          ddl.lastError = Some(err)
         case Right(location) =>
           val dir = dirOf(location)
+          if (external && Option(colsTxt).forall(_.trim.isEmpty) &&
+              !IcebergLayout.exists(dir)) {
+            val ident = props.getOrElse("iceberg.table_identifier",
+              s"$database.$name")
+            fail("TableLoadingException: CAUSED BY: " +
+              s"TableLoadingException: Table does not exist: $ident")
+          }
           if (!IcebergLayout.exists(dir)) {
             // Impala tolerates `MAP <STRING, …>`; Spark's DDL parser
             // wants the bracket flush against the type keyword
@@ -202,6 +256,19 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
       register(name, dir)
       ddl.lastMessage = Some("New column(s) have been added to the table.")
       true
+    case setPropsRe(name0, propsTxt)
+        if registry.contains(name0.toLowerCase) && {
+          val restricted = Seq("iceberg.file_format", "iceberg.catalog",
+            "iceberg.catalog_location", "iceberg.table_identifier",
+            "metadata_location")
+          parseProps(propsTxt).keys.exists(restricted.contains)
+        } =>
+      val k = Seq("iceberg.file_format", "iceberg.catalog",
+        "iceberg.catalog_location", "iceberg.table_identifier",
+        "metadata_location")
+        .find(parseProps(propsTxt).keySet.contains).get
+      fail(s"AnalysisException: Changing the '$k' table property is " +
+        "not supported for Iceberg table.")
     case setPropsRe(name0, propsTxt) if registry.contains(name0.toLowerCase) =>
       val t = registry(name0.toLowerCase)
       parseProps(propsTxt).foreach { case (k, v) => t.props(k) = v }
@@ -215,6 +282,16 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
       t.ownerType = kind.toUpperCase
       ddl.lastMessage = Some("Updated table.")
       true
+    case renameRe(name0, _)
+        if registry.contains(name0.toLowerCase) && {
+          val c = registry(name0.toLowerCase).props
+            .getOrElse("iceberg.catalog", "hive.catalog")
+          c == "hadoop.tables" || c == "hadoop.catalog"
+        } =>
+      val c = registry(name0.toLowerCase).props
+        .getOrElse("iceberg.catalog", "hive.catalog")
+      fail("UnsupportedOperationException: Cannot rename Iceberg " +
+        s"tables that use '$c' as catalog.")
     case renameRe(name0, newName0)
         if registry.contains(name0.toLowerCase) =>
       val (name, newName) = (name0.toLowerCase, newName0.toLowerCase)
@@ -224,9 +301,17 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
       register(newName, Paths.get(t.dir))
       ddl.lastMessage = Some("Renaming was successful.")
       true
+    case truncateRe(name0) if registry.contains(name0.toLowerCase) =>
+      fail("AnalysisException: TRUNCATE TABLE not supported on " +
+        s"iceberg table: $database.${name0.toLowerCase}")
     case insertOverwriteRe(name0) if registry.contains(name0.toLowerCase) =>
-      throw new UnsupportedOperationException(
-        "iceberg INSERT OVERWRITE (replace snapshot) is not replayed")
+      fail("AnalysisException: INSERT OVERWRITE not supported for " +
+        "Iceberg tables.")
+    case insertRe(name0, _) if registry.contains(name0.toLowerCase) &&
+        IcebergLayout.specOf(
+          Paths.get(registry(name0.toLowerCase).dir)).nonEmpty =>
+      fail("AnalysisException: Impala cannot write partitioned " +
+        "Iceberg tables.")
     case insertRe(name0, sourceTxt) if registry.contains(name0.toLowerCase) =>
       val name = name0.toLowerCase
       val dir = Paths.get(registry(name).dir)
@@ -246,6 +331,43 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
       refreshShared(dir)
       ddl.lastInsertReport = Seq(s": $n")
       true
+    case alterOtherRe(name0, tail)
+        if registry.contains(name0.toLowerCase) && {
+          val t = tail.trim.toLowerCase
+          Seq("set fileformat", "set row format", "set location",
+            "add partition", "drop partition", "recover partitions",
+            "drop column", "change column", "replace columns")
+            .exists(t.startsWith)
+        } =>
+      val n = s"$database.${name0.toLowerCase}"
+      val t = tail.trim.toLowerCase
+      if (t.startsWith("set fileformat"))
+        fail("AnalysisException: ALTER TABLE SET FILEFORMAT is not " +
+          s"supported on Iceberg tables: $n")
+      else if (t.startsWith("set row format"))
+        fail("AnalysisException: ALTER TABLE SET ROWFORMAT is not " +
+          s"supported on Iceberg tables: $n")
+      else if (t.startsWith("set location"))
+        fail("AnalysisException: ALTER TABLE SET LOCATION is not " +
+          s"supported on Iceberg tables: $n")
+      else if (t.startsWith("add partition"))
+        fail("AnalysisException: ALTER TABLE ADD PARTITION is not " +
+          s"supported for Iceberg tables: $n")
+      else if (t.startsWith("drop partition"))
+        fail("AnalysisException: ALTER TABLE DROP PARTITION is not " +
+          s"supported for Iceberg tables: $n")
+      else if (t.startsWith("recover partitions"))
+        fail("AnalysisException: ALTER TABLE RECOVER PARTITIONS is " +
+          s"not supported on Iceberg tables: $n")
+      else if (t.startsWith("drop column"))
+        fail("UnsupportedOperationException: Unsupported ALTER TABLE " +
+          "operation for Iceberg tables: DROP_COLUMN")
+      else if (t.startsWith("change column"))
+        fail("UnsupportedOperationException: Unsupported ALTER TABLE " +
+          "operation for Iceberg tables: ALTER_COLUMN")
+      else
+        fail("UnsupportedOperationException: Unsupported ALTER TABLE " +
+          "operation for Iceberg tables: REPLACE_COLUMNS")
     case refreshRe(name0) if registry.contains(name0.toLowerCase) =>
       val t = registry(name0.toLowerCase)
       register(name0.toLowerCase, Paths.get(t.dir))

@@ -124,6 +124,15 @@ object ImpalaDialect {
   private val charCastRe =
     """(?is)^(.*\S)\s+AS\s+(CHAR|VARCHAR)\s*\(\s*(\d+)\s*\)\s*$""".r
 
+  /** Time-of-day tokens of the ISO-SQL format grammar — illegal in any
+    * FORMAT clause whose value side is DATE-typed
+    * (`datetime-iso-sql-format-tokenizer.cc` time-token rejection).
+    */
+  private val timeTokRe =
+    """(?i)HH12|HH24|HH|MI|SS|FF|A\.M\.|P\.M\.|\bAM\b|\bPM\b|TZH|TZM""".r
+  private def hasTimeTokens(fmt: String): Boolean =
+    timeTokRe.findFirstIn(fmt).isDefined
+
   private def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
 
   /** Index of the ')' matching the '(' at `open`, honoring quoted
@@ -196,8 +205,25 @@ object ImpalaDialect {
                     if (tries.length == 1) tries.head
                     else s"coalesce(${tries.mkString(", ")})"
                   s"impala_ts_range($parsed)"
-                case "DATE" => s"try_to_date(${normIn(expr)}, '$fmt')"
-                case _ => formatOutputExpr(expr, rawFmt)
+                case "DATE" =>
+                  // date type refuses time tokens outright (PARSE
+                  // ERROR, datetime-iso-sql-format-tokenizer.cc), and
+                  // a failed parse of a non-null input RAISES — the
+                  // reference's cast has no null path (date.test)
+                  if (hasTimeTokens(rawFmt))
+                    throw new IllegalStateException(
+                      "PARSE ERROR: Time tokens provided with date type.")
+                  s"impala_date_fmt_strict(" +
+                    s"try_to_date(${normIn(expr)}, '$fmt'), " +
+                    s"CAST($expr AS STRING))"
+                case _ =>
+                  val outExpr = formatOutputExpr(expr, rawFmt)
+                  // a DATE-typed value side with time tokens in the
+                  // format is the same PARSE ERROR — type only known
+                  // at analysis, so guard through a builder check
+                  if (hasTimeTokens(rawFmt))
+                    s"impala_date_fmt_out_guard($expr, $outExpr)"
+                  else outExpr
               })
             case None => charCastRe.findFirstMatchIn(inner) match {
               case Some(c) =>
@@ -1118,6 +1144,34 @@ object ImpalaDialect {
     *   - DOUBLE/FLOAT→STRING casts use Impala's `%.17g`/`%.9g`
     *     (`cast-functions-ir.cc`; Spark prints `1.0`/`1.0E7`)
     */
+  /** Render a cast operand the way Impala's analyzer prints it in
+    * "Invalid type cast of …" (Expr.toSql): date literals keep the
+    * typed-literal form, decimals print bare (no Spark BD suffix).
+    */
+  private def impalaLitSql(e: Expression): String = e match {
+    case l: Literal => l.dataType match {
+      case _: org.apache.spark.sql.types.DecimalType => l.value.toString
+      case _ => l.sql
+    }
+    case other => other.sql
+  }
+
+  /** `DATE '…'` literals validate eagerly with Impala's calendar/range
+    * rules (`LiteralExpr.java` date literal analysis — year 0, bad
+    * leap days and garbage all reject; Spark's proleptic parser accepts
+    * year 0). Text-level, before parse, so the pinned
+    * "Invalid date literal" beats Spark's own messages.
+    */
+  private val dateLitRe =
+    """(?is)\bDATE\s+(?:'([^']*)'|"([^"]*)")""".r
+  private def validateDateLiterals(text: String): Unit =
+    dateLitRe.findAllMatchIn(text).foreach { m =>
+      val v = Option(m.group(1)).getOrElse(m.group(2))
+      if (graft.functions.ImpalaDateUtil.parse(v, acceptTime = false).isEmpty)
+        throw new IllegalStateException(
+          s"AnalysisException: Invalid date literal: '$v'")
+    }
+
   private def impalaExpr: PartialFunction[Expression, Expression] = {
     case c: Cast if c.dataType == TimestampType &&
         c.evalMode == EvalMode.ANSI && c.child.resolved &&
@@ -1127,6 +1181,32 @@ object ImpalaDialect {
       If(RLike(c.child, timeOnlyRe),
         Literal.create(null, TimestampType),
         ImpalaTsValid(c.copy(evalMode = EvalMode.TRY)))
+    // --- strict DATE contract (date.test; be/src/runtime/date-value.cc)
+    // DATE↔numeric casts are rejected at analysis with Impala's message
+    case Cast(child, org.apache.spark.sql.types.DateType, _, _)
+        if child.resolved &&
+          child.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      throw new IllegalStateException(
+        s"AnalysisException: Invalid type cast of ${impalaLitSql(child)} " +
+          s"from ${graft.functions.DsResolve.typeName(child.dataType)} to DATE")
+    case Cast(child, t, _, _) if child.resolved &&
+        child.dataType == org.apache.spark.sql.types.DateType &&
+        t.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
+      throw new IllegalStateException(
+        s"AnalysisException: Invalid type cast of ${impalaLitSql(child)} " +
+          s"from DATE to ${graft.functions.DsResolve.typeName(t)}")
+    // DATE→TIMESTAMP raises below the TimestampValue floor instead of
+    // nulling (UDF ERROR — "valid date range … 1400-01-01..9999-12-31")
+    case c @ Cast(child, TimestampType, _, _) if child.resolved &&
+        child.dataType == org.apache.spark.sql.types.DateType &&
+        !child.isInstanceOf[graft.functions.ImpalaDateRangeCheck] =>
+      ImpalaTsValid(
+        c.copy(child = graft.functions.ImpalaDateRangeCheck(child)))
+    // default-format STRING→DATE cast raises on parse failure with the
+    // offending value (Spark's TRY cast nulls)
+    case Cast(child, org.apache.spark.sql.types.DateType, _, _)
+        if child.resolved && child.dataType.isInstanceOf[StringType] =>
+      graft.functions.ImpalaCastToDate(child)
     case c @ Cast(child, TimestampType, _, _) if child.resolved &&
         child.dataType != TimestampType =>
       ImpalaTsValid(c)
@@ -1140,8 +1220,7 @@ object ImpalaDialect {
     // mode is the exact analog of that contract.
     case c: Cast if c.evalMode == EvalMode.ANSI && c.child.resolved &&
         c.child.dataType.isInstanceOf[StringType] &&
-        (c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
-          c.dataType == org.apache.spark.sql.types.DateType) =>
+        c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
       c.copy(evalMode = EvalMode.TRY)
     case d: Divide if d.resolved && d.dataType == DoubleType =>
       graft.functions.ImpalaDoubleDiv(d.left, d.right)
@@ -1389,6 +1468,7 @@ object ImpalaDialect {
         return plans.ImpalaExplain.explainSql(spark, body, sql)
       case _ =>
     }
+    validateDateLiterals(text)
     val parsed = preAnalysisFix(org.apache.spark.sql.graft.Bridge.parsePlan(
       spark, rewrite(NestedRefs.rewrite(spark, text))))
     def finish(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -405,9 +405,9 @@ object ImpalaMeta {
         dataSourceRegistry.remove(name.toLowerCase)
         Some(strDf(spark, Seq("summary"),
           Seq(Seq("Data source has been dropped."))))
-      case showCreateFnRe(db, name)
-          if showCreateFunction(spark, Option(db).getOrElse(""), name)
-            .isDefined =>
+      // None (unknown function) matches the old fall-through: no later
+      // case handles SHOW CREATE FUNCTION, so the default None applies
+      case showCreateFnRe(db, name) =>
         showCreateFunction(spark, Option(db).getOrElse(""), name)
       case showDataSrcRe(pattern) =>
         val rows = dataSourceRegistry.toSeq

@@ -77,7 +77,30 @@ object ImpalaOptions {
     "RUNTIME_FILTER_WAIT_TIME_MS", "SCAN_BYTES_LIMIT", "SCRATCH_LIMIT",
     "SPOOL_QUERY_RESULTS", "THREAD_RESERVATION_AGGREGATE_LIMIT",
     "THREAD_RESERVATION_LIMIT",
-    "USE_LOCAL_TZ_FOR_UNIX_TIMESTAMP_CONVERSIONS")
+    "USE_LOCAL_TZ_FOR_UNIX_TIMESTAMP_CONVERSIONS",
+    // remainder of query-options.h's live table (116 QUERY_OPT_FN
+    // entries total) — valid names must store, not throw
+    "ASYNC_CODEGEN", "BROADCAST_BYTES_LIMIT", "CLIENT_IDENTIFIER",
+    "COMPUTE_STATS_MIN_SAMPLE_SIZE",
+    "CONVERT_LEGACY_HIVE_PARQUET_UTC_TIMESTAMPS",
+    "DEFAULT_HINTS_INSERT_STATEMENT", "DISABLE_DATA_CACHE",
+    "DISABLE_HBASE_NUM_ROWS_ESTIMATE", "DISABLE_ROW_RUNTIME_FILTERING",
+    "ENABLE_CNF_REWRITES", "ENABLE_DISTINCT_SEMI_JOIN_OPTIMIZATION",
+    "ENABLE_OUTER_JOIN_TO_INNER_TRANSFORMATION", "FETCH_ROWS_TIMEOUT_MS",
+    "IDLE_SESSION_TIMEOUT", "KUDU_SNAPSHOT_READ_TIMESTAMP_MICROS",
+    "MAX_CNF_EXPRS", "MAX_FS_WRITERS", "MAX_NUM_RUNTIME_FILTERS",
+    "MAX_RESULT_SPOOLING_MEM", "MAX_SPILLED_RESULT_SPOOLING_MEM",
+    "MAX_STATEMENT_LENGTH_BYTES", "MEM_LIMIT_EXECUTORS",
+    "NUM_REMOTE_EXECUTOR_CANDIDATES", "PARQUET_ANNOTATE_STRINGS_UTF8",
+    "PARQUET_OBJECT_STORE_SPLIT_SIZE", "PARQUET_READ_PAGE_INDEX",
+    "PARQUET_WRITE_PAGE_INDEX", "QUERY_TIMEOUT_S",
+    "REFRESH_UPDATED_HMS_PARTITIONS", "REPORT_SKEW_LIMIT",
+    "RESOURCE_TRACE_RATIO", "RETRY_FAILED_QUERIES",
+    "S3_SKIP_INSERT_STAGING", "SCHEDULE_RANDOM_REPLICA",
+    "SHUFFLE_DISTINCT_EXPRS", "SORT_RUN_BYTES_LIMIT",
+    "SPOOL_ALL_RESULTS_FOR_RETRIES", "STATEMENT_EXPRESSION_LIMIT",
+    "STRICT_MODE", "TARGETED_KUDU_SCAN_RANGE_LENGTH",
+    "TOPN_BYTES_LIMIT")
 
   /** REMOVED options: any assignment is a silent no-op (set.test's
     * "Setting some removed query options should be a no-op" block;
@@ -198,7 +221,19 @@ object ImpalaOptions {
             "The PARQUET_FILE_SIZE query option must be less than 2GB.")
         value
       case "MAX_ROW_SIZE" =>
-        val n = value.toLongOption.getOrElse(-1L)
+        // ParseMemValue semantics: bytes or a [kmgt] suffix (the
+        // reference's own workloads SET max_row_size=8m)
+        val n = """(?i)^(\d+)\s*([kmgt]b?)?$""".r.findFirstMatchIn(value)
+          .map { m =>
+            val base = m.group(1).toLong
+            Option(m.group(2)).map(_.toLowerCase.head) match {
+              case Some('k') => base << 10
+              case Some('m') => base << 20
+              case Some('g') => base << 30
+              case Some('t') => base << 40
+              case _ => base
+            }
+          }.getOrElse(-1L)
         if (n < 1L || n > 1099511627776L)
           throw new IllegalArgumentException(
             s"Invalid max row size of $value. " +

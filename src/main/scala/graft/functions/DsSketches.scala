@@ -43,8 +43,14 @@ object Ds {
     case other => other.toString.getBytes("UTF-8")
   }
 
-  def deserError(): Nothing =
-    throw new RuntimeException("Unable to deserialize sketch.")
+  /** Runtime errors surface with the reference's client-visible "UDF
+    * ERROR: " prefix (status.cc renders UDF failures that way; the
+    * datasketches golden CATCH rows pin the full prefixed line).
+    */
+  def udfError(msg: String): Nothing =
+    throw new RuntimeException(s"UDF ERROR: $msg")
+
+  def deserError(): Nothing = udfError("Unable to deserialize sketch.")
 
   def hllHeapify(b: Array[Byte]): HllSketch =
     try HllSketch.heapify(Memory.wrap(b))
@@ -94,13 +100,13 @@ abstract class HllBuildAggBase
   override def nullable: Boolean = true
 
   // The reference registers TINYINT/INT/BIGINT/FLOAT/DOUBLE/STRING
-  // overloads; SMALLINT reaches the INT overload via implicit widening
-  // (FunctionCallExpr implicit casts), so accept it here too. No
-  // BOOLEAN, DATE, TIMESTAMP or DECIMAL (BuiltinsDb ds_hll_sketch
-  // signatures).
+  // overloads and an explicit UNSUPPORTED builtin for every other
+  // scalar type (BuiltinsDb DS_HLL_UPDATE_SYMBOL + the unsupported
+  // branch), so SMALLINT/BOOLEAN/DATE/TIMESTAMP/DECIMAL resolve to the
+  // rejection — no implicit widening path exists.
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
+      case ByteType | IntegerType | LongType | FloatType |
           DoubleType | _: StringType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
         s"No matching function with signature: $prettyName(${t.sql})")
@@ -244,7 +250,7 @@ case class DsHllEstimateBounds(left: Expression, right: Expression)
     if (s == null || k == null) return null
     val kappa = Ds.numD(k).toInt
     if (kappa < 1 || kappa > 3)
-      throw new RuntimeException("Kappa must be 1, 2 or 3")
+      Ds.udfError("Kappa must be 1, 2 or 3")
     val b = Ds.bytesOf(s)
     if (b.isEmpty) return null
     val sk = Ds.hllHeapify(b)
@@ -325,8 +331,8 @@ case class DsKllSketch(
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType =>
-        TypeCheckResult.TypeCheckSuccess
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+          _: DecimalType => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
         s"No matching function with signature: ds_kll_sketch(${t.sql})")
     }
@@ -434,8 +440,7 @@ case class DsKllQuantile(left: Expression, right: Expression)
   override protected def nullSafeEval(s: Any, q: Any): Any = {
     val rank = Ds.numD(q)
     if (rank < 0.0 || rank > 1.0)
-      throw new RuntimeException(
-        "Rank parameter should be in the range of [0,1]")
+      Ds.udfError("Rank parameter should be in the range of [0,1]")
     val b = Ds.bytesOf(s)
     if (b.isEmpty) return null
     val sk = Ds.kllHeapify(b)
@@ -496,10 +501,10 @@ abstract class KllVarargsBase extends Expression with CodegenFallback {
     val params = children.tail.map { c =>
       val v = c.eval(input)
       if (v == null)
-        throw new RuntimeException("NULL or NaN provided in the input list.")
+        Ds.udfError("NULL or NaN provided in the input list.")
       val f = Ds.numF(v)
       if (java.lang.Float.isNaN(f))
-        throw new RuntimeException("NULL or NaN provided in the input list.")
+        Ds.udfError("NULL or NaN provided in the input list.")
       f
     }.toArray
     val b = Ds.bytesOf(s)
@@ -518,7 +523,7 @@ case class DsKllQuantilesAsString(children: Seq[Expression])
   override protected def result(sk: KllFloatsSketch, ranks: Array[Float]): String = {
     ranks.map { r =>
       if (r < 0.0f || r > 1.0f)
-        throw new RuntimeException(
+        Ds.udfError(
           "Error while getting quantiles from DataSketches KLL. Message: " +
             "Fraction cannot be less than zero or greater than 1.0")
       Ds.fmt(sk.getQuantile(r.toDouble, Ds.Excl).toDouble)
@@ -536,7 +541,7 @@ case class DsKllCdfAsString(children: Seq[Expression]) extends KllVarargsBase {
   override protected def result(sk: KllFloatsSketch, splits: Array[Float]): String =
     try sk.getCDF(splits, Ds.Excl).map(Ds.fmt).mkString(",")
     catch {
-      case e: Exception => throw new RuntimeException(
+      case e: Exception => Ds.udfError(
         "Error while running DataSketches KLL function. Message: " +
           "Values must be unique and monotonically increasing")
     }
@@ -552,7 +557,7 @@ case class DsKllPmfAsString(children: Seq[Expression]) extends KllVarargsBase {
   override protected def result(sk: KllFloatsSketch, splits: Array[Float]): String =
     try sk.getPMF(splits, Ds.Excl).map(Ds.fmt).mkString(",")
     catch {
-      case e: Exception => throw new RuntimeException(
+      case e: Exception => Ds.udfError(
         "Error while running DataSketches KLL function. Message: " +
           "Values must be unique and monotonically increasing")
     }
@@ -614,4 +619,143 @@ case class DsKllStringify(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): DsKllStringify =
     copy(c)
   override def prettyName: String = "ds_kll_stringify"
+}
+
+/** Impala's strict overload resolution for the `ds_*` family
+  * (`FunctionCallExpr.java:404` — "No matching function with
+  * signature: name(TYPES)."). The reference registers explicit
+  * UNSUPPORTED builtins for every scalar type outside an overload list
+  * (BuiltinsDb's ds_hll loop), so types Spark would happily implicitly
+  * cast (SMALLINT→INT, DECIMAL→DOUBLE) are REJECTED at analysis — the
+  * datasketches golden CATCH rows pin the exact behavior. Enforced in
+  * the function-registry builders (children are resolved when a
+  * builder runs, so argument types are known).
+  */
+object DsResolve {
+
+  /** Impala's type spellings (`Type.toSql`). */
+  def typeName(dt: DataType): String = dt match {
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INT"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case NullType => "NULL"
+    case CharType(n) => s"CHAR($n)"
+    case VarcharType(n) => s"VARCHAR($n)"
+    case _: StringType => "STRING"
+    case other => other.sql
+  }
+
+  private def fail(name: String, args: Seq[Expression]): Nothing =
+    throw new IllegalStateException(
+      "AnalysisException: No matching function with signature: " +
+        s"$name(${args.map(a => typeName(a.dataType)).mkString(", ")}).")
+
+  /** A serialized-sketch argument: STRING-typed (sketches travel as
+    * STRING, IMPALA-9482), CHAR/VARCHAR via implicit cast, or NULL.
+    */
+  private def sketchTy(dt: DataType): Boolean = dt match {
+    case _: StringType | NullType | BinaryType => true
+    case CharType(_) | VarcharType(_) => true
+    case _ => false
+  }
+
+  /** Types with an implicit path to FLOAT: integer widening and
+    * DECIMAL (Impala's implicit-cast rules allow decimal→float —
+    * `ds_kll_rank(s, 10.0)` resolves, its DECIMAL(3,1) literal cast).
+    * DOUBLE and STRING have none (ds_kll_sketch(DOUBLE) is pinned
+    * rejected).
+    */
+  private def floatTy(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType |
+        NullType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Types with an implicit path to DOUBLE. */
+  private def doubleTy(dt: DataType): Boolean = dt match {
+    case NullType => true
+    case _: NumericType => true
+    case _ => false
+  }
+
+  /** Types with an implicit path to INT. */
+  private def intTy(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | NullType => true
+    case _ => false
+  }
+
+  /** ds_hll_sketch / ds_hll_sketch_and_estimate:
+    * TINYINT/INT/BIGINT/FLOAT/DOUBLE/STRING exactly (every other
+    * scalar type has an UNSUPPORTED builtin in the reference).
+    */
+  def hllBuild(name: String, a: Seq[Expression]): Unit = {
+    val ok = a.length == 1 && (a.head.dataType match {
+      case ByteType | IntegerType | LongType | FloatType | DoubleType |
+          NullType => true
+      case t => sketchTy(t)
+    })
+    if (!ok) fail(name, a)
+  }
+
+  /** Single serialized-sketch argument (ds_hll_union, ds_hll_estimate,
+    * ds_hll_stringify, ds_kll_union, ds_kll_n, ds_kll_stringify).
+    */
+  def sketchArg(name: String, a: Seq[Expression]): Unit =
+    if (a.length != 1 || !sketchTy(a.head.dataType)) fail(name, a)
+
+  /** ds_hll_estimate_bounds_as_string(STRING[, INT]). */
+  def estimateBounds(name: String, a: Seq[Expression]): Unit = {
+    val ok = (a.length == 1 || a.length == 2) &&
+      sketchTy(a.head.dataType) &&
+      (a.length == 1 || intTy(a(1).dataType))
+    if (!ok) fail(name, a)
+  }
+
+  /** ds_hll_union_f(STRING, STRING). */
+  def unionF(name: String, a: Seq[Expression]): Unit =
+    if (a.length != 2 || !a.forall(e => sketchTy(e.dataType))) fail(name, a)
+
+  /** ds_kll_sketch(FLOAT) — ints reach it via implicit widening. */
+  def kllBuild(name: String, a: Seq[Expression]): Unit =
+    if (a.length != 1 || !floatTy(a.head.dataType)) fail(name, a)
+
+  /** (STRING, numeric-second-arg) scalars: ds_kll_quantile's rank is
+    * DOUBLE (any numeric widens); ds_kll_rank's value is FLOAT.
+    */
+  def sketchAndNum(name: String, a: Seq[Expression],
+      numOk: DataType => Boolean): Unit = {
+    val ok = a.length == 2 && sketchTy(a.head.dataType) &&
+      numOk(a(1).dataType)
+    if (!ok) fail(name, a)
+  }
+
+  def kllQuantile(name: String, a: Seq[Expression]): Unit =
+    sketchAndNum(name, a, doubleTy)
+
+  def kllRank(name: String, a: Seq[Expression]): Unit =
+    sketchAndNum(name, a, floatTy)
+
+  /** Varargs string-result scalars: (STRING, p1, p2, …) with AT LEAST
+    * one parameter (the single-arg call pins "…(STRING)" rejection);
+    * quantiles take DOUBLE ranks, pmf/cdf FLOAT split points.
+    */
+  def kllVarargs(name: String, a: Seq[Expression],
+      numOk: DataType => Boolean): Unit = {
+    val ok = a.length >= 2 && sketchTy(a.head.dataType) &&
+      a.tail.forall(e => numOk(e.dataType))
+    if (!ok) fail(name, a)
+  }
+
+  def kllQuantiles(name: String, a: Seq[Expression]): Unit =
+    kllVarargs(name, a, doubleTy)
+
+  def kllSplits(name: String, a: Seq[Expression]): Unit =
+    kllVarargs(name, a, floatTy)
 }

@@ -93,27 +93,62 @@ object GraftFunctions {
           GreaterThanOrEqual(c, Cast(Literal("10000-01-01"), ts))),
         Literal.create(null, ts), c)
     }),
+    // strict DATE dialect contract (date.test): FORMAT-cast parse
+    // failures raise instead of nulling; time-token formats are
+    // rejected when the value side is DATE-typed (PARSE ERROR)
+    "impala_date_fmt_strict" -> (a => ImpalaDateParseStrict(a(0), a(1))),
+    "impala_date_fmt_out_guard" -> (a => {
+      if (a(0).resolved &&
+          a(0).dataType == org.apache.spark.sql.types.DateType)
+        throw new IllegalStateException(
+          "PARSE ERROR: Time tokens provided with date type.")
+      a(1)
+    }),
     "ndv_hll" -> (a => NdvHll(a.head)),
-    "ds_hll_sketch" -> (a => DsHllSketch(a.head)),
-    "ds_hll_sketch_and_estimate" -> (a => DsHllSketchAndEstimate(a.head)),
-    "ds_hll_union" -> (a => DsHllUnion(a.head)),
-    "ds_hll_union_f" -> (a => DsHllUnionF(a(0), a(1))),
-    "ds_hll_estimate" -> (a => DsHllEstimate(a.head)),
-    "ds_hll_estimate_bounds_as_string" -> (a =>
+    // ds_* builders run DsResolve's STRICT Impala overload resolution
+    // first — Spark's implicit casts (SMALLINT→INT, DECIMAL→DOUBLE)
+    // must NOT apply (datasketches-hll/kll.test CATCH contract)
+    "ds_hll_sketch" -> (a => {
+      DsResolve.hllBuild("ds_hll_sketch", a); DsHllSketch(a.head) }),
+    "ds_hll_sketch_and_estimate" -> (a => {
+      DsResolve.hllBuild("ds_hll_sketch_and_estimate", a)
+      DsHllSketchAndEstimate(a.head) }),
+    "ds_hll_union" -> (a => {
+      DsResolve.sketchArg("ds_hll_union", a); DsHllUnion(a.head) }),
+    "ds_hll_union_f" -> (a => {
+      DsResolve.unionF("ds_hll_union_f", a); DsHllUnionF(a(0), a(1)) }),
+    "ds_hll_estimate" -> (a => {
+      DsResolve.sketchArg("ds_hll_estimate", a); DsHllEstimate(a.head) }),
+    "ds_hll_estimate_bounds_as_string" -> (a => {
+      DsResolve.estimateBounds("ds_hll_estimate_bounds_as_string", a)
       if (a.length == 1) DsHllEstimateBounds(a.head, Literal(2))
-      else DsHllEstimateBounds(a(0), a(1))),
-    "ds_kll_sketch" -> (a => DsKllSketch(a.head)),
-    "ds_kll_union" -> (a => DsKllUnion(a.head)),
-    "ds_kll_quantile" -> (a => DsKllQuantile(a(0), a(1))),
-    "ds_kll_rank" -> (a => DsKllRank(a(0), a(1))),
-    "ds_kll_n" -> (a => DsKllN(a.head)),
+      else DsHllEstimateBounds(a(0), a(1)) }),
+    "ds_kll_sketch" -> (a => {
+      DsResolve.kllBuild("ds_kll_sketch", a); DsKllSketch(a.head) }),
+    "ds_kll_union" -> (a => {
+      DsResolve.sketchArg("ds_kll_union", a); DsKllUnion(a.head) }),
+    "ds_kll_quantile" -> (a => {
+      DsResolve.kllQuantile("ds_kll_quantile", a)
+      DsKllQuantile(a(0), a(1)) }),
+    "ds_kll_rank" -> (a => {
+      DsResolve.kllRank("ds_kll_rank", a); DsKllRank(a(0), a(1)) }),
+    "ds_kll_n" -> (a => {
+      DsResolve.sketchArg("ds_kll_n", a); DsKllN(a.head) }),
     "ds_kll_cdf" -> (a => DsKllCdf(a(0), a(1))),
     "ds_kll_pmf" -> (a => DsKllPmf(a(0), a(1))),
-    "ds_kll_quantiles_as_string" -> (a => DsKllQuantilesAsString(a)),
-    "ds_kll_cdf_as_string" -> (a => DsKllCdfAsString(a)),
-    "ds_kll_pmf_as_string" -> (a => DsKllPmfAsString(a)),
-    "ds_hll_stringify" -> (a => DsHllStringify(a.head)),
-    "ds_kll_stringify" -> (a => DsKllStringify(a.head)),
+    "ds_kll_quantiles_as_string" -> (a => {
+      DsResolve.kllQuantiles("ds_kll_quantiles_as_string", a)
+      DsKllQuantilesAsString(a) }),
+    "ds_kll_cdf_as_string" -> (a => {
+      DsResolve.kllSplits("ds_kll_cdf_as_string", a)
+      DsKllCdfAsString(a) }),
+    "ds_kll_pmf_as_string" -> (a => {
+      DsResolve.kllSplits("ds_kll_pmf_as_string", a)
+      DsKllPmfAsString(a) }),
+    "ds_hll_stringify" -> (a => {
+      DsResolve.sketchArg("ds_hll_stringify", a); DsHllStringify(a.head) }),
+    "ds_kll_stringify" -> (a => {
+      DsResolve.sketchArg("ds_kll_stringify", a); DsKllStringify(a.head) }),
     "histogram" -> (a => HistogramAgg(a.head)),
     // group_concat as a real AggregateFunction so DISTINCT resolves
     // (BuiltinsDb.java:1277-1288)

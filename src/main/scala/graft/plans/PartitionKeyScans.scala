@@ -49,13 +49,21 @@ object PartitionKeyScans {
   def rewrite(spark: SparkSession, plan: LogicalPlan): LogicalPlan =
     go(spark, plan, aggOk = false, AttributeSet.empty)
 
+  /** Sentinel alias `rewrite` wraps around the partition-tuple
+    * LocalRelation so EXPLAIN detects rewrites the pass actually
+    * performed (not any LocalRelation that happens to share a
+    * registered table's name). The alias itself is inert: Catalyst's
+    * EliminateSubqueryAliases removes it before execution.
+    */
+  private val Marker = "__graft_partition_key_scan__"
+
   /** A substituted scan in a rewritten plan: the alias name and its
     * partition-row count (EXPLAIN's `constant-operands=N`).
     */
   def substituted(plan: LogicalPlan): Option[(String, Int)] =
     plan.collectFirst {
-      case SubqueryAlias(id, lr: LocalRelation)
-          if graft.ImpalaStats.lookup(id.name).isDefined =>
+      case SubqueryAlias(id, SubqueryAlias(inner, lr: LocalRelation))
+          if inner.name == Marker =>
         (id.name, lr.data.length)
     }
 
@@ -92,16 +100,20 @@ object PartitionKeyScans {
     case d: Distinct =>
       val child = go(spark, d.child, aggOk = true, refs ++ d.references)
       if (child eq d.child) d else d.copy(child = child)
-    // multiplicity-safe pass-throughs between an aggregate and a scan
-    case p @ (_: Filter | _: Project | _: Join | _: Sort |
-        _: GlobalLimit | _: LocalLimit) =>
+    // multiplicity-safe pass-throughs between an aggregate and a scan.
+    // Sort/Limit are NOT safe: `distinct year` over the first-k ROWS of
+    // an ordered inline view is not `distinct year` over k partition
+    // tuples. Impala never crosses them — its eligibility is
+    // per-select-block (SingleNodePlanner.java:1518-1524), and an
+    // ORDER BY/LIMIT inline view is a separate block.
+    case p @ (_: Filter | _: Project | _: Join) =>
       val kids = p.children.map(c =>
         go(spark, c, aggOk, refs ++ p.references))
       if (kids.zip(p.children).forall { case (a, b) => a eq b }) p
       else p.withNewChildren(kids)
     case other =>
-      // anything else (Window, Generate, Union, …) is row-count
-      // sensitive below an aggregate: reset the context
+      // anything else (Sort, Limit, Window, Generate, Union, …) is
+      // row-count sensitive below an aggregate: reset the context
       val kids = other.children.map(c =>
         go(spark, c, aggOk = false, refs ++ other.references))
       if (kids.zip(other.children).forall { case (a, b) => a eq b }) other
@@ -124,7 +136,15 @@ object PartitionKeyScans {
       return None
     val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
     val output = sa.child.output
-    val rows = model.partitions().map { p =>
+    // Ignore empty partitions to match the behavior of the scan-based
+    // approach (SingleNodePlanner.java:1529-1530): a partition whose
+    // files total zero bytes contributes no rows to a real scan, so its
+    // key tuple must not appear in the metadata answer either. A model
+    // with NO file list (fileBytes = Nil — sizes not modeled) counts as
+    // non-empty; an explicit all-zero list marks a known-empty dir.
+    val rows = model.partitions()
+      .filter(p => p.fileBytes.isEmpty || p.fileBytes.sum > 0)
+      .map { p =>
       InternalRow.fromSeq(output.map { attr =>
         partIdx.get(attr.name.toLowerCase) match {
           case Some(i) =>
@@ -141,6 +161,6 @@ object PartitionKeyScans {
       })
     }
     Some(SubqueryAlias(sa.identifier,
-      LocalRelation(output, rows.toIndexedSeq)))
+      SubqueryAlias(Marker, LocalRelation(output, rows.toIndexedSeq))))
   }
 }

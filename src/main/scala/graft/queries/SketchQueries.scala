@@ -133,9 +133,13 @@ object SketchQueries extends QueryGroup {
       agg.select(col("n"),
         round(col("ex50"), 2).as("p50_exact"),
         round(col("ex95"), 2).as("p95_exact"),
-        (abs(call_function("ds_kll_rank", col("sk"), col("ex50")) - 0.5) <= 0.1)
+        // ds_kll_rank's value param is FLOAT with no implicit DOUBLE
+        // path (Impala's strict resolution, DsResolve) — cast down
+        (abs(call_function("ds_kll_rank", col("sk"),
+          col("ex50").cast("float")) - 0.5) <= 0.1)
           .as("rank50_ok"),
-        (abs(call_function("ds_kll_rank", col("sk"), col("ex95")) - 0.95) <= 0.1)
+        (abs(call_function("ds_kll_rank", col("sk"),
+          col("ex95").cast("float")) - 0.95) <= 0.1)
           .as("rank95_ok"))
     }, Some("""
       SELECT COUNT(l_quantity) AS n,

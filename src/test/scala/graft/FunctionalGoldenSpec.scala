@@ -1064,7 +1064,14 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   /** Files whose CATCH (error-path) blocks replay — the engine (or its
     * sim layer) models the exact error contract these pin. */
   private val catchFiles =
-    Set("udf-errors.test", "set.test", "iceberg-negative.test")
+    Set("udf-errors.test", "set.test", "iceberg-negative.test",
+      "datasketches-kll.test", "datasketches-hll.test", "date.test")
+
+  /** CATCH files whose expected messages pin NO table names — their
+    * statements strip the functional-db qualifiers like normal queries
+    * (the pinned errors are signature/UDF errors only). */
+  private val catchStripDb =
+    Set("datasketches-kll.test", "datasketches-hll.test")
 
   /** set.test: SET statements are the queries themselves; per-block
     * option state resets like the reference runner's session clear. */
@@ -2211,9 +2218,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           // the raw block text (variables substituted, but none of the
           // per-file query rewrites) — error messages pin names as
           // written (DESCRIBE HISTORY functional_parquet.emptytable)
-          val cstmts = c.query.split(";").map(_.trim)
-            .filter(_.nonEmpty).toSeq // NO dbPrefix strip: messages pin
-                                      // names as written
+          val craw =
+            if (catchStripDb(f)) dbPrefix.replaceAllIn(c.query, "")
+            else c.query // NO dbPrefix strip: messages pin names as
+                         // written (DESCRIBE HISTORY functional...)
+          val cstmts = craw.split(";").map(_.trim)
+            .filter(_.nonEmpty).toSeq
           val cFinal = if (cstmts.isEmpty) queryStmt else cstmts.last
           val cPrefix = if (cstmts.isEmpty) prefix else cstmts.init
           if (sys.env.contains("GRAFT_CATCH_TRACE"))

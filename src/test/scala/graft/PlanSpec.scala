@@ -205,14 +205,18 @@ class PlanSpec extends SparkSpecBase {
       .write.mode("overwrite").partitionBy("year", "month").parquet(dir)
     val tbl = spark.read.parquet(dir)
     tbl.createOrReplaceTempView("pks_tbl")
-    val parts = Seq(Seq("2009", "1"), Seq("2009", "2"), Seq("2010", "1"))
+    // a registered partition whose directory holds ZERO bytes: the
+    // scan-based answer never sees year=2011, so neither may the
+    // metadata answer (SingleNodePlanner.java:1529-1530)
+    val parts = Seq(Seq("2009", "1") -> 1L, Seq("2009", "2") -> 1L,
+      Seq("2010", "1") -> 1L, Seq("2011", "1") -> 0L)
     ImpalaStats.register(ImpalaStats.Model("pks_tbl",
       () => StructType(Seq(StructField("id", IntegerType),
         StructField("s", StringType))),
       () => StructType(Seq(StructField("year", IntegerType),
         StructField("month", IntegerType))),
-      () => parts.map(p => ImpalaStats.Partition(
-        p.map(Option(_)), Seq(1L), "PARQUET", "")),
+      () => parts.map { case (p, b) => ImpalaStats.Partition(
+        p.map(Option(_)), Seq(b), "PARQUET", "") },
       () => tbl))
     def allScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
       case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
@@ -242,6 +246,16 @@ class PlanSpec extends SparkSpecBase {
       val c = ImpalaDialect.sql(spark, "select count(*) c from pks_tbl")
       assert(c.collect().head.getLong(0) == 4L)
       assert(allScans(c.queryExecution.executedPlan).nonEmpty)
+      // ORDER BY + LIMIT inline view is row-count sensitive below the
+      // distinct: the 2 smallest-year ROWS are both 2009, so the answer
+      // is the single year 2009 — a partition-tuple substitution would
+      // wrongly return 2 distinct years. The scan must survive.
+      val lim = ImpalaDialect.sql(spark,
+        "select distinct year from " +
+          "(select year from pks_tbl order by year limit 2) v")
+      assert(lim.collect().map(_.getInt(0)).toSeq == Seq(2009),
+        lim.collect().mkString(","))
+      assert(allScans(lim.queryExecution.executedPlan).nonEmpty)
       // EXPLAIN renders the collapsed plan that actually runs
       val ex = ImpalaDialect.sql(spark,
         "explain select min(month) from pks_tbl")

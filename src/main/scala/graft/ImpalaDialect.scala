@@ -1162,6 +1162,24 @@ object ImpalaDialect {
     * year 0). Text-level, before parse, so the pinned
     * "Invalid date literal" beats Spark's own messages.
     */
+  /** Hive-only query clauses Impala's grammar rejects (sql-parser.y has
+    * no SORT BY / CLUSTER BY / DISTRIBUTE BY select clause — SORT BY
+    * exists only as the CREATE TABLE `SORT BY (…)` / `SORT BY ZORDER`
+    * property, hence the paren/zorder exception). Spark parses all
+    * three, so the dialect must reject them itself
+    * (views-compatibility.test pins the Impala-side failure).
+    */
+  private val hiveSortByRe =
+    """(?i)\bsort\s+by\b(?!\s*(?:\(|zorder\b))""".r
+  private val hiveClusterByRe =
+    """(?i)\b(?:cluster|distribute)\s+by\b""".r
+  private def validateImpalaGrammar(text: String): Unit =
+    if (hiveSortByRe.findFirstIn(text).isDefined ||
+        hiveClusterByRe.findFirstIn(text).isDefined)
+      throw new IllegalStateException(
+        "ParseException: Syntax error: SORT BY / CLUSTER BY / " +
+          "DISTRIBUTE BY is not valid Impala syntax")
+
   private val dateLitRe =
     """(?is)\bDATE\s+(?:'([^']*)'|"([^"]*)")""".r
   private def validateDateLiterals(text: String): Unit =
@@ -1469,6 +1487,7 @@ object ImpalaDialect {
       case _ =>
     }
     validateDateLiterals(text)
+    validateImpalaGrammar(text)
     val parsed = preAnalysisFix(org.apache.spark.sql.graft.Bridge.parsePlan(
       spark, rewrite(NestedRefs.rewrite(spark, text))))
     def finish(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)

@@ -781,12 +781,25 @@ object ImpalaMeta {
       val w = mm.group(1)
       (if (sqlKeywords(w.toLowerCase)) w else w.toLowerCase) + "("
     })
-    // ORDER BY items: explicit ASC when no direction is given
+    // Impala's toSql backtick-quotes identifiers Hive cannot lex
+    // (leading underscore — HiveLexer Identifier starts with a
+    // letter/digit); views-compatibility.test pins that the
+    // regenerated text parses in Hive. Quote-aware scan: string
+    // literals and already-backticked spans stay untouched.
+    b = quoteUnderscoreIds(b)
+    // ORDER BY items: explicit ASC when no direction is given; a
+    // trailing NULLS FIRST/LAST rides after the direction (Impala
+    // SortInfo toSql — views-compatibility's nulls-last views)
     val obRe = """(?i)\bORDER BY\b(.*?)(\bLIMIT\b.*|$)""".r
     b = obRe.replaceAllIn(b, mm => {
-      val items = mm.group(1).split(",").map(_.trim).map { it =>
-        if ("""(?i)\b(asc|desc)$""".r.findFirstIn(it).isDefined) it
-        else it + " ASC"
+      val nullsRe = """(?i)\s+nulls\s+(first|last)\s*$""".r
+      val items = mm.group(1).split(",").map(_.trim).map { it0 =>
+        val nulls = nullsRe.findFirstIn(it0).map(_.trim).getOrElse("")
+        val it = nullsRe.replaceAllIn(it0, "")
+        val directed =
+          if ("""(?i)\b(asc|desc)$""".r.findFirstIn(it).isDefined) it
+          else it + " ASC"
+        if (nulls.isEmpty) directed else s"$directed $nulls"
       }
       java.util.regex.Matcher.quoteReplacement(
         "ORDER BY " + items.mkString(", ") +
@@ -799,13 +812,48 @@ object ImpalaMeta {
   def quoteId(id: String): String =
     if (id.startsWith("_")) s"`$id`" else id
 
+  /** Backtick-quote every bare leading-underscore identifier outside
+    * string literals and existing backtick spans.
+    */
+  private def quoteUnderscoreIds(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (quote != 0) {
+        out.append(c); if (c == quote) quote = 0; i += 1
+      } else c match {
+        case '\'' | '"' | '`' => quote = c; out.append(c); i += 1
+        case '_' if i == 0 ||
+            !(Character.isLetterOrDigit(s.charAt(i - 1)) ||
+              s.charAt(i - 1) == '_' || s.charAt(i - 1) == '.') =>
+          var j = i
+          while (j < s.length && (Character.isLetterOrDigit(s.charAt(j)) ||
+              s.charAt(j) == '_')) j += 1
+          out.append('`').append(s.substring(i, j)).append('`')
+          i = j
+        case other => out.append(other); i += 1
+      }
+    }
+    out.toString
+  }
+
   /** Regenerate a view's stored SQL. With explicit column aliases the
     * reference expands into an inline view whose select items re-alias
     * the body's output columns (CreateViewStmt — `SELECT v.col alias,
     * … FROM (body) v`); alias-free views store the body as-is.
     */
+  /** `selfContained = true` additionally materializes Impala's IMPLICIT
+    * `_cN` inline-view column labels as explicit aliases — Impala's
+    * analyzer auto-names unaliased non-column items (`SelectStmt`
+    * colLabels), so its stored text resolves without them; an engine
+    * without that naming rule (Spark) needs them written out. SHOW
+    * CREATE VIEW keeps the reference's exact text (default false).
+    */
   def expandViewSql(qualified: String, viewName: String,
-      aliases: Seq[String], body: String): String = {
+      aliases: Seq[String], body: String,
+      selfContained: Boolean = false): String = {
     val canon = canonicalizeViewBody(body)
     if (aliases.isEmpty) return s"CREATE VIEW $qualified AS\n$canon"
     // body select items → (rebuilt item text, output name)
@@ -814,7 +862,8 @@ object ImpalaMeta {
       case selRe(list, rest) =>
         val items = NestedRefs.splitTop(list).map(_.trim)
         val parsed = items.zipWithIndex.map { case (it, i) =>
-          val aliasRe = """(?is)^(.*?)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?$""".r
+          val aliasRe =
+            """(?is)^(.*?)(?:\s+(?:AS\s+)?(`[^`]+`|[A-Za-z_]\w*))?$""".r
           it match {
             case aliasRe(expr, al)
                 if al != null && !sqlKeywords(al.toLowerCase) &&
@@ -826,7 +875,11 @@ object ImpalaMeta {
               val out =
                 if (it.matches("""[\w.`]+""")) it.split('.').last
                 else s"_c$i"
-              (it, out)
+              val inner =
+                if (selfContained && !it.matches("""[\w.`]+"""))
+                  s"$it ${quoteId(out)}"
+                else it
+              (inner, out)
           }
         }
         val innerList = parsed.map(_._1).mkString(", ")

@@ -269,12 +269,20 @@ object GoldenResult {
     */
   def compare(goldenLines: Seq[String], actualRows: Seq[Seq[String]],
       types: Seq[String], ordered: Boolean,
-      subset: Boolean = false): Option[String] = {
+      subset: Boolean = false, notIn: Boolean = false): Option[String] = {
     def hits(line: String, act: Seq[String]): Boolean =
       rowRegexOf(line) match {
         case Some(p) => p.matcher(act.mkString(",")).find()
         case None => eqRow(tokenize(line), act, types)
       }
+    if (notIn) {
+      // VERIFY_IS_NOT_IN: none of the golden rows may appear
+      goldenLines.foreach { e =>
+        if (actualRows.exists(a => hits(e, a)))
+          return Some(s"forbidden row present (not-in): [$e]")
+      }
+      return None
+    }
     if (subset) {
       val remaining = scala.collection.mutable.ArrayBuffer(actualRows: _*)
       goldenLines.foreach { e =>

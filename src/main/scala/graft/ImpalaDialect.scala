@@ -213,9 +213,26 @@ object ImpalaDialect {
                   if (hasTimeTokens(rawFmt))
                     throw new IllegalStateException(
                       "PARSE ERROR: Time tokens provided with date type.")
-                  s"impala_date_fmt_strict(" +
-                    s"try_to_date(${normIn(expr)}, '$fmt'), " +
-                    s"CAST($expr AS STRING))"
+                  // short-year inputs fill from the current year
+                  // (PrefixYear; RR/RRRR round-year) — rewrite the
+                  // year field to 4 digits, parse with yyyy
+                  val fmtFields = sepFmt(rawFmt).split("-")
+                  val yearIdx = fmtFields.indexWhere(f0 => Set(
+                    "YYYY", "YYY", "YY", "Y", "RRRR", "RR")(
+                    f0.trim.toUpperCase))
+                  if (yearIdx >= 0 && fmtFields.length > 1) {
+                    val tokU = fmtFields(yearIdx).trim.toUpperCase
+                    val tf = translateFormat(sepFmt(rawFmt)).split("-")
+                    tf(yearIdx) = "yyyy"
+                    val filled = s"impala_year_fill(${normIn(expr)}, " +
+                      s"'$tokU', $yearIdx)"
+                    s"impala_date_fmt_strict(" +
+                      s"try_to_date($filled, '${tf.mkString("-")}'), " +
+                      s"CAST($expr AS STRING))"
+                  } else
+                    s"impala_date_fmt_strict(" +
+                      s"try_to_date(${normIn(expr)}, '$fmt'), " +
+                      s"CAST($expr AS STRING))"
                 case _ =>
                   val outExpr = formatOutputExpr(expr, rawFmt)
                   // a DATE-typed value side with time tokens in the
@@ -1153,6 +1170,9 @@ object ImpalaDialect {
       case _: org.apache.spark.sql.types.DecimalType => l.value.toString
       case _ => l.sql
     }
+    case c: Cast if c.child.isInstanceOf[Literal] =>
+      s"CAST(${impalaLitSql(c.child)} AS " +
+        s"${graft.functions.DsResolve.typeName(c.dataType)})"
     case other => other.sql
   }
 
@@ -1199,6 +1219,21 @@ object ImpalaDialect {
       If(RLike(c.child, timeOnlyRe),
         Literal.create(null, TimestampType),
         ImpalaTsValid(c.copy(evalMode = EvalMode.TRY)))
+    // APPX_COUNT_DISTINCT=1 rewrites count(DISTINCT x) onto ndv(x)
+    // (FunctionCallExpr.java rewrite; the bit-exact HLL pipeline) —
+    // at scale this trades the distinct shuffle for a fixed sketch
+    case ae: org.apache.spark.sql.catalyst.expressions.aggregate
+        .AggregateExpression
+        if ae.isDistinct && (ae.aggregateFunction match {
+          case c: org.apache.spark.sql.catalyst.expressions.aggregate
+            .Count => c.children.length == 1
+          case _ => false
+        }) && org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.opt.APPX_COUNT_DISTINCT", "0")
+          .toLowerCase.matches("1|true") =>
+      ae.copy(aggregateFunction = graft.functions.NdvHll(
+          ae.aggregateFunction.children.head),
+        isDistinct = false)
     // --- strict DATE contract (date.test; be/src/runtime/date-value.cc)
     // DATE↔numeric casts are rejected at analysis with Impala's message
     case Cast(child, org.apache.spark.sql.types.DateType, _, _)
@@ -1236,12 +1271,32 @@ object ImpalaDialect {
     // (`be/src/util/string-parser.h` PARSE_FAILURE → NULL,
     // `operators.cc` — C++ has no SQLSTATE 22012). Spark's TRY eval
     // mode is the exact analog of that contract.
+    // strict STRING→DECIMAL (DECIMAL_V2 errors on parse failure and
+    // overflow — decimal-exprs.test CATCH contract)
+    case c: Cast if c.child.resolved &&
+        c.child.dataType.isInstanceOf[StringType] &&
+        c.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+      graft.functions.ImpalaCastToDecimal(c.child,
+        c.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType])
     case c: Cast if c.evalMode == EvalMode.ANSI && c.child.resolved &&
         c.child.dataType.isInstanceOf[StringType] &&
         c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
       c.copy(evalMode = EvalMode.TRY)
     case d: Divide if d.resolved && d.dataType == DoubleType =>
       graft.functions.ImpalaDoubleDiv(d.left, d.right)
+    // DECIMAL_V2 division/modulo by zero RAISES ("Cannot divide
+    // decimal by zero", operators.cc) — guard the divisor; other
+    // arithmetic failure modes keep the TRY-null contract
+    case d: Divide if d.resolved &&
+        d.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+        !d.right.isInstanceOf[graft.functions.ImpalaDecimalDivisor] =>
+      Divide(d.left, graft.functions.ImpalaDecimalDivisor(d.right),
+        d.evalContext.copy(evalMode = EvalMode.TRY))
+    case r: Remainder if r.resolved &&
+        r.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+        !r.right.isInstanceOf[graft.functions.ImpalaDecimalDivisor] =>
+      Remainder(r.left, graft.functions.ImpalaDecimalDivisor(r.right),
+        r.evalContext.copy(evalMode = EvalMode.TRY))
     case d: Divide if d.evalMode == EvalMode.ANSI =>
       Divide(d.left, d.right, d.evalContext.copy(evalMode = EvalMode.TRY))
     case r: Remainder if r.evalMode == EvalMode.ANSI =>
@@ -1630,9 +1685,40 @@ object ImpalaDialect {
     val bridge = org.apache.spark.sql.graft.Bridge
     val analyzed = bridge.analyzeOnly(spark, preAnalysisFix(
       bridge.parsePlan(spark, rewrite(NestedRefs.rewrite(spark, text)))))
-    val fixed = analyzed.transformUpWithSubqueries {
+    val fixed0 = analyzed.transformUpWithSubqueries {
       case p => p.transformExpressionsUp(impalaExpr)
     }
+    // PARQUET_TIMESTAMP_TYPE=INT64_MILLIS: written timestamps truncate
+    // to millisecond precision (parquet-column-writers.cc int64
+    // encoders; INT64_MICROS is the engine's native precision)
+    val fixed =
+      if (!spark.conf.getOption("graft.opt.PARQUET_TIMESTAMP_TYPE")
+          .exists(_.equalsIgnoreCase("INT64_MILLIS"))) fixed0
+      else fixed0.transformUp {
+        case c: org.apache.spark.sql.execution.command
+            .CreateDataSourceTableAsSelectCommand =>
+          c.copy(query = roundTsToMillis(c.query))
+        case i: org.apache.spark.sql.execution.datasources
+            .InsertIntoHadoopFsRelationCommand =>
+          i.copy(query = roundTsToMillis(i.query))
+      }
     bridge.ofRows(spark, fixed).collect()
+  }
+
+  /** Project every TIMESTAMP output onto its ms truncation —
+    * `UnixMillis` is Spark's floorDiv µs→ms, exact over the full
+    * range (no double round-trip).
+    */
+  private def roundTsToMillis(
+      q: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    val projs = q.output.map { a =>
+      if (a.dataType == TimestampType)
+        Alias(MillisToTimestamp(UnixMillis(a)), a.name)(): NamedExpression
+      else a
+    }
+    org.apache.spark.sql.catalyst.plans.logical.Project(projs, q)
   }
 }

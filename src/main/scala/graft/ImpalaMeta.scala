@@ -83,6 +83,20 @@ object ImpalaMeta {
     ("analytic", "BIGINT", "row_number()"),
     ("analytic", "DOUBLE", "percent_rank()"))
 
+  /** Hive-metastore table metadata twin for DESCRIBE FORMATTED over
+    * modeled (non-Iceberg) tables: the table-parameters map (Impala
+    * writes sort.columns / sort.order / user TBLPROPERTIES there —
+    * `AlterTableSortByStmt`, `TableDef.analyzeSortColumns`) plus the
+    * storage format (Avro columns DESCRIBE with the `from
+    * deserializer` comment Hive's serde reports).
+    */
+  final class TableMeta(var format: String = "TEXT") {
+    val params: scala.collection.mutable.LinkedHashMap[String, String] =
+      scala.collection.mutable.LinkedHashMap.empty
+  }
+  val tableMeta =
+    scala.collection.mutable.LinkedHashMap.empty[String, TableMeta]
+
   private val describeDbRe =
     ("""(?is)^\s*describe\s+database\s+((?:extended|formatted)\s+)?""" +
       """([A-Za-z_]\w*)\s*;?\s*$""").r
@@ -298,6 +312,37 @@ object ImpalaMeta {
     }
   }
 
+  /** DESCRIBE FORMATTED for a [[tableMeta]]-modeled table: column rows
+    * (Avro columns carry Hive's `from deserializer` comment), the
+    * detailed-information section and the 20-padded Table Parameters
+    * rows (MetaDataFormatUtils layout — the goldens verify subsets).
+    */
+  private def describeFormattedModel(spark: SparkSession, name0: String)
+      : Option[DataFrame] = {
+    val name = name0.split('.').last.toLowerCase
+    tableMeta.get(name).map { tm =>
+      val schema = scala.util.Try(spark.table(name).schema)
+        .getOrElse(new StructType())
+      val colComment = (f: StructField) =>
+        if (tm.format.equalsIgnoreCase("AVRO")) "from deserializer"
+        else f.getComment().getOrElse("")
+      val colRows = Seq(
+        Seq(pad20("# col_name"), pad20("data_type"), pad20("comment")),
+        Seq("", "NULL", "NULL")) ++
+        schema.fields.map(f =>
+          Seq(f.name.toLowerCase, typeSql(f.dataType, 0), colComment(f)))
+      val paramRows = tm.params.toSeq
+        .map { case (k, v) => Seq("", pad20(k), pad20(v)) }
+      val sectionRows = Seq(
+        Seq("", "NULL", "NULL"),
+        Seq(pad20("# Detailed Table Information"), "NULL", "NULL"),
+        Seq(pad20("Database:"), pad20("default"), "NULL"),
+        Seq(pad20("Table Type:"), pad20("MANAGED_TABLE"), "NULL"),
+        Seq(pad20("Table Parameters:"), "NULL", "NULL")) ++ paramRows
+      strDf(spark, Seq("name", "type", "comment"), colRows ++ sectionRows)
+    }
+  }
+
   /** DESCRIBE HISTORY — Iceberg snapshot log rendered in the session
     * timezone with Impala's 9-digit fraction
     * (`fe/.../service/DescribeResultFactory.java` describeHistory).
@@ -448,6 +493,9 @@ object ImpalaMeta {
       case describeFormattedRe(name)
           if icebergRegistry.contains(name.split('.').last.toLowerCase) =>
         describeFormatted(spark, name)
+      case describeFormattedRe(name)
+          if tableMeta.contains(name.split('.').last.toLowerCase) =>
+        describeFormattedModel(spark, name)
       case describeDbRe(ext, db) =>
         describeDb(spark, ext != null, db)
       case showFunctionsRe(kind, db0) if spark.conf

@@ -41,7 +41,10 @@ object ImpalaStats {
       values: Seq[Option[String]],
       fileBytes: Seq[Long],
       format: String,
-      location: String)
+      location: String,
+      // file basenames when the fixture models the reference loader's
+      // layout (SHOW FILES pins them); empty = synthesize data_N.txt
+      fileNames: Seq[String] = Nil)
 
   /** A registered table: non-partition columns (as published —
     * CHAR/VARCHAR carry their type text in metadata), partition
@@ -161,7 +164,8 @@ object ImpalaStats {
               v.getOrElse("__HIVE_DEFAULT_PARTITION__")
           }.mkString("/")
           p.fileBytes.zipWithIndex.map { case (b, i) =>
-            Row(s"${p.location}/data_$i.txt", printBytes(b), rel)
+            val base = p.fileNames.lift(i).getOrElse(s"data_$i.txt")
+            Row(s"${p.location}/$base", printBytes(b), rel)
           }
         }
       mkDf(spark, schema, rows)

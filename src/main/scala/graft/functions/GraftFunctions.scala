@@ -97,6 +97,18 @@ object GraftFunctions {
     // failures raise instead of nulling; time-token formats are
     // rejected when the value side is DATE-typed (PARSE ERROR)
     "impala_date_fmt_strict" -> (a => ImpalaDateParseStrict(a(0), a(1))),
+    // short-year fill (PrefixYear/RoundYear); the current year comes
+    // from the session's NOW_STRING option when set (captured at
+    // analysis — each statement re-analyzes, so a preceding SET is seen)
+    "impala_year_fill" -> (a => {
+      val ns = org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("graft.opt.NOW_STRING", "")
+      val now = """^(\d{4})""".r.findFirstMatchIn(ns.trim)
+        .map(_.group(1).toInt)
+        .getOrElse(java.time.LocalDate.now.getYear)
+      ImpalaYearFill(a(0), a(1).eval().toString,
+        a(2).eval().asInstanceOf[Number].intValue, now)
+    }),
     "impala_date_fmt_out_guard" -> (a => {
       if (a(0).resolved &&
           a(0).dataType == org.apache.spark.sql.types.DateType)

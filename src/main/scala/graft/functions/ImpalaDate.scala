@@ -90,6 +90,42 @@ case class ImpalaDateRangeCheck(child: Expression) extends UnaryExpression
   override def prettyName: String = "impala_date_range_check"
 }
 
+/** Short-year fill for FORMAT-clause date parsing
+  * (`datetime-parser-common.cc` PrefixYear/RoundYear): an input year
+  * with fewer digits than the token takes its missing HIGH-ORDER
+  * digits from the current year (YYYY/YYY/YY/Y and 1/3-digit RR
+  * inputs), while a 2-digit year under RR/RRRR applies the round-year
+  * century rule. `now` is the session's NOW_STRING override year when
+  * set (the reference test runner pins it), else the wall clock.
+  * Rewrites field `idx` of the dash-normalized input to 4 digits.
+  */
+case class ImpalaYearFill(child: Expression, tok: String, idx: Int,
+    now: Int) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  private def fill(d: String): String =
+    if (d.length >= 4 || d.isEmpty || !d.forall(_.isDigit)) d
+    else (tok, d.length) match {
+      case ("RRRR" | "RR", 2) =>
+        val yy = d.toInt
+        val cent = now / 100
+        val c =
+          if (yy < 50) (if (now % 100 < 50) cent else cent + 1)
+          else (if (now % 100 < 50) cent - 1 else cent)
+        f"${c * 100 + yy}%04d"
+      case _ => now.toString.take(4 - d.length) + d
+    }
+  override protected def nullSafeEval(v: Any): Any = {
+    val fields = v.toString.split("-", -1)
+    if (idx >= fields.length) return v.asInstanceOf[UTF8String]
+    fields(idx) = fill(fields(idx).trim)
+    UTF8String.fromString(fields.mkString("-"))
+  }
+  override protected def withNewChildInternal(c: Expression): ImpalaYearFill =
+    copy(child = c)
+  override def prettyName: String = "impala_year_fill"
+}
+
 /** FORMAT-clause STRING→DATE strictness: `parsed` is the lenient
   * `try_to_date` result; a null parse of a NON-null input raises the
   * reference's generic `String to Date parse failed.` (the FORMAT
@@ -108,4 +144,48 @@ case class ImpalaDateParseStrict(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(l, r)
   override def prettyName: String = "impala_date_fmt_strict"
+}
+
+/** DECIMAL_V2 zero-divisor guard: Impala raises `Cannot divide decimal
+  * by zero` where Spark's TRY division nulls
+  * (`be/src/exprs/operators.cc` decimal paths; decimal-exprs.test).
+  * Passes the divisor through unchanged otherwise.
+  */
+case class ImpalaDecimalDivisor(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any = {
+    if (v.asInstanceOf[org.apache.spark.sql.types.Decimal]
+        .toJavaBigDecimal.signum == 0)
+      Ds.udfError("Cannot divide decimal by zero")
+    v
+  }
+  override protected def withNewChildInternal(c: Expression): ImpalaDecimalDivisor =
+    copy(c)
+  override def prettyName: String = "impala_decimal_divisor"
+}
+
+/** Strict STRING→DECIMAL cast (DECIMAL_V2): parse failure and value
+  * overflow RAISE (`string-parser.h` decimal path + the V2 error
+  * contract) instead of Spark's TRY null.
+  */
+case class ImpalaCastToDecimal(child: Expression,
+    target: DecimalType) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = target
+  override def nullable: Boolean = true
+  override protected def nullSafeEval(v: Any): Any = {
+    val s = v.toString.trim
+    val bd =
+      try new java.math.BigDecimal(s)
+      catch { case _: NumberFormatException =>
+        Ds.udfError("String to Decimal parse failed") }
+    val dec = org.apache.spark.sql.types.Decimal(bd)
+    if (!dec.changePrecision(target.precision, target.scale))
+      Ds.udfError("String to Decimal cast overflowed")
+    dec
+  }
+  override protected def withNewChildInternal(c: Expression): ImpalaCastToDecimal =
+    copy(child = c)
+  override def prettyName: String = "impala_cast_to_decimal"
 }

@@ -137,6 +137,7 @@ final class GoldenDdl(spark: SparkSession) {
     ImpalaMeta.dbRegistry.clear()
     ImpalaMeta.fnRegistry.clear()
     ImpalaMeta.fnDetails.clear()
+    ImpalaMeta.tableMeta.clear()
   }
 
   /** Preload for alter-table.test: the runner creates `part_data (i
@@ -182,6 +183,83 @@ final class GoldenDdl(spark: SparkSession) {
       """\s*tblproperties\s*\((.*)\)\s*$""").r
   private val avroLiteralRe =
     """(?is)'avro\.schema\.literal'\s*=\s*'([^']*)'""".r
+  private val alterSortByRe =
+    ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+sort\s+by\s*""" +
+      """(zorder|lexical)?\s*\(([^)]*)\)\s*$""").r
+  private val sortByClauseRe =
+    """(?is)\bsort\s+by\s*(zorder|lexical)?\s*\(([^)]*)\)""".r
+
+  /** The SORT BY clause of a CREATE statement: (columns, order). */
+  private def sortSpecOf(stmt: String): Option[(Seq[String], String)] =
+    sortByClauseRe.findFirstMatchIn(stmt).map { m =>
+      (m.group(2).split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).toSeq,
+        Option(m.group(1)).map(_.trim.toUpperCase).getOrElse("LEXICAL"))
+    }
+
+  /** Write the sort.columns / sort.order metastore parameters
+    * (TableDef.analyzeSortColumns semantics: an EMPTY list clears the
+    * columns and resets the order to LEXICAL — alter-table.test's
+    * `sort by ()` blocks pin both cells).
+    */
+  private def setSortParams(name: String, cols: Seq[String],
+      order: String): Unit = {
+    val tm = ImpalaMeta.tableMeta.getOrElseUpdate(name.toLowerCase,
+      new ImpalaMeta.TableMeta())
+    tm.params("sort.columns") = cols.mkString(",")
+    tm.params("sort.order") = if (cols.isEmpty) "LEXICAL" else order
+  }
+
+  private def alterSortBy(name: String, order: Option[String],
+      colsTxt: String): Boolean = {
+    val cols = colsTxt.split(",").map(_.trim.toLowerCase)
+      .filter(_.nonEmpty).toSeq
+    val have = tables(name).dataSchema.fields.map(_.name.toLowerCase).toSet
+    cols.find(!have(_)) match {
+      case Some(bad) =>
+        lastError = Some(
+          s"Could not find SORT BY column '$bad' in table.")
+      case None =>
+        setSortParams(name, cols,
+          order.map(_.toUpperCase).getOrElse("LEXICAL"))
+        lastMessage = Some("Updated table.")
+    }
+    true
+  }
+
+  /** Post-CREATE metastore params: an explicit SORT BY applies; CREATE
+    * … LIKE src inherits the source's parameters
+    * (CreateTableLikeStmt copies the property map).
+    */
+  private def postCreateMeta(name: String,
+      sortSpec: Option[(Seq[String], String)], stmt: String): Unit = {
+    if (!tables.contains(name)) return
+    val tm = ImpalaMeta.tableMeta.getOrElseUpdate(name.toLowerCase,
+      new ImpalaMeta.TableMeta())
+    tm.format = tables(name).format
+    sortSpec match {
+      case Some((cols, order)) => setSortParams(name, cols, order)
+      case None => stmt match {
+        case createLikeRe(_, _, src, _, _) =>
+          ImpalaMeta.tableMeta.get(src.split('.').last.toLowerCase)
+            .foreach(s => s.params.foreach { case (k, v) =>
+              tm.params(k) = v })
+        case _ =>
+      }
+    }
+  }
+
+  /** Column DDL ripples into the sort.columns parameter (Impala
+    * rewrites the property on rename/drop/replace — alter-table.test).
+    */
+  private def remapSortCols(name: String,
+      f: Seq[String] => Seq[String]): Unit =
+    ImpalaMeta.tableMeta.get(name.toLowerCase).foreach { tm =>
+      tm.params.get("sort.columns").foreach { sc =>
+        val cols = sc.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        tm.params("sort.columns") = f(cols).mkString(",")
+      }
+    }
+
   private val alterTblPropsRe =
     ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+set\s+""" +
       """tblproperties\s*\((.*)\)\s*$""").r
@@ -327,11 +405,28 @@ final class GoldenDdl(spark: SparkSession) {
     lastInsertReport = Nil
     // a reference to a MODEL database's table qualifies as db.tbl —
     // fold into the single namespace as db__tbl
-    val stmt = ImpalaMeta.dbRegistry.keys.foldLeft(stmt0) { (acc, db) =>
+    val stmtQ = ImpalaMeta.dbRegistry.keys.foldLeft(stmt0) { (acc, db) =>
       acc.replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(db) + "\\.",
         db + "__")
     }
-    stmt match {
+    // ALTER TABLE … SORT BY [ZORDER|LEXICAL] (cols): rewrites the
+    // metastore's sort.columns/sort.order parameters
+    // (AlterTableSortByStmt; DESCRIBE FORMATTED surfaces them)
+    stmtQ match {
+      case alterSortByRe(name, order, colsTxt) if tables.contains(name) =>
+        return alterSortBy(name, Option(order), colsTxt)
+      case _ =>
+    }
+    // CREATE TABLE forms may carry a SORT BY clause ahead of LIKE/AS —
+    // extract it, match the clause-free statement, apply afterwards
+    val isCreate =
+      """(?is)^\s*create\s+(?:external\s+)?table\s+(?:if\s+not\s+exists\s+)?([A-Za-z_]\w*)"""
+        .r.findFirstMatchIn(stmtQ).map(_.group(1))
+    val sortSpec = if (isCreate.isDefined) sortSpecOf(stmtQ) else None
+    val stmt =
+      if (sortSpec.isDefined) sortByClauseRe.replaceAllIn(stmtQ, " ")
+      else stmtQ
+    val handled = stmt match {
       case ctasRe(ine, name, parts, fmt, source) =>
         if (ine == null || !tables.contains(name))
           ctas(name, Option(parts), source, Option(fmt))
@@ -461,6 +556,8 @@ final class GoldenDdl(spark: SparkSession) {
         } else {
           tables(to) = tables.remove(from).get
           ImpalaStats.rename(from, to)
+          ImpalaMeta.tableMeta.remove(from.toLowerCase)
+            .foreach(ImpalaMeta.tableMeta(to.toLowerCase) = _)
           spark.catalog.dropTempView(from); published -= from
           publish(to)
         }
@@ -488,6 +585,7 @@ final class GoldenDdl(spark: SparkSession) {
         t.dataSchema = StructType(
           t.dataSchema.fields.filterNot(_.name.equalsIgnoreCase(col)))
         ImpalaStats.forgetColumn(name, col)
+        remapSortCols(name, _.filterNot(_.equalsIgnoreCase(col)))
         lastMessage = Some("Column has been dropped.")
         publish(name); true
       case changeColRe(name, oldN, newN, typeTxt, comment)
@@ -509,10 +607,15 @@ final class GoldenDdl(spark: SparkSession) {
         })
         ImpalaStats.forgetColumn(name, oldN)
         ImpalaStats.forgetColumn(name, newN)
+        remapSortCols(name, _.map(c =>
+          if (c.equalsIgnoreCase(oldN)) newN.toLowerCase else c))
         lastMessage = Some("Column has been altered.")
         publish(name); true
       case replaceColsRe(name, colsTxt) if tables.contains(name) =>
         tables(name).dataSchema = StructType.fromDDL(colsTxt)
+        val kept = tables(name).dataSchema.fields
+          .map(_.name.toLowerCase).toSet
+        remapSortCols(name, _.filter(kept))
         lastMessage = Some("Table columns have been replaced.")
         publish(name); true
       case alterColCommentRe(name, col, comment) if tables.contains(name) =>
@@ -762,6 +865,7 @@ final class GoldenDdl(spark: SparkSession) {
           Option(partSpec), source)
         publish(name); true
       case dropTableRe(name) if tables.contains(name) =>
+        ImpalaMeta.tableMeta.remove(name.toLowerCase)
         val t = tables.remove(name).get
         // a managed drop purges the table's own directories (a
         // recreated same-name table must not see the old files);
@@ -810,6 +914,8 @@ final class GoldenDdl(spark: SparkSession) {
       case statsNoopRe() if tables.nonEmpty => true
       case _ => false
     }
+    if (handled) isCreate.foreach(n => postCreateMeta(n, sortSpec, stmt))
+    handled
   } catch {
     case t: Throwable =>
       lastError = Some(Option(t.getMessage).getOrElse(t.toString))

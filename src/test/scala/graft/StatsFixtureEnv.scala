@@ -127,10 +127,21 @@ object StatsFixtureEnv {
         Option(r.get(1)).map(String.valueOf(_)),
         Option(r.get(2)).map(String.valueOf(_))))
       .sortBy(_.map(_.getOrElse("")).mkString("/"))
-    val parts = keys.map(k => Partition(k, Nil, "TEXT",
-      "$NAMENODE/test-warehouse/alltypesagg/" +
-        s"year=${k(0).getOrElse("NULL")}/month=${k(1).getOrElse("NULL")}" +
-        s"/day=${k(2).getOrElse("__HIVE_DEFAULT_PARTITION__")}"))
+    val parts = keys.map { k =>
+      // the reference loader writes ONE text file per day partition,
+      // named yymmdd.txt (100101.txt …); the NULL-day partition holds
+      // Hive's 000000_0 (SHOW FILES pins the basenames; sizes are
+      // regex cells). 1000 generator rows ≈ 81KB in the text model.
+      val file = k(2) match {
+        case Some(d) => f"1001${d.toInt}%02d.txt"
+        case None => "000000_0"
+      }
+      Partition(k, Seq(81 * 1024L), "TEXT",
+        "$NAMENODE/test-warehouse/alltypesagg/" +
+          s"year=${k(0).getOrElse("NULL")}/month=${k(1).getOrElse("NULL")}" +
+          s"/day=${k(2).getOrElse("__HIVE_DEFAULT_PARTITION__")}",
+        Seq(file))
+    }
     ImpalaStats.register(Model("alltypesagg", () => dataCols,
       () => pCols, () => parts, () => agg))
   }

@@ -1219,6 +1219,33 @@ object ImpalaDialect {
       If(RLike(c.child, timeOnlyRe),
         Literal.create(null, TimestampType),
         ImpalaTsValid(c.copy(evalMode = EvalMode.TRY)))
+    // uncorrelated scalar subqueries raise Impala's multi-row error
+    // ("Subquery must not return more than one row:") — the guard
+    // aggregate replaces Spark's own runtime assert, same shape
+    // (count + first over the subquery), Impala's client-visible text
+    case s: org.apache.spark.sql.catalyst.expressions.ScalarSubquery
+        if s.plan.resolved && s.outerAttrs.isEmpty &&
+          !s.plan.output.headOption.exists(
+            _.name == "__impala_scalar_guard") =>
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.catalyst.expressions.aggregate.{Count, First}
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      val out = s.plan.output.head
+      val cnt = Count(Seq(Literal(1))).toAggregateExpression()
+      val first = First(out, ignoreNulls = false).toAggregateExpression()
+      val guarded = If(GreaterThan(cnt, Literal(1L)),
+        Cast(RaiseError(Literal(
+          "Subquery must not return more than one row: ")), out.dataType),
+        first)
+      s.withNewPlan(Aggregate(Nil,
+        Seq(Alias(guarded, "__impala_scalar_guard")()), s.plan))
+    // trunc()'s unit argument validates against Impala's unit table
+    // ("Invalid Truncate Unit: …") — unknown units RAISE, known ones
+    // evaluate natively
+    case t: org.apache.spark.sql.catalyst.expressions.TruncDate
+        if t.format.resolved &&
+          !t.format.isInstanceOf[graft.functions.ImpalaTruncUnit] =>
+      t.copy(format = graft.functions.ImpalaTruncUnit(t.format))
     // APPX_COUNT_DISTINCT=1 rewrites count(DISTINCT x) onto ndv(x)
     // (FunctionCallExpr.java rewrite; the bit-exact HLL pipeline) —
     // at scale this trades the distinct shuffle for a fixed sketch

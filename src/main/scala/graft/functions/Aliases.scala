@@ -185,9 +185,11 @@ object Aliases {
     */
   private def regexpMatchCount(a: Seq[Expression]): Expression = {
     if (a.length <= 2) return call("regexp_count", a(0), a(1))
-    val subject = call("substr", a(0), a(2))
+    // Impala validates the start offset (≥1) and the match-parameter
+    // alphabet at runtime (string-functions-ir.cc) — exprs.test CATCH
+    val subject = call("substr", a(0), ImpalaRegexpStartPos(a(2)))
     if (a.length == 3) return call("regexp_count", subject, a(1))
-    val p = a(3)
+    val p = ImpalaRegexpParams(a(3))
     val rev = call("reverse", p)
     val ri = call("instr", rev, str("i"))
     val rc = call("instr", rev, str("c"))

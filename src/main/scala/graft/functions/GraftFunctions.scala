@@ -116,6 +116,25 @@ object GraftFunctions {
           "PARSE ERROR: Time tokens provided with date type.")
       a(1)
     }),
+    // Impala's to_timestamp(STRING, fmt) refuses a format without a
+    // date component ("Bad date/time conversion format" —
+    // timestamp-functions.cc ParseFormatTokens); exprs.test CATCH
+    "to_timestamp" -> (a => {
+      if (a.length >= 2) a(1) match {
+        case l: Literal if l.value != null =>
+          val fmt = l.value.toString
+          val bare = fmt.replaceAll("'[^']*'", "")
+          if (!bare.exists(c => c == 'y' || c == 'M' || c == 'd'))
+            throw new IllegalStateException(
+              s"Query aborted:Bad date/time conversion format: $fmt")
+        case _ =>
+      }
+      if (a.length >= 2)
+        new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
+          a(0), a(1))
+      else new org.apache.spark.sql.catalyst.expressions.ParseToTimestamp(
+        a(0))
+    }),
     "ndv_hll" -> (a => NdvHll(a.head)),
     // ds_* builders run DsResolve's STRICT Impala overload resolution
     // first — Spark's implicit casts (SMALLINT→INT, DECIMAL→DOUBLE)

@@ -189,3 +189,61 @@ case class ImpalaCastToDecimal(child: Expression,
     copy(child = c)
   override def prettyName: String = "impala_cast_to_decimal"
 }
+
+/** regexp_match_count's start-position contract: offsets below 1 RAISE
+  * (`string-functions-ir.cc` RegexpMatchCount — "Illegal starting
+  * position"). Passes the position through otherwise.
+  */
+case class ImpalaRegexpStartPos(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any = {
+    if (v.asInstanceOf[Number].longValue < 1L)
+      throw new RuntimeException(s"Illegal starting position $v")
+    v
+  }
+  override protected def withNewChildInternal(c: Expression): ImpalaRegexpStartPos =
+    copy(c)
+  override def prettyName: String = "impala_regexp_start_pos"
+}
+
+/** regexp_match_count's match-parameter contract: only i/c/m/n are
+  * legal ("Illegal match parameter x").
+  */
+case class ImpalaRegexpParams(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any = {
+    v.toString.foreach { ch =>
+      if ("icmn".indexOf(ch) < 0)
+        throw new RuntimeException(s"Illegal match parameter $ch")
+    }
+    v
+  }
+  override protected def withNewChildInternal(c: Expression): ImpalaRegexpParams =
+    copy(c)
+  override def prettyName: String = "impala_regexp_params"
+}
+
+/** trunc()'s unit contract: an unknown unit RAISES ("Invalid Truncate
+  * Unit: …", `timestamp-functions.cc` TruncUnitFromString); known
+  * units pass through (Spark evaluates the truncation itself).
+  */
+case class ImpalaTruncUnit(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+  private val valid = Set("SYYYY", "YYYY", "YEAR", "SYEAR", "YYY", "YY",
+    "Y", "Q", "MONTH", "MON", "MM", "RM", "WW", "W", "DDD", "DD", "J",
+    "DAY", "DY", "D", "HH", "HH12", "HH24", "MI")
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any = {
+    if (!valid(v.toString.toUpperCase))
+      throw new RuntimeException(s"Invalid Truncate Unit: $v")
+    v
+  }
+  override protected def withNewChildInternal(c: Expression): ImpalaTruncUnit =
+    copy(c)
+  override def prettyName: String = "impala_trunc_unit"
+}

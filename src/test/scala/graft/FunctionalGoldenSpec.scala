@@ -1087,7 +1087,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private val catchFiles =
     Set("udf-errors.test", "set.test", "iceberg-negative.test",
       "datasketches-kll.test", "datasketches-hll.test", "date.test",
-      "decimal-exprs.test")
+      "decimal-exprs.test", "exprs.test", "subquery.test")
 
   /** CATCH blocks inside gated catch files whose error model is NOT
     * built — each skips with its documented reason instead of
@@ -1101,13 +1101,26 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     ("decimal-exprs.test", 16) ->
       "avg() decimal-overflow raise (Spark decimal agg nulls on overflow)",
     ("decimal-exprs.test", 32) ->
-      "avg() decimal-overflow raise (Spark decimal agg nulls on overflow)")
+      "avg() decimal-overflow raise (Spark decimal agg nulls on overflow)",
+    ("exprs.test", 195) ->
+      "constant-folding error propagation (Impala folds at analysis and wraps 'Error evaluating …')",
+    ("exprs.test", 196) ->
+      "constant-folding error propagation over the madlib test UDF",
+    ("exprs.test", 197) ->
+      "constant-folding error propagation (Impala folds at analysis and wraps 'Error evaluating …')",
+    ("exprs.test", 202) ->
+      "madlib test-UDF constant-args error propagation",
+    ("subquery.test", 68) ->
+      "multi-row scalar-subquery message pins the subquery's toSql text",
+    ("subquery.test", 74) ->
+      "correlated runtime-scalar subquery: the engine SUPPORTS it (Spark decorrelation) where Impala rejects")
 
   /** CATCH files whose expected messages pin NO table names — their
     * statements strip the functional-db qualifiers like normal queries
     * (the pinned errors are signature/UDF errors only). */
   private val catchStripDb =
-    Set("datasketches-kll.test", "datasketches-hll.test")
+    Set("datasketches-kll.test", "datasketches-hll.test",
+      "exprs.test", "subquery.test")
 
   /** set.test: SET statements are the queries themselves; per-block
     * option state resets like the reference runner's session clear. */
@@ -2272,9 +2285,22 @@ class FunctionalGoldenSpec extends SparkSpecBase {
                   "show create function: templated builtin", 0) + 1
           }
         } else if (catchExpected.nonEmpty) {
-          def messageOf(t: Throwable): String =
-            (Option(t.getMessage).getOrElse("") + " " + t.toString)
-              .replace("\n", " ")
+          def messageOf(t0: Throwable): String = {
+            // walk the cause chain — a subquery/broadcast failure
+            // surfaces as "Exception thrown in awaitResult" with the
+            // real error nested (the reference runner prints str(e)
+            // of the unwrapped beeswax error)
+            val sb = new StringBuilder
+            var t = t0
+            var depth = 0
+            while (t != null && depth < 8) {
+              sb.append(Option(t.getMessage).getOrElse(""))
+                .append(" ").append(t.toString).append(" ")
+              t = t.getCause
+              depth += 1
+            }
+            sb.toString.replace("\n", " ")
+          }
           // the raw block text (variables substituted, but none of the
           // per-file query rewrites) — error messages pin names as
           // written (DESCRIBE HISTORY functional_parquet.emptytable)
@@ -2538,8 +2564,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3729,
-      s"only $pass golden queries passed (floor 3729)")
+    assert(fileFilter.isDefined || pass >= 3738,
+      s"only $pass golden queries passed (floor 3738)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

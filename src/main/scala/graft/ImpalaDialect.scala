@@ -1219,6 +1219,47 @@ object ImpalaDialect {
       If(RLike(c.child, timeOnlyRe),
         Literal.create(null, TimestampType),
         ImpalaTsValid(c.copy(evalMode = EvalMode.TRY)))
+    // a column with a corrupt Parquet page index: ABORT_ON_ERROR=1
+    // raises the scanner's error, =0 reads clean ignoring the index
+    // (parquet-page-index.test recovery semantics)
+    case s: graft.functions.ImpalaPageIndexSentinel =>
+      if (org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.opt.ABORT_ON_ERROR", "0")
+          .toLowerCase.matches("1|true"))
+        graft.functions.ImpalaRaiseOnRead(
+          "Invalid offset index in Parquet file", s.dataType)
+      else s.child
+    // a scan column with out-of-range raw values: ABORT_ON_ERROR=1
+    // raises the scanner's message on the first bad value, =0 keeps
+    // the sentinel's own NULL-recovery eval
+    case s: graft.functions.ImpalaScanRangeSentinel
+        if org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.opt.ABORT_ON_ERROR", "0")
+          .toLowerCase.matches("1|true") => {
+      import org.apache.spark.sql.catalyst.expressions.{If => CIf, Or,
+        LessThan, GreaterThan, MicrosToTimestamp, RaiseError}
+      CIf(Or(LessThan(s.child,
+            MicrosToTimestamp(Literal(s.loMicros))),
+          GreaterThan(s.child,
+            MicrosToTimestamp(Literal(s.hiMicros)))),
+        Cast(new RaiseError(Literal(s.msg)), s.dataType),
+        s.child)
+    }
+    // DATE twin: raw epoch-day ints outside Impala's range raise under
+    // ABORT_ON_ERROR=1 (valid values convert via the 1970 epoch)
+    case s: graft.functions.ImpalaDateRangeSentinel
+        if org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("graft.opt.ABORT_ON_ERROR", "0")
+          .toLowerCase.matches("1|true") => {
+      import org.apache.spark.sql.catalyst.expressions.{If => CIf, Or,
+        LessThan, GreaterThan, RaiseError, DateAdd}
+      CIf(Or(LessThan(s.child, Literal(-719162)),
+          GreaterThan(s.child, Literal(2932896))),
+        Cast(new RaiseError(Literal(s.msg)),
+          org.apache.spark.sql.types.DateType),
+        DateAdd(Literal.create(0, org.apache.spark.sql.types.DateType),
+          s.child))
+    }
     // uncorrelated scalar subqueries raise Impala's multi-row error
     // ("Subquery must not return more than one row:") — the guard
     // aggregate replaces Spark's own runtime assert, same shape

@@ -685,7 +685,19 @@ object FunctionalTables {
       "alltypes_agg_bitpacked_def_levels").foreach { t =>
       val p = refRoot.resolve(s"data/$t.parquet")
       if (java.nio.file.Files.isRegularFile(p)) try {
-        spark.read.parquet(p.toString).createOrReplaceTempView(t)
+        val df = spark.read.parquet(p.toString)
+        // BIT_PACKED rep/def levels: materializing ANY column raises
+        // the scanner's rejection (IMPALA-6077) while count(*) still
+        // answers from row-group metadata — the raising projections
+        // are pruned away when no column is read
+        val reg =
+          if (!ParquetFooterCheck.hasBitPackedLevels(p)) df
+          else df.select(df.schema.fields.map(f =>
+            org.apache.spark.sql.graft.Bridge.column(
+              graft.functions.ImpalaRaiseOnRead(
+                "deprecated BIT_PACKED encoding for rep or def levels.",
+                f.dataType)).as(f.name)).toSeq: _*)
+        reg.createOrReplaceTempView(t)
       } catch { case _: Throwable => }
     }
     // primitive_type_widening (IMPALA-6373, test_scanners.py:859-868):
@@ -988,9 +1000,9 @@ object FunctionalTables {
       // parquet-page-index.test: two-column decimal matrix with small
       // data pages
       "decimals_1_10" -> "data/decimals_1_10.parquet",
-      // deliberately invalid page-index entries (data pages are sound;
-      // Spark ignores the page index, so the rows read clean — exactly
-      // the golden file's abort_on_error=0 recovery semantics)
+      // deliberately invalid page-index entries — re-registered with
+      // per-column sentinels below (ABORT_ON_ERROR decides raise vs
+      // the clean index-ignoring read)
       "alltypes_invalid_pages" -> "data/alltypes_invalid_pages.parquet",
       // IMPALA-694 required-field parquet written by Kite
       "kite_required_fields" -> "data/kite_required_fields.parquet",
@@ -1028,6 +1040,29 @@ object FunctionalTables {
         cast.createOrReplaceTempView(name)
       } catch { case _: Throwable => }
     }
+    // alltypes_invalid_pages: re-register with a sentinel on every
+    // column whose OFFSET INDEX fails validation — the dialect's
+    // per-statement pass resolves each against ABORT_ON_ERROR
+    // (raise vs index-ignoring clean read); untouched columns stay raw
+    locally {
+      val p = refRoot.resolve("data/alltypes_invalid_pages.parquet")
+      if (java.nio.file.Files.isRegularFile(p)) try {
+        val badCols = ParquetFooterCheck.invalidOffsetIndexColumns(p)
+        if (badCols.nonEmpty)
+          scala.util.Try(spark.table("alltypes_invalid_pages")).foreach {
+            df =>
+              df.select(df.schema.fields.map { f =>
+                if (badCols(f.name))
+                  org.apache.spark.sql.graft.Bridge.column(
+                    graft.functions.ImpalaPageIndexSentinel(
+                      org.apache.spark.sql.graft.Bridge.expression(
+                        org.apache.spark.sql.functions.col(f.name))))
+                    .as(f.name)
+                else org.apache.spark.sql.functions.col(f.name)
+              }.toSeq: _*).createOrReplaceTempView("alltypes_invalid_pages")
+          }
+      } catch { case _: Throwable => }
+    }
     // alltypes_empty_pages: parquet-mr (both Spark readers) rejects the
     // fixture's zero-value data pages outright, and the pyarrow-side
     // readers confirm its DATA is exactly the first 500 generator rows
@@ -1048,6 +1083,31 @@ object FunctionalTables {
         .selectExpr("cast(field as string) as field")
         .createOrReplaceTempView("bad_parquet")
     } catch { case _: Throwable => }
+    // corrupt-footer fixtures (parquet.test CATCH contract): a file
+    // ParquetFooterCheck rejects registers as a view that raises the
+    // scanner's message on execution — the fail-fast path a real scan
+    // would take; a passing footer reads normally
+    Seq(
+      ("bad_metadata_len", "bad_metadata_len.parquet"),
+      ("bad_dict_page_offset", "bad_dict_page_offset.parquet"),
+      ("bad_compressed_size", "bad_compressed_size.parquet"),
+      ("bad_magic_number", "bad_magic_number.parquet"))
+      .foreach { case (tbl, file) =>
+        val p = refRoot.resolve(s"data/$file")
+        if (java.nio.file.Files.isRegularFile(p)) try {
+          ParquetFooterCheck.validate(p,
+            s"$$NAMENODE/test-warehouse/${tbl}_parquet/$file") match {
+            case Some(err) =>
+              spark.range(1).select(
+                org.apache.spark.sql.graft.Bridge.column(
+                  graft.functions.ImpalaRaiseOnRead(err,
+                    org.apache.spark.sql.types.StringType)).as("c"))
+                .createOrReplaceTempView(tbl)
+            case None =>
+              spark.read.parquet(p.toString).createOrReplaceTempView(tbl)
+          }
+        } catch { case _: Throwable => }
+      }
     // alltypesaggmultifiles(nopart): the multi-file/4-way-split LOAD of
     // alltypesagg (schema template:1310-1377) — same rows, physical
     // layout only; nopart drops the partition columns from the schema
@@ -1104,13 +1164,26 @@ object FunctionalTables {
         "out_of_range_timestamp2_hive_211").foreach { n =>
       if (exists(s"data/$n.parquet")) try {
         val df = spark.read.parquet(refRoot.resolve(s"data/$n.parquet").toString)
-        df.selectExpr(df.columns.map {
-          case "timestamp_col" =>
-            """CASE WHEN timestamp_col < TIMESTAMP'1400-01-01 00:00:00'
-               OR timestamp_col > TIMESTAMP'9999-12-31 23:59:59.999999'
-               THEN NULL ELSE timestamp_col END AS timestamp_col"""
-          case c => c
-        }.toIndexedSeq: _*).createOrReplaceTempView(n)
+        // the sentinel NULLs out-of-range values itself (the
+        // abort_on_error=0 recovery read); under ABORT_ON_ERROR=1 the
+        // dialect resolves it into the scanner's raised error
+        val lo = java.time.Instant.parse("1400-01-01T00:00:00Z")
+        val hi = java.time.Instant.parse("9999-12-31T23:59:59.999999Z")
+        def micros(i: java.time.Instant): Long =
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        val msg = s"Parquet file '$$NAMENODE/test-warehouse/" +
+          s"$$DATABASE.db/$n/$n.parquet' column 'timestamp_col' " +
+          "contains an out of range timestamp. The valid date range " +
+          "is 1400-01-01..9999-12-31."
+        df.select(df.schema.fields.map { f =>
+          if (f.name == "timestamp_col")
+            org.apache.spark.sql.graft.Bridge.column(
+              graft.functions.ImpalaScanRangeSentinel(
+                org.apache.spark.sql.graft.Bridge.expression(
+                  org.apache.spark.sql.functions.col(f.name)),
+                msg, micros(lo), micros(hi))).as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }.toSeq: _*).createOrReplaceTempView(n)
       } catch { case _: Throwable => }
     }
     if (exists("data/out_of_range_time_of_day.parquet")) try {
@@ -1124,10 +1197,16 @@ object FunctionalTables {
     // (valid epoch-day range -719162 = 0001-01-01 .. 2932896 =
     // 9999-12-31)
     if (exists("data/out_of_range_date.parquet")) try {
-      spark.read.schema(StructType.fromDDL("v int"))
+      val raw = spark.read.schema(StructType.fromDDL("v int"))
         .parquet(refRoot.resolve("data/out_of_range_date.parquet").toString)
-        .selectExpr("""CASE WHEN v BETWEEN -719162 AND 2932896
-            THEN date_add(DATE'1970-01-01', v) ELSE NULL END AS v""")
+      raw.select(org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.ImpalaDateRangeSentinel(
+            org.apache.spark.sql.graft.Bridge.expression(
+              org.apache.spark.sql.functions.col("v")),
+            "Parquet file '$NAMENODE/test-warehouse/$DATABASE.db/" +
+              "out_of_range_date/out_of_range_date.parquet' column 'v' " +
+              "contains an out of range date. The valid date range is " +
+              "0001-01-01..9999-12-31.")).as("v"))
         .createOrReplaceTempView("out_of_range_date")
     } catch { case _: Throwable => }
     if (exists("data/hive2_pre_gregorian.parquet")) try {
@@ -1163,17 +1242,27 @@ object FunctionalTables {
             }
           }
         } finally rows.close()
-        // LocalDate, not java.sql.Date: the legacy type rebases through
-        // the hybrid calendar on ingestion, shifting pre-Gregorian days
-        val out = days.toSeq.map {
-          case d if d >= -719162L && d <= 2932896L =>
-            org.apache.spark.sql.Row(java.time.LocalDate.ofEpochDay(d))
-          case _ => org.apache.spark.sql.Row(null)
+        // the RAW epoch-day ints feed a range sentinel: out-of-range
+        // days null on the recovery read and raise under
+        // ABORT_ON_ERROR=1 (the dialect resolves); LocalDate semantics
+        // (no hybrid-calendar rebase) are preserved — DateType's
+        // internal rep IS the proleptic epoch day
+        val out = days.toSeq.map { d =>
+          org.apache.spark.sql.Row(
+            if (d == Long.MinValue) null
+            else java.lang.Integer.valueOf(d.toInt))
         }
+        val msg = s"ORC file '$$NAMENODE/test-warehouse/$$DATABASE.db/" +
+          s"$name/${rel.split('/').last}' column '1' contains an out " +
+          "of range date. The valid date range is 0001-01-01..9999-12-31."
         spark.createDataFrame(
             new java.util.ArrayList[org.apache.spark.sql.Row](
               scala.jdk.CollectionConverters.SeqHasAsJava(out).asJava),
-            StructType.fromDDL("d date"))
+            StructType.fromDDL("d0 int"))
+          .select(org.apache.spark.sql.graft.Bridge.column(
+            graft.functions.ImpalaDateRangeSentinel(
+              org.apache.spark.sql.graft.Bridge.expression(
+                org.apache.spark.sql.functions.col("d0")), msg)).as("d"))
           .createOrReplaceTempView(name)
       } catch { case _: Throwable => }
     orcRawDateView("data/out_of_range_date.orc", "out_of_range_date_orc")

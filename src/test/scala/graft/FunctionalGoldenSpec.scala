@@ -817,7 +817,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   // ImpalaOptions) rather than treating as neutral: the mocked clock,
   // count(distinct)→ndv rewrite, parquet timestamp write precision
   private val appliedSetNames =
-    Set("NOW_STRING", "APPX_COUNT_DISTINCT", "PARQUET_TIMESTAMP_TYPE")
+    Set("NOW_STRING", "APPX_COUNT_DISTINCT", "PARQUET_TIMESTAMP_TYPE",
+      "ABORT_ON_ERROR")
   private def isAppliedSet(s: String): Boolean = s match {
     case optSetRe(nm, _) => appliedSetNames(nm.toUpperCase)
     case _ => false
@@ -1087,7 +1088,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private val catchFiles =
     Set("udf-errors.test", "set.test", "iceberg-negative.test",
       "datasketches-kll.test", "datasketches-hll.test", "date.test",
-      "decimal-exprs.test", "exprs.test", "subquery.test")
+      "decimal-exprs.test", "exprs.test", "subquery.test",
+      "parquet.test", "parquet-def-levels.test",
+      "parquet-page-index.test",
+      "out-of-range-timestamp-local-tz-conversion.test",
+      "out-of-range-date.test", "out-of-range-date-orc.test")
 
   /** CATCH blocks inside gated catch files whose error model is NOT
     * built — each skips with its documented reason instead of
@@ -1120,7 +1125,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     * (the pinned errors are signature/UDF errors only). */
   private val catchStripDb =
     Set("datasketches-kll.test", "datasketches-hll.test",
-      "exprs.test", "subquery.test")
+      "exprs.test", "subquery.test",
+      "out-of-range-date.test", "out-of-range-date-orc.test")
 
   /** set.test: SET statements are the queries themselves; per-block
     * option state resets like the reference runner's session clear. */
@@ -2317,7 +2323,11 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           val err: Option[String] =
             try {
               ddlStore.lastError = None // not sticky across blocks
-              cPrefix.foreach(execSetupStmt(spark, _))
+              cPrefix.foreach {
+                case optSetRe(nm, v) if appliedSetNames(nm.toUpperCase) =>
+                  ImpalaOptions.set(spark, nm, v)
+                case s0 => execSetupStmt(spark, s0)
+              }
               // a rejected setup statement (sim validation) is the
               // block's error — the trailing probe never ran in the
               // reference either
@@ -2343,6 +2353,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
                 .matcher(msg).find()).getOrElse(false)
             else msg.contains(exp)
           })
+          appliedSetNames.foreach(n =>
+            scala.util.Try(spark.conf.unset(s"graft.opt.$n")))
           if (ok) pass += 1
           else mismatches += s"$f[$i]: CATCH expected " +
             s"${catchExpected.head.take(80)} got ${err.getOrElse("NO ERROR").take(160)}" +

@@ -139,7 +139,7 @@ class FunctionsSpec extends SparkSpecBase {
 
   test("KLL quantile/rank exact below the sketch capacity (k=200)") {
     val sql = """SELECT ds_kll_quantile(sk, 0.5D), ds_kll_quantile(sk, 1.0D),
-                        ds_kll_rank(sk, 26.0D), ds_kll_n(sk)
+                        ds_kll_rank(sk, cast(26.0 as float)), ds_kll_n(sk)
                  FROM (SELECT ds_kll_sketch(id) sk FROM range(1, 101))"""
     val r = spark.sql(sql).head()
     assert(r.getFloat(0) == 51.0f) // exclusive criteria: cum-weight > 50
@@ -222,7 +222,7 @@ class FunctionsSpec extends SparkSpecBase {
       .createOrReplaceTempView("kll_hive")
     val k = spark.sql(
       """SELECT ds_kll_n(f), ds_kll_quantile(f, 0.5D),
-                ds_kll_rank(f, 50.6D) FROM kll_hive""").head()
+                ds_kll_rank(f, cast(50.6 as float)) FROM kll_hive""").head()
     assert(k.getLong(0) == 6L)
     assert(math.abs(k.getFloat(1) - 100.1999969482422f) < 1e-4)
     assert(math.abs(k.getDouble(2) - 0.5) < 1e-12)

@@ -1098,10 +1098,18 @@ object FunctionalTables {
           ParquetFooterCheck.validate(p,
             s"$$NAMENODE/test-warehouse/${tbl}_parquet/$file") match {
             case Some(err) =>
-              spark.range(1).select(
-                org.apache.spark.sql.graft.Bridge.column(
+              // Raise from a FILTER, not just a projection: a
+              // column-free scan (count(*), select 1) prunes raising
+              // projections away, but Impala fails at footer read for
+              // ANY query shape — the filter predicate always runs.
+              spark.range(1)
+                .filter(org.apache.spark.sql.graft.Bridge.column(
                   graft.functions.ImpalaRaiseOnRead(err,
-                    org.apache.spark.sql.types.StringType)).as("c"))
+                    org.apache.spark.sql.types.BooleanType)))
+                .select(
+                  org.apache.spark.sql.graft.Bridge.column(
+                    graft.functions.ImpalaRaiseOnRead(err,
+                      org.apache.spark.sql.types.StringType)).as("c"))
                 .createOrReplaceTempView(tbl)
             case None =>
               spark.read.parquet(p.toString).createOrReplaceTempView(tbl)

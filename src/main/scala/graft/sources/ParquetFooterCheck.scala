@@ -22,7 +22,15 @@ object ParquetFooterCheck {
       return Some(s"File '$displayPath' is invalid. Invalid file size: $size")
     val tail = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
     val ch = FileChannel.open(path)
-    try { ch.read(tail, size - 8) } finally ch.close()
+    try {
+      var pos = size - 8
+      while (tail.hasRemaining) {
+        val n = ch.read(tail, pos)
+        if (n < 0)
+          return Some(s"File '$displayPath' is invalid. Invalid file size: $size")
+        pos += n
+      }
+    } finally ch.close()
     tail.flip()
     val metaLen = tail.getInt(0)
     val magic = Array(tail.get(4), tail.get(5), tail.get(6), tail.get(7))
@@ -31,11 +39,19 @@ object ParquetFooterCheck {
         s"number: ${magic.map(b => f"${b & 0xff}%02x").mkString(" ")}")
     if (metaLen <= 0 || metaLen.toLong + 8 > size)
       return Some("Invalid metadata size in file footer")
-    // footer parses — validate every column chunk's physical offsets
+    // footer parses — validate every column chunk's physical offsets.
+    // A metaLen that passes the size bound can still point parquet-mr
+    // at garbage; a thrift-deserialize failure IS a corrupt footer, so
+    // map it to the scanner's message instead of letting it escape.
     val conf = new org.apache.hadoop.conf.Configuration()
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
       new org.apache.hadoop.fs.Path(path.toUri), conf)
-    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    val r =
+      try org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      catch {
+        case _: Exception =>
+          return Some("Invalid metadata size in file footer")
+      }
     try {
       val blocks = r.getFooter.getBlocks
       var b = 0
@@ -118,8 +134,17 @@ object ParquetFooterCheck {
       val blocks = r.getFooter.getBlocks
       (0 until blocks.size()).exists { b =>
         val cols = blocks.get(b).getColumns
-        (0 until cols.size()).exists(i => cols.get(i).getEncodings
-          .contains(org.apache.parquet.column.Encoding.BIT_PACKED))
+        (0 until cols.size()).exists { i =>
+          // The footer's encodings set conflates data-page and level
+          // encodings: old writers list BIT_PACKED for the trivial
+          // repetition levels of flat columns whose definition levels
+          // are RLE (those files read fine in the reference). Only a
+          // chunk with BIT_PACKED and NO RLE has bit-packed def levels
+          // (the IMPALA-6077 case the reference scanner rejects).
+          val encs = cols.get(i).getEncodings
+          encs.contains(org.apache.parquet.column.Encoding.BIT_PACKED) &&
+            !encs.contains(org.apache.parquet.column.Encoding.RLE)
+        }
       }
     } finally r.close()
   }

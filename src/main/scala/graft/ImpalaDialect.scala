@@ -1592,6 +1592,111 @@ object ImpalaDialect {
     }
   }
 
+  /** DECIMAL_V2 runtime overflow RAISES (decimal-exprs.test:97-165;
+    * `be/src/exprs/aggregate-functions-ir.cc` sum/avg overflow checks,
+    * `decimal-value.inline.h` arithmetic overflow flags): Spark's
+    * non-ANSI decimal paths null on overflow — indistinguishable from
+    * an all-NULL group, the worst silent-wrong-answer delta for money
+    * pipelines. Post-analysis pass:
+    *  - sum(decimal p≥29): pair with count(child) — a NULL sum over a
+    *    non-empty group raises `Sum computation overflowed`. Both legs
+    *    are ordinary partial-able aggregates (map-side combine kept).
+    *  - avg(decimal): same buffer guard, plus Impala's output contract
+    *    DECIMAL(38, max(s,6)) — a mean that needs >38 digits at scale
+    *    max(s,6) raises `Avg computation overflowed` (reachable only
+    *    when integer digits > 32, which the scale-6 avg rewrite above
+    *    excludes). Check-only: the presented type stays Spark's.
+    *  - decimal +,-,* whose NATURAL result precision exceeds 38 (the
+    *    only truncation that can overflow): a NULL result from
+    *    non-NULL operands raises `Decimal expression overflowed`.
+    *    Arithmetic that fits 38 digits by construction is untouched
+    *    and stays on the codegen path.
+    */
+  private def decimalOverflowGuards(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Alias, And,
+      GreaterThan, If => CIf, IsNull, Multiply, NamedExpression, Subtract}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, Average, Count, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.DecimalType
+
+    def decOf(e: Expression): Option[DecimalType] = e.dataType match {
+      case d: DecimalType => Some(d)
+      case _ => None
+    }
+    def raise(msg: String, dt: org.apache.spark.sql.types.DataType) =
+      graft.functions.ImpalaRaiseOnRead(s"UDF ERROR: $msg", dt)
+    // NULL aggregate over a non-empty group = buffer overflow
+    def nullGuard(ae: AggregateExpression, child: Expression,
+        msg: String): Expression = {
+      val cnt = ae.copy(aggregateFunction = Count(Seq(child)),
+        resultId = NamedExpression.newExprId)
+      CIf(And(IsNull(ae), GreaterThan(cnt, Literal(0L))),
+        raise(msg, ae.dataType), ae)
+    }
+    val aggPf: PartialFunction[Expression, Expression] = {
+      // ANSI sum/avg raise Spark's wording at overflow; TRY nulls —
+      // flip to TRY so the guard owns the message
+      case ae @ AggregateExpression(s: Sum, _, _, _, _)
+          if decOf(s.child).exists(_.precision >= 29) =>
+        val trySum = ae.copy(aggregateFunction =
+          s.copy(evalContext = s.evalContext.copy(evalMode = EvalMode.TRY)))
+        nullGuard(trySum, s.child, "Sum computation overflowed")
+      case ae @ AggregateExpression(av: Average, _, _, _, _)
+          if decOf(av.child).exists(d =>
+            d.precision >= 29 || d.precision - d.scale > 32) =>
+        val d = decOf(av.child).get
+        val tryAvg = ae.copy(aggregateFunction =
+          av.copy(evalMode = EvalMode.TRY))
+        val base: Expression =
+          if (d.precision >= 29)
+            nullGuard(tryAvg, av.child, "Avg computation overflowed")
+          else tryAvg
+        if (d.precision - d.scale > 32)
+          graft.functions.ImpalaDecimalRescale(base, math.max(6, d.scale),
+            "Avg computation overflowed")
+        else base
+    }
+    // natural (un-truncated) result precision — overflow is impossible
+    // unless the type system had to cap it at 38
+    def naturalOverflows(l: Expression, r: Expression,
+        isMultiply: Boolean): Boolean =
+      (decOf(l), decOf(r)) match {
+        case (Some(a), Some(b)) =>
+          if (isMultiply) a.precision + b.precision + 1 > 38
+          else math.max(a.scale, b.scale) +
+            math.max(a.precision - a.scale, b.precision - b.scale) + 1 > 38
+        case _ => false
+      }
+    val arithPf: PartialFunction[Expression, Expression] = {
+      case m: Multiply if m.resolved &&
+          m.dataType.isInstanceOf[DecimalType] &&
+          naturalOverflows(m.left, m.right, isMultiply = true) =>
+        graft.functions.ImpalaDecimalArithGuard(Multiply(m.left, m.right,
+          m.evalContext.copy(evalMode = EvalMode.TRY)))
+      case a: Add if a.resolved && a.dataType.isInstanceOf[DecimalType] &&
+          naturalOverflows(a.left, a.right, isMultiply = false) =>
+        graft.functions.ImpalaDecimalArithGuard(Add(a.left, a.right,
+          a.evalContext.copy(evalMode = EvalMode.TRY)))
+      case s: Subtract if s.resolved &&
+          s.dataType.isInstanceOf[DecimalType] &&
+          naturalOverflows(s.left, s.right, isMultiply = false) =>
+        graft.functions.ImpalaDecimalArithGuard(Subtract(s.left, s.right,
+          s.evalContext.copy(evalMode = EvalMode.TRY)))
+    }
+    plan.transformUpWithSubqueries {
+      case a: Aggregate if a.resolved =>
+        val newAggs = a.aggregateExpressions.map(
+          _.transformUp(aggPf.orElse(arithPf))
+            .asInstanceOf[NamedExpression])
+        if (newAggs == a.aggregateExpressions) a
+        else a.copy(aggregateExpressions = newAggs)
+      case p => p.transformExpressionsUp(arithPf)
+    }
+  }
+
   private val explainRe = """(?is)^\s*explain\s+(select\b.*|with\b.*|values\b.*)$""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = {
@@ -1620,7 +1725,7 @@ object ImpalaDialect {
       val fixed0 = analyzed.transformUpWithSubqueries {
         case p => p.transformExpressionsUp(impalaExpr)
       }
-      val fixed1 = emptyGroupingSetRow(fixed0)
+      val fixed1 = emptyGroupingSetRow(decimalOverflowGuards(fixed0))
       // OPTIMIZE_PARTITION_KEY_SCANS: answer partition-key-only
       // aggregates from the stats registry's partition listing —
       // zero file-scan tasks (IMPALA-1795; see PartitionKeyScans)
@@ -1753,9 +1858,9 @@ object ImpalaDialect {
     val bridge = org.apache.spark.sql.graft.Bridge
     val analyzed = bridge.analyzeOnly(spark, preAnalysisFix(
       bridge.parsePlan(spark, rewrite(NestedRefs.rewrite(spark, text)))))
-    val fixed0 = analyzed.transformUpWithSubqueries {
+    val fixed0 = decimalOverflowGuards(analyzed.transformUpWithSubqueries {
       case p => p.transformExpressionsUp(impalaExpr)
-    }
+    })
     // PARQUET_TIMESTAMP_TYPE=INT64_MILLIS: written timestamps truncate
     // to millisecond precision (parquet-column-writers.cc int64
     // encoders; INT64_MICROS is the engine's native precision)

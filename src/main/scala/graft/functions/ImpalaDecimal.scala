@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression,
+  Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, Decimal, DecimalType}
+
+/** DECIMAL_V2 runtime overflow contracts
+  * (`be/src/exprs/aggregate-functions-ir.cc` SumDecimalUpdate /
+  * AvgGetValue overflow checks, `be/src/runtime/decimal-value.inline.h`
+  * arithmetic overflow flags; decimal-exprs.test CATCH rows): where
+  * Spark's non-ANSI decimal paths silently null on overflow, Impala V2
+  * raises a `UDF ERROR`. These wrappers detect the null-from-overflow
+  * case and raise with the reference's message.
+  */
+
+/** Decimal fit check: Impala's avg() output type is DECIMAL(38,
+  * max(s,6)) (FunctionCallExpr.java), so a mean that needs more than
+  * 38 digits AT THAT SCALE raises even when it fits Spark's own result
+  * scale. Check-only — the value and Spark type pass through unchanged
+  * (no downstream attribute-type churn); only the would-not-fit case
+  * raises `msg`. NULL stays NULL (the overflow-vs-empty ambiguity is
+  * guarded separately by the caller).
+  */
+case class ImpalaDecimalRescale(child: Expression, targetScale: Int,
+    msg: String) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override protected def nullSafeEval(v: Any): Any = {
+    val bd = v.asInstanceOf[Decimal].toJavaBigDecimal
+      .setScale(targetScale, java.math.RoundingMode.HALF_UP)
+    if (bd.precision > 38) Ds.udfError(msg)
+    v
+  }
+  override protected def withNewChildInternal(c: Expression): ImpalaDecimalRescale =
+    copy(child = c)
+  override def prettyName: String = "impala_decimal_rescale"
+}
+
+/** Decimal arithmetic overflow guard: evaluates the wrapped binary
+  * arithmetic and, when it nulls while BOTH operands are non-null
+  * (Spark's non-ANSI overflow signal), raises Impala's
+  * `Decimal expression overflowed`. Applied only to arithmetic whose
+  * natural result precision exceeds 38 — everything else is
+  * overflow-free by construction and stays on the codegen path.
+  */
+case class ImpalaDecimalArithGuard(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) child match {
+      case b: BinaryExpression
+          if b.left.eval(input) != null && b.right.eval(input) != null =>
+        Ds.udfError("Decimal expression overflowed")
+      case _ =>
+    }
+    v
+  }
+  override protected def withNewChildInternal(c: Expression): ImpalaDecimalArithGuard =
+    copy(child = c)
+  override def prettyName: String = "impala_decimal_arith_guard"
+}

@@ -1099,14 +1099,6 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     * replaying (the generic error-path bucket).
     */
   private val catchSkip: Map[(String, Int), String] = Map(
-    ("decimal-exprs.test", 11) ->
-      "decimal cast-overflow raise (Spark TRY cast nulls; only the string-source path is strict)",
-    ("decimal-exprs.test", 14) ->
-      "sum() decimal-overflow raise (Spark decimal agg nulls on overflow)",
-    ("decimal-exprs.test", 16) ->
-      "avg() decimal-overflow raise (Spark decimal agg nulls on overflow)",
-    ("decimal-exprs.test", 32) ->
-      "avg() decimal-overflow raise (Spark decimal agg nulls on overflow)",
     ("exprs.test", 195) ->
       "constant-folding error propagation (Impala folds at analysis and wraps 'Error evaluating …')",
     ("exprs.test", 196) ->

@@ -131,7 +131,9 @@ object ImpalaDialect {
   private val timeTokRe =
     """(?i)HH12|HH24|HH|MI|SS|FF|A\.M\.|P\.M\.|\bAM\b|\bPM\b|TZH|TZM""".r
   private def hasTimeTokens(fmt: String): Boolean =
-    timeTokRe.findFirstIn(fmt).isDefined
+    // double-quoted sections are free literal text in the ISO-SQL
+    // grammar (FORMAT 'YYYY-MM-DD"MID"') — never tokens
+    timeTokRe.findFirstIn(fmt.replaceAll("\"[^\"]*\"", "")).isDefined
 
   private def isWordChar(c: Char) = Character.isLetterOrDigit(c) || c == '_'
 
@@ -1190,25 +1192,65 @@ object ImpalaDialect {
     * (views-compatibility.test pins the Impala-side failure).
     */
   private val hiveSortByRe =
-    """(?i)\bsort\s+by\b(?!\s*(?:\(|zorder\b))""".r
+    """(?i)\bsort\s+by\b(?!\s*(?:\(|zorder\b|lexical\b))""".r
   private val hiveClusterByRe =
     """(?i)\b(?:cluster|distribute)\s+by\b""".r
-  private def validateImpalaGrammar(text: String): Unit =
-    if (hiveSortByRe.findFirstIn(text).isDefined ||
-        hiveClusterByRe.findFirstIn(text).isDefined)
+
+  /** Blank out string-literal contents and comments (same length, so
+    * match offsets map back to the original text) — the grammar/date
+    * validators below scan with regexes and must never fire on text
+    * INSIDE a literal or comment (e.g. WHERE c = 'distribute by x').
+    */
+  private def maskQuotedAndComments(text: String): String = {
+    val out = text.toCharArray
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      val c = text(i)
+      if (c == '\'' || c == '"') {
+        i += 1
+        while (i < n && text(i) != c) {
+          if (text(i) == '\\' && i + 1 < n) { out(i) = ' '; out(i + 1) = ' '; i += 2 }
+          else { out(i) = ' '; i += 1 }
+        }
+        i += 1
+      } else if (c == '-' && i + 1 < n && text(i + 1) == '-') {
+        while (i < n && text(i) != '\n') { out(i) = ' '; i += 1 }
+      } else if (c == '/' && i + 1 < n && text(i + 1) == '*') {
+        out(i) = ' '; out(i + 1) = ' '; i += 2
+        while (i < n && !(text(i) == '*' && i + 1 < n && text(i + 1) == '/')) {
+          out(i) = ' '; i += 1
+        }
+        if (i + 1 < n) { out(i) = ' '; out(i + 1) = ' '; i += 2 }
+      } else i += 1
+    }
+    new String(out)
+  }
+
+  private def validateImpalaGrammar(text: String): Unit = {
+    val masked = maskQuotedAndComments(text)
+    if (hiveSortByRe.findFirstIn(masked).isDefined ||
+        hiveClusterByRe.findFirstIn(masked).isDefined)
       throw new IllegalStateException(
         "ParseException: Syntax error: SORT BY / CLUSTER BY / " +
           "DISTRIBUTE BY is not valid Impala syntax")
+  }
 
   private val dateLitRe =
     """(?is)\bDATE\s+(?:'([^']*)'|"([^"]*)")""".r
-  private def validateDateLiterals(text: String): Unit =
-    dateLitRe.findAllMatchIn(text).foreach { m =>
-      val v = Option(m.group(1)).getOrElse(m.group(2))
+  private def validateDateLiterals(text: String): Unit = {
+    // scan the masked text (a DATE keyword inside a string or comment
+    // is invisible), then read the literal back from the original via
+    // the group offsets — masking is length-preserving
+    val masked = maskQuotedAndComments(text)
+    dateLitRe.findAllMatchIn(masked).foreach { m =>
+      val g = if (m.group(1) != null) 1 else 2
+      val v = text.substring(m.start(g), m.end(g))
       if (graft.functions.ImpalaDateUtil.parse(v, acceptTime = false).isEmpty)
         throw new IllegalStateException(
           s"AnalysisException: Invalid date literal: '$v'")
     }
+  }
 
   private def impalaExpr: PartialFunction[Expression, Expression] = {
     case c: Cast if c.dataType == TimestampType &&

@@ -38,6 +38,14 @@ object GraftFunctions {
     "dayofyear" -> (a => ImpalaTimeFn(a.head, "dayofyear")),
     "round" -> (a =>
       ImpalaRound(a.head, if (a.length > 1) a(1) else Literal(0))),
+    // MADlib vector builtins (udf-builtins-ir.cc:99-200)
+    "madlib_vector" -> (a => MadlibVector(a.map(e =>
+      Cast(e, org.apache.spark.sql.types.DoubleType)))),
+    "madlib_vector_get" -> (a => MadlibVectorGet(
+      Cast(a(0), org.apache.spark.sql.types.LongType), a(1))),
+    "madlib_print_vector" -> (a => MadlibPrintVector(a.head)),
+    "madlib_encode_vector" -> (a => MadlibEncodeVector(a.head)),
+    "madlib_decode_vector" -> (a => MadlibDecodeVector(a.head)),
     "regexp_like" -> (a =>
       if (a.length == 2)
         org.apache.spark.sql.catalyst.expressions.RLike(a(0),

@@ -349,11 +349,12 @@ case class ImpalaPosixPattern(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override protected def nullSafeEval(v: Any): Any =
     UTF8String.fromString(
-      ImpalaPosixPattern.translate(v.toString))
+      ImpalaPosixPattern.translateChecked(v.toString, child.foldable))
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
       "org.apache.spark.unsafe.types.UTF8String.fromString(" +
-        s"graft.functions.ImpalaPosixPattern.translate($c.toString()))")
+        "graft.functions.ImpalaPosixPattern.translateChecked(" +
+        s"$c.toString(), ${child.foldable}))")
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "impala_posix_pattern"
 }
@@ -373,6 +374,35 @@ object ImpalaPosixPattern {
       out = out.replace(s"[:$name:]", repl)
     }
     out
+  }
+
+  /** Translate, then validate that the pattern compiles — Impala
+    * rejects a bad pattern with
+    * `Could not compile regexp pattern: <pat>` + RE2's detail line
+    * (`string-functions.cc` re2 compile, IMPALA-1756); a CONSTANT
+    * pattern fails during the analyzer's constant fold, wrapped as
+    * `Error evaluating "…" CAUSED BY: InternalException: …`
+    * (Analyzer.java). `foldable` picks which form the raise carries.
+    */
+  def translateChecked(p: String, foldable: Boolean): String = {
+    val out = translate(p)
+    try { java.util.regex.Pattern.compile(out); out }
+    catch {
+      case e: java.util.regex.PatternSyntaxException =>
+        // RE2's wording for the common cases; Java's otherwise
+        val desc = Option(e.getDescription).getOrElse("invalid pattern")
+        val detail =
+          if (desc.startsWith("Dangling meta character"))
+            "no argument for repetition operator: " +
+              desc.replaceAll(".*'(.)'.*", "$1")
+          else desc
+        val msg = s"Could not compile regexp pattern: $p Error: $detail"
+        if (foldable)
+          throw new IllegalStateException(
+            "AnalysisException: Error evaluating expression CAUSED BY: " +
+              s"InternalException: $msg")
+        else Ds.udfError(msg)
+    }
   }
 }
 

@@ -1099,14 +1099,6 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     * replaying (the generic error-path bucket).
     */
   private val catchSkip: Map[(String, Int), String] = Map(
-    ("exprs.test", 195) ->
-      "constant-folding error propagation (Impala folds at analysis and wraps 'Error evaluating …')",
-    ("exprs.test", 196) ->
-      "constant-folding error propagation over the madlib test UDF",
-    ("exprs.test", 197) ->
-      "constant-folding error propagation (Impala folds at analysis and wraps 'Error evaluating …')",
-    ("exprs.test", 202) ->
-      "madlib test-UDF constant-args error propagation",
     ("subquery.test", 68) ->
       "multi-row scalar-subquery message pins the subquery's toSql text",
     ("subquery.test", 74) ->

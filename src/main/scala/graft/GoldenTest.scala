@@ -247,7 +247,10 @@ object GoldenResult {
     val t = line.trim
     if (!t.startsWith("row_regex:")) None
     else Some(java.util.regex.Pattern.compile(
-      escapeRunnerVars(t.stripPrefix("row_regex:").trim)))
+      escapeRunnerVars(t.stripPrefix("row_regex:").trim),
+      // DOTALL: a multi-line string cell (ds_*_stringify summaries) is
+      // one row; the goldens' .* spans its embedded newlines
+      java.util.regex.Pattern.DOTALL))
   }
 
   /** The reference runner substitutes `$DATABASE`/`$NAMENODE`-style

@@ -1739,6 +1739,39 @@ object ImpalaDialect {
     }
   }
 
+  /** MAX_SCAN_RANGE_LENGTH vs multi-line text headers
+    * (`hdfs-text-scanner.cc:745-751`): when a table's
+    * skip.header.line.count > 1 and the first scan range (the option's
+    * byte length) ends before every header line is skipped, the scan
+    * FAILS — a 1-line header is handled across ranges. The registry in
+    * [[sources.FunctionalTables.headerTables]] carries the header
+    * line-end offsets; the check is a driver-side plan walk.
+    */
+  private def checkScanRangeHeader(spark: SparkSession,
+      analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : Unit = {
+    if (sources.FunctionalTables.headerTables.isEmpty) return
+    val msrl = spark.conf.getOption("graft.opt.MAX_SCAN_RANGE_LENGTH")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
+    if (msrl <= 0) return
+    analyzed.foreach {
+      case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+        sources.FunctionalTables.headerTables
+          .get(sa.identifier.name.toLowerCase).foreach {
+            case (lines, ends) if lines > 1 && ends.nonEmpty &&
+                msrl < ends.last =>
+              val skipped = ends.count(_ <= msrl)
+              throw new RuntimeException(
+                s"Could only skip $skipped header lines in first scan " +
+                  s"range but expected $lines. Try increasing " +
+                  "max_scan_range_length to a value larger than the " +
+                  "size of the file's header.")
+            case _ =>
+          }
+      case _ =>
+    }
+  }
+
   private val explainRe = """(?is)^\s*explain\s+(select\b.*|with\b.*|values\b.*)$""".r
 
   def sql(spark: SparkSession, text: String): DataFrame = {
@@ -1764,6 +1797,7 @@ object ImpalaDialect {
         : DataFrame = {
       val df = org.apache.spark.sql.graft.Bridge.ofRows(spark, plan)
       val analyzed = df.queryExecution.analyzed
+      checkScanRangeHeader(spark, analyzed)
       val fixed0 = analyzed.transformUpWithSubqueries {
         case p => p.transformExpressionsUp(impalaExpr)
       }

@@ -389,12 +389,26 @@ object ImpalaMeta {
         StructField("transform", StringType))))
   }
 
+  /** SHOW FILES on an Iceberg table lists every physical file under
+    * the table location — data AND metadata chain (iceberg-query.test
+    * pins the full 25-file listing), sorted by path.
+    */
   private def icebergFiles(spark: SparkSession, name: String)
       : Option[DataFrame] = icebergRegistry.get(name.toLowerCase).map { t =>
-    val rows = sources.IcebergLayout
-      .dataFiles(java.nio.file.Paths.get(t.dir))
-      .map { case (model, _, _, size) =>
-        Seq(model, ImpalaStats.printBytes(size), "") }
+    val dir = java.nio.file.Paths.get(t.dir)
+    val walk = java.nio.file.Files.walk(dir)
+    val rows =
+      try {
+        scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator())
+          .asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map { p =>
+            val rel = dir.relativize(p).toString
+              .replace(java.io.File.separatorChar, '/')
+            Seq(s"${t.location}/$rel",
+              ImpalaStats.printBytes(java.nio.file.Files.size(p)), "")
+          }.toSeq.sortBy(_.head)
+      } finally walk.close()
     strDf(spark, Seq("Path", "Size", "Partition"), rows)
   }
   private val showFunctionsRe =

@@ -38,6 +38,10 @@ object GraftFunctions {
     "dayofyear" -> (a => ImpalaTimeFn(a.head, "dayofyear")),
     "round" -> (a =>
       ImpalaRound(a.head, if (a.length > 1) a(1) else Literal(0))),
+    // pid() — the backend process id, constant across the query
+    // (utility-functions-ir.cc Pid; exprs.test's union-distinct probe
+    // verifies one process answers every row)
+    "pid" -> (_ => Literal(ProcessHandle.current().pid().toInt)),
     // MADlib vector builtins (udf-builtins-ir.cc:99-200)
     "madlib_vector" -> (a => MadlibVector(a.map(e =>
       Cast(e, org.apache.spark.sql.types.DoubleType)))),

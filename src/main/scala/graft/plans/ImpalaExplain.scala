@@ -187,7 +187,11 @@ object ImpalaExplain {
       .getOrElse(Set.empty)
     val lower = name.toLowerCase
     val db = lower.split('.').dropRight(1).mkString(".")
-    analyzed(lower) || (db.nonEmpty && analyzed(db)) || {
+    analyzed(lower) || (db.nonEmpty && analyzed(db)) ||
+    // COMPUTE STATS through the stats registry (rowCount >= 0 = stats
+    // computed) — the missing-stats WARNING clears once they exist
+    graft.ImpalaStats.lookup(lower.split('.').last)
+      .exists(_._2.rowCount >= 0) || {
       val parts = name.split('.')
       val ident =
         if (parts.length > 1) TableIdentifier(parts.last, Some(parts.head))
@@ -342,7 +346,14 @@ object ImpalaExplain {
     val estimateMb = 16.0 + 34.0 * heavy + 40.0 * scans
     out += f"Max Per-Host Resource Reservation: Memory=$reservationMb%.2fMB Threads=${scans + 2}%d"
     out += f"Per-Host Resource Estimates: Memory=$estimateMb%.2fMB"
+    // collection refs parse as relations too (`from complex_collection
+    // c, c.list` — c.list); the WARNING lists real TABLES lacking
+    // stats, so keep only names that resolve in the catalog
     val missing = names.filterNot(hasStats(spark, _)).distinct
+      .filter(n => scala.util.Try(spark.catalog.tableExists(n))
+        .getOrElse(false) ||
+        scala.util.Try(spark.catalog.tableExists(n.split('.').last))
+          .getOrElse(false))
     if (missing.nonEmpty) {
       out += "WARNING: The following tables are missing relevant table " +
         "and/or column statistics."

@@ -34,6 +34,15 @@ import org.apache.spark.sql.types._
   */
 object FunctionalTables {
 
+  /** Header-table registry for the MAX_SCAN_RANGE_LENGTH header-split
+    * error (`hdfs-text-scanner.cc:745-751`): table name →
+    * (skip.header.line.count, byte offsets past each header line's
+    * newline). A multi-line header that does not fit the first scan
+    * range fails the scan.
+    */
+  val headerTables =
+    scala.collection.mutable.HashMap.empty[String, (Int, Seq[Long])]
+
   private val schema = StructType(Seq(
     StructField("id", IntegerType, nullable = false),
     StructField("bool_col", BooleanType, nullable = false),
@@ -1357,6 +1366,14 @@ object FunctionalTables {
         if (java.nio.file.Files.isRegularFile(p)) {
           val sch = StructType.fromDDL("c1 int, c2 double")
           mk(loadTextSerde(p, sch).drop(skip), sch, name)
+          // byte offsets past each header line's newline — the
+          // MAX_SCAN_RANGE_LENGTH header-split error model
+          // (hdfs-text-scanner.cc:745-751) reads these
+          val bytes = java.nio.file.Files.readAllBytes(p)
+          val ends = bytes.zipWithIndex.collect {
+            case (b, i) if b == '\n' => i.toLong + 1
+          }.take(skip).toSeq
+          FunctionalTables.headerTables(name) = (skip, ends)
         }
     }
     // Iceberg fixtures (testdata/data/iceberg_test, HadoopTables

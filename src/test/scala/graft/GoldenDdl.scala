@@ -96,6 +96,20 @@ final class GoldenDdl(spark: SparkSession) {
       var format: String = "TEXT") {
     /** LIKE-a-dataset source snapshot — RECOVER PARTITIONS target. */
     var recoverSrc: Option[DataFrame] = None
+    /** ALTER ... SET FILEFORMAT AVRO on a table created WITHOUT an
+      * Avro schema leaves the scan metadata stale until INVALIDATE
+      * METADATA / REFRESH reloads it — scans raise the reference's
+      * `Missing Avro schema in scan node` error meanwhile
+      * (avro-schema-changes.test; HdfsScanNode Avro-schema check).
+      */
+    var staleAvroScan: Boolean = false
+    /** CREATE carried an avro.schema.url/.literal TBLPROPERTIES entry
+      * while the format was non-Avro — the precondition for the stale
+      * scan above (a format flip without one derives the Avro schema
+      * from the column defs at alter time and scans fine, the
+      * date-fileformat-support partition shapes).
+      */
+    var avroSchemaProp: Boolean = false
     /** Display style of SHOW TABLE STATS locations: true = the test
       * database dir ($DATABASE.db/…), false = an explicit
       * test-warehouse location (external tables over datasets).
@@ -236,6 +250,8 @@ final class GoldenDdl(spark: SparkSession) {
     val tm = ImpalaMeta.tableMeta.getOrElseUpdate(name.toLowerCase,
       new ImpalaMeta.TableMeta())
     tm.format = tables(name).format
+    if (stmt.toLowerCase.contains("avro.schema."))
+      tables(name).avroSchemaProp = true
     sortSpec match {
       case Some((cols, order)) => setSortParams(name, cols, order)
       case None => stmt match {
@@ -344,6 +360,8 @@ final class GoldenDdl(spark: SparkSession) {
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([A-Za-z_]\w*)\s*(?:purge\s*)?$""".r
   private val dropTableMissingRe =
     """(?is)^\s*drop\s+table\s+if\s+exists\s+([\w.]+)\s*(?:purge\s*)?$""".r
+  private val invalidateRefreshRe =
+    """(?is)^\s*(?:invalidate\s+metadata|refresh)\s+([A-Za-z_]\w*)\s*$""".r
   private val statsNoopRe =
     ("""(?is)^\s*(?:compute\s+(?:incremental\s+)?stats|refresh|""" +
       """invalidate\s+metadata|analyze\s+table|""" +
@@ -837,6 +855,11 @@ final class GoldenDdl(spark: SparkSession) {
         true
       case setFileFormatRe(name, partSpec, fmt) if tables.contains(name) =>
         val t = tables(name)
+        // flipping a non-Avro table (or one of its partitions) to AVRO
+        // leaves the cached scan metadata without an Avro schema —
+        // scans fail until the metadata is invalidated
+        if (fmtName(Some(fmt)) == "AVRO" && !t.isAvro && t.avroSchemaProp)
+          t.staleAvroScan = true
         Option(partSpec) match {
           case Some(spec) =>
             val keys = ImpalaStats.matchPartitions(spark, name, spec)
@@ -911,6 +934,12 @@ final class GoldenDdl(spark: SparkSession) {
         deleteWhere(name, Option(pred)); publish(name); true
       case updateRe(name, setTxt, pred) if tables.contains(name) =>
         updateSet(name, setTxt, Option(pred)); publish(name); true
+      case invalidateRefreshRe(name)
+          if tables.contains(name.toLowerCase) &&
+            tables(name.toLowerCase).staleAvroScan =>
+        // the metadata reload binds the Avro schema — scans work again
+        tables(name.toLowerCase).staleAvroScan = false
+        publish(name.toLowerCase); true
       case statsNoopRe() if tables.nonEmpty => true
       case _ => false
     }
@@ -1861,7 +1890,18 @@ final class GoldenDdl(spark: SparkSession) {
     }
     val full = StructType(t.dataSchema.fields ++ t.partSchema.fields)
     val view =
-      if (dfs.isEmpty)
+      if (t.staleAvroScan) {
+        // scan metadata lacks the Avro schema — every scan shape
+        // (including column-free count(*), via the filter) raises
+        val msg = "Missing Avro schema in scan node. " +
+          "This could be due to stale metadata. Running " +
+          "'invalidate metadata <tablename>' may resolve the problem."
+        def raiseCol(dt: DataType) = org.apache.spark.sql.graft.Bridge
+          .column(graft.functions.ImpalaRaiseOnRead(msg, dt))
+        spark.range(1).filter(raiseCol(BooleanType))
+          .select(full.fields.toSeq.map(f =>
+            raiseCol(f.dataType).as(f.name)): _*)
+      } else if (dfs.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), full)
       else dfs.reduce(_ unionAll _)
     view.createOrReplaceTempView(name)

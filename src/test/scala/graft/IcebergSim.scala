@@ -41,18 +41,30 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
   /** Register a reference-shipped fixture table (read-only metadata —
     * DESCRIBE HISTORY / SHOW PARTITIONS render from its real chain).
     */
-  def registerFixture(name: String, dir: String): Unit = {
+  def registerFixture(name: String, dir: String,
+      props: Map[String, String] = Map.empty): Unit = {
     val loc = scala.util.Try {
-      val hint = new String(Files.readAllBytes(
-        Paths.get(dir, "metadata/version-hint.text"))).trim
+      // hadoop.catalog fixtures ship without version-hint.text — fall
+      // back to the highest vN.metadata.json in the chain
+      val hint = scala.util.Try(new String(Files.readAllBytes(
+        Paths.get(dir, "metadata/version-hint.text"))).trim).getOrElse {
+        val vRe = """v(\d+)\.metadata\.json""".r
+        val listing = Files.list(Paths.get(dir, "metadata"))
+        try scala.jdk.CollectionConverters
+          .IteratorHasAsScala(listing.iterator()).asScala
+          .flatMap(p => vRe.findFirstMatchIn(p.getFileName.toString)
+            .map(_.group(1).toInt)).max.toString
+        finally listing.close()
+      }
       new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(Files.readAllBytes(
           Paths.get(dir, s"metadata/v$hint.metadata.json")))
         .get("location").asText()
     }.getOrElse(dir)
+    val p = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    props.foreach { case (k, v) => p(k) = v }
     registry(name.toLowerCase) = new ImpalaMeta.IcebergTbl(
-      dir, loc, external = true,
-      scala.collection.mutable.LinkedHashMap.empty)
+      dir, loc, external = true, p)
   }
 
   // ---- statement shapes ----

@@ -1072,6 +1072,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       "compute-stats-complextype-warning.test",
       "create-database.test", "describe-db.test", "functions-ddl.test",
       "create-table-like-file.test", "insert_part_key.test",
+      "insert.test",
       "iceberg-create.test", "iceberg-insert.test", "iceberg-alter.test",
       "iceberg-table-history.test", "iceberg-negative.test",
       "show-stats.test", "mt-dop-compute-stats.test", "hidden-files.test",
@@ -1760,6 +1761,17 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       }
       if (f == "hidden-files.test")
         StatsFixtureEnv.registerHiddenFiles(spark)
+      if (f == "insert.test") {
+        // the INSERT targets the reference loads as empty shells
+        // (schema template: alltypesinsert LIKE alltypes,
+        // alltypesnopart_insert LIKE alltypesnopart,
+        // insert_string_partitioned)
+        ddlStore.exec("create table alltypesinsert like alltypes")
+        ddlStore.exec(
+          "create table alltypesnopart_insert like alltypesnopart")
+        ddlStore.exec("create table insert_string_partitioned " +
+          "(s1 string) partitioned by (s2 string)")
+      }
       if (f == "set.test" || f == "show.test")
         StatsFixtureEnv.registerAlltypesAgg(spark)
       // date-fileformat-support: the runner creates three date tables
@@ -2172,6 +2184,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           "$DATABASE" -> icebergSim.database,
           "$EXTERNAL_WAREHOUSE_DIR" -> "test-warehouse",
           "$MANAGED_WAREHOUSE_DIR" -> "test-warehouse/managed")
+        else if (f == "insert.test")
+          // $ORIGINAL_DB qualifies the fixture db — folds into the
+          // single namespace (LIKE $ORIGINAL_DB.alltypes → the view)
+          Map("$ORIGINAL_DB." -> "")
         else if (f == "iceberg-query.test")
           // fixture metadata locations are scheme-less
           // (/test-warehouse/...) — strip the namenode spelling so the

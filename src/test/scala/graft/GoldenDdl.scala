@@ -355,7 +355,8 @@ final class GoldenDdl(spark: SparkSession) {
       """column\s+stats|cached|uncached)\b.*|sort\s+by\b.*|recover\s+partitions\s*)$""").r
   private val insertRe =
     ("""(?is)^\s*insert\s+(into|overwrite)\s+(?:table\s+)?([A-Za-z_]\w*)""" +
-      """(?:\s+partition\s*\(([^)]*)\))?\s+(.*)$""").r
+      """\s*(?:\(([A-Za-z_][\w\s,`]*)\))?""" + // column permutation list
+      """(?:\s+partition\s*\(((?:[^()]|\([^()]*\))*)\))?\s+(.*)$""").r
   private val dropTableRe =
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([A-Za-z_]\w*)\s*(?:purge\s*)?$""".r
   private val dropTableMissingRe =
@@ -444,7 +445,7 @@ final class GoldenDdl(spark: SparkSession) {
     val stmt =
       if (sortSpec.isDefined) sortByClauseRe.replaceAllIn(stmtQ, " ")
       else stmtQ
-    val handled = stmt match {
+    val handled = foldWithInsert(stmt) match {
       case ctasRe(ine, name, parts, fmt, source) =>
         if (ine == null || !tables.contains(name))
           ctas(name, Option(parts), source, Option(fmt))
@@ -882,10 +883,12 @@ final class GoldenDdl(spark: SparkSession) {
           case None => "Updated table."
         })
         true
-      case insertRe(mode, name, partSpec, source)
+      case insertRe(mode, name, colList, partSpec, source)
           if tables.contains(name) =>
         insert(name, mode.equalsIgnoreCase("overwrite"),
-          Option(partSpec), source)
+          Option(partSpec), source,
+          Option(colList).map(_.split(",").toSeq.map(_.trim.toLowerCase
+            .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
         publish(name); true
       case dropTableRe(name) if tables.contains(name) =>
         ImpalaMeta.tableMeta.remove(name.toLowerCase)
@@ -1610,18 +1613,82 @@ final class GoldenDdl(spark: SparkSession) {
     }
   }
 
+  /** `WITH ctes INSERT … SELECT` (Impala allows a WITH clause over an
+    * insert — insert.test's t1/t2 blocks): fold the leading CTEs into
+    * the insert's source query so [[insertRe]] sees a plain INSERT;
+    * when the source carries its own WITH, the CTE lists merge.
+    */
+  private def foldWithInsert(s: String): String = {
+    val lower = s.toLowerCase
+    if (!lower.trim.startsWith("with")) return s
+    var depth = 0
+    var i = 0
+    var quote: Char = 0
+    var at = -1
+    while (i < s.length && at < 0) {
+      val c = s.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else c match {
+        case '\'' | '"' => quote = c
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case 'i' | 'I' if depth == 0 && lower.startsWith("insert", i) &&
+            (i == 0 || !Character.isLetterOrDigit(lower.charAt(i - 1))) =>
+          at = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (at < 0) return s
+    val cteBody = s.substring(0, at).trim.drop(4) // strip "with"
+    s.substring(at) match {
+      case insertRe(mode, name, colList, partSpec, source) =>
+        val src2 =
+          if (source.trim.toLowerCase.startsWith("with"))
+            "WITH " + cteBody + ", " + source.trim.drop(4)
+          else "WITH " + cteBody + " " + source
+        s"INSERT $mode $name" +
+          Option(colList).map(c => s" ($c)").getOrElse("") +
+          Option(partSpec).map(p => s" PARTITION ($p)").getOrElse("") +
+          " " + src2
+      case _ => s
+    }
+  }
+
   private def insert(name: String, overwrite: Boolean,
-      partSpec: Option[String], sourceTxt0: String): Unit = {
+      partSpec: Option[String], sourceTxt0: String,
+      colList: Option[Seq[String]] = None): Unit = {
     val t = tables(name)
     // an Impala insert hint between the target and the source
     // (`insert into t partition(p) /*+noclustered*/ select …`) is a
     // physical-layout knob — drop it before parsing
     val sourceTxt = sourceTxt0.replaceAll("""^\s*/\*\+[^*]*\*/\s*""", "")
       .replaceAll("""^\s*\[\s*\w+\s*\]\s*""", "")
-    val src0 = ImpalaDialect.sql(spark,
+    val srcRaw = ImpalaDialect.sql(spark,
       if (sourceTxt.trim.toLowerCase.startsWith("values"))
         s"SELECT * FROM ($sourceTxt)"
       else sourceTxt)
+    // column permutation (InsertStmt.java): the listed data columns
+    // bind the leading source columns positionally, unlisted data
+    // columns fill NULL, dynamic partition columns keep taking the
+    // TRAILING source columns
+    val src0 = colList match {
+      case None => srcRaw
+      case Some(cols) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val renamed = srcRaw.toDF(
+          srcRaw.columns.indices.map(j => s"__cl$j"): _*)
+        val posOf = cols.zipWithIndex.toMap
+        val dataCols = t.dataSchema.fields.toSeq.map { f =>
+          posOf.get(f.name.toLowerCase) match {
+            case Some(j) if j < renamed.columns.length =>
+              col(renamed.columns(j)).cast(f.dataType).as(f.name)
+            case _ => lit(null).cast(f.dataType).as(f.name)
+          }
+        }
+        val trailing = renamed.columns.drop(cols.length).toSeq.map(col(_))
+        renamed.select(dataCols ++ trailing: _*)
+    }
     // Hive FileUtils.escapePathName: a fixed special-char set escapes
     // as %XX (slash, colon, brackets…); spaces stay literal
     // (`year=2010 /day=7`), unlike URL encoding
@@ -1657,7 +1724,10 @@ final class GoldenDdl(spark: SparkSession) {
       .map(_.trim.toLowerCase.stripPrefix("`").stripSuffix("`"))
     val nData = t.dataSchema.length
     if (dyn.isEmpty) {
-      val data = positional(src0.select(src0.columns.take(nData)
+      // bind by ordinal under fresh names — constant select lists may
+      // repeat output names ("1","1"), ambiguous for a by-name select
+      val ren = src0.toDF(src0.columns.indices.map(j => s"__s$j"): _*)
+      val data = positional(ren.select(ren.columns.take(nData)
         .map(org.apache.spark.sql.functions.col).toIndexedSeq: _*),
         t.dataSchema)
       val key = t.partSchema.fields.toSeq.map { pf =>

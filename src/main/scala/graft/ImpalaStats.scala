@@ -93,11 +93,18 @@ object ImpalaStats {
 
   def drop(name: String): Unit = registry.remove(name.toLowerCase)
 
+  /** Databases that have held a qualified side-table (cross-db
+    * renames) — their listings stay answerable even when emptied. */
+  val qualifiedDbs = scala.collection.mutable.Set.empty[String]
+
   /** ALTER TABLE RENAME keeps stats (the metastore moves them). */
-  def rename(from: String, to: String): Unit =
+  def rename(from: String, to: String): Unit = {
+    if (to.contains('.'))
+      qualifiedDbs += to.toLowerCase.split('.').head
     registry.remove(from.toLowerCase).foreach { case (m, st) =>
       registry(to.toLowerCase) = (m.copy(name = to), st)
     }
+  }
 
   /** A column's stats follow drops/renames: dropping or renaming a
     * column discards its entry (HIVE-15075 — stats aren't carried to
@@ -105,7 +112,7 @@ object ImpalaStats {
     */
   def forgetColumn(name: String, colName: String): Unit =
     lookup(name).foreach(_._2.colStats.remove(colName.toLowerCase))
-  def clear(): Unit = registry.clear()
+  def clear(): Unit = { registry.clear(); qualifiedDbs.clear() }
   def lookup(name: String): Option[(Model, State)] =
     registry.get(name.toLowerCase)
   /** Registered table names (the warehouse model's catalog listing). */

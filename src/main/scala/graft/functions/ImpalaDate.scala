@@ -311,10 +311,16 @@ case class ImpalaDateRangeSentinel(child: Expression, msg: String)
   * metadata-only count(*) path over a BIT_PACKED file), a referenced
   * one raises per scan.
   */
-case class ImpalaRaiseOnRead(msg: String, dataType: DataType)
+case class ImpalaRaiseOnRead(msg: String, dataType: DataType,
+    det: Boolean = true)
     extends LeafExpression with CodegenFallback {
   override def nullable: Boolean = true
   override def foldable: Boolean = false
+  // det=false keeps ConvertToLocalRelation from eagerly evaluating a
+  // poisoned projection over a LocalRelation-backed view while column
+  // pruning still drops it when unreferenced (unsupported_types);
+  // aggregate-guard uses must stay deterministic (CheckAnalysis)
+  override lazy val deterministic: Boolean = det
   override def eval(input: InternalRow): Any =
     throw new RuntimeException(msg)
 }

@@ -43,6 +43,14 @@ object FunctionalTables {
   val headerTables =
     scala.collection.mutable.HashMap.empty[String, (Int, Seq[Long])]
 
+  /** Tables whose data carries rows the reference's scanner REJECTS:
+    * under ABORT_ON_ERROR=1 the scan fails with the per-format message
+    * (hdfs-scanner.cc error path); under 0 the rejected rows read NULL
+    * with a logged warning — the registered views' steady-state.
+    */
+  val abortOnErrorTables =
+    scala.collection.mutable.HashMap.empty[String, String]
+
   private val schema = StructType(Seq(
     StructField("id", IntegerType, nullable = false),
     StructField("bool_col", BooleanType, nullable = false),
@@ -1295,11 +1303,17 @@ object FunctionalTables {
             OR t > TIMESTAMP'9999-12-31 23:59:59.999999'
             THEN NULL ELSE t END AS t""")
         .createOrReplaceTempView("timestamp_table")
+      FunctionalTables.abortOnErrorTables("timestamp_table") =
+        "timestamp_table/dateless_timestamps.parq' column 't' contains " +
+          "an out of range timestamp. The valid date range is " +
+          "1400-01-01..9999-12-31."
     } catch { case _: Throwable => }
     if (exists("data/dateless_timestamps.txt")) {
       val sch = StructType.fromDDL("t timestamp")
       mk(loadTextSerde(refRoot.resolve("data/dateless_timestamps.txt"), sch),
         sch, "timestamp_text_table")
+      FunctionalTables.abortOnErrorTables("timestamp_text_table") =
+        "Error converting column: 0 to TIMESTAMP"
     }
     // bzip2 text fixtures (text-bzip-scan.test): 1M-row number files;
     // Spark's text source decompresses bz2 (multi-stream included)
@@ -1357,6 +1371,94 @@ object FunctionalTables {
             "f12: map<string, struct<f21: bigint>>>>>, " +
             "year int, month int"))
       .createOrReplaceTempView("allcomplextypes")
+    // alltypeserror(nonulls) (schema template:287-340,437; testdata/
+    // AllTypesError*): error-tolerant text scans — the reference's
+    // scanner NULLs unparseable cells and logs per-row errors
+    // (text-converter.inline.h parse failures); file 09MM.txt loads as
+    // partition (year=2009, month=MM)
+    Seq(("alltypeserror", "AllTypesError"),
+        ("alltypeserrornonulls", "AllTypesErrorNoNulls")).foreach {
+      case (name, dirName) =>
+        val d = refRoot.resolve(dirName)
+        if (java.nio.file.Files.isDirectory(d)) {
+          val listing = java.nio.file.Files.list(d)
+          val files =
+            try scala.jdk.CollectionConverters
+              .IteratorHasAsScala(listing.iterator()).asScala.toSeq
+              .filter(_.getFileName.toString.endsWith(".txt"))
+              .sortBy(_.getFileName.toString)
+            finally listing.close()
+          // every column is nullable here — that is the point of the
+          // error tables
+          val errSchema = StructType(schema.fields.map(_.copy(nullable = true)))
+          val rows = files.flatMap { p =>
+            val base = p.getFileName.toString.stripSuffix(".txt")
+            val year = 2000 + base.take(2).toInt
+            val month = base.drop(2).toInt
+            loadTextSerde(p, errSchema, extra = Seq(year, month),
+              escaped = true)
+          }
+          mk(rows, errSchema, name)
+        }
+    }
+    // unsupported_types (schema template:1580-1603;
+    // UnsupportedTypes/data.csv): the BINARY column is an unsupported
+    // type — ANY select-list reference raises IMPALA-3812's analysis
+    // message while the supported columns read normally; DESCRIBE
+    // still shows the column as 'binary'
+    locally {
+      val p = refRoot.resolve("UnsupportedTypes/data.csv")
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val sch = StructType.fromDDL(
+          "int_col int, dec_col decimal(10,0), date_col date, " +
+            "str_col string, bin_col string, bigint_col bigint")
+        val local = spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(loadTextSerde(p, sch)).asJava), sch)
+        // back the view with a real scan — ConvertToLocalRelation
+        // would eagerly evaluate a poisoned projection over a
+        // LocalRelation, firing the raise for queries that never
+        // touch bin_col
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft-unsupported-types")
+        tmp.toFile.deleteOnExit()
+        local.write.mode("overwrite").parquet(tmp.toString)
+        val df = spark.read.parquet(tmp.toString)
+        df.select(df.schema.fields.map { f =>
+          if (f.name == "bin_col")
+            org.apache.spark.sql.graft.Bridge.column(
+              graft.functions.ImpalaRaiseOnRead(
+                "Unsupported type 'BINARY' in " +
+                  "'functional.unsupported_types.bin_col'.",
+                org.apache.spark.sql.types.BinaryType,
+                det = false)).as("bin_col")
+          else org.apache.spark.sql.functions.col(f.name)
+        }.toSeq: _*).createOrReplaceTempView("unsupported_types")
+      }
+    }
+    // hive_benchmark htmlTiny loads (schema template:1258-1290)
+    locally {
+      val rk = refRoot.resolve("hive_benchmark/htmlTiny/Rankings.dat")
+      if (java.nio.file.Files.isRegularFile(rk)) {
+        val sch = StructType.fromDDL(
+          "pagerank int, pageurl string, avgduration int")
+        mk(loadTextSerde(rk, sch, delim = "|"), sch, "rankingssmall")
+      }
+      val uv = refRoot.resolve("hive_benchmark/htmlTiny/UserVisits.dat")
+      if (java.nio.file.Files.isRegularFile(uv)) {
+        val sch = StructType.fromDDL(
+          "sourceip string, desturl string, visitdate string, " +
+            "adrevenue float, useragent string, ccode string, " +
+            "lcode string, skeyword string, avgtimeonsite int")
+        mk(loadTextSerde(uv, sch, delim = "|"), sch, "uservisitssmall")
+      }
+    }
+    // empty INSERT-target shells (schema template: LIKE alltypes /
+    // alltypesnopart, loaded with no data)
+    mk(Nil, schema, "alltypesinsert")
+    mk(Nil, StructType(schema.fields.dropRight(2)), "alltypesnopart_insert")
+    mk(Nil, StructType(schema.fields.dropRight(2)), "insert_overwrite_nopart")
+    mk(Nil, schema, "insert_overwrite_partitioned")
     // table_with_header(_2) (schema template:2628-2642): text files
     // whose first 1/2 lines are headers, skipped via the
     // skip.header.line.count table property

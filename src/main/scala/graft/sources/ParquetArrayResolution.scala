@@ -133,9 +133,19 @@ object ParquetArrayResolution {
     * projects as NULL here: the error path is an analysis-time
     * rejection in the reference, not a data outcome.
     */
+  /** Leaves the CURRENT projection could not resolve because a
+    * primitive slot matched a Parquet GROUP: viewName → (leafName,
+    * scanner message). Re-written on every [[project]] call with a
+    * non-empty `viewName`; the dialect rejects a query that extracts
+    * one of these leaves (Impala's incompatible-schema error fires
+    * only when the slot is actually materialized).
+    */
+  val incompatLeaves = scala.collection.mutable.LinkedHashMap
+    .empty[String, Seq[(String, String)]]
+
   def project(spark: SparkSession, file: String, colName: String,
       elemType: StructType, byName: Boolean,
-      arrayRes: ArrayRes): DataFrame = {
+      arrayRes: ArrayRes, viewName: String = ""): DataFrame = {
     val msg = footerSchema(spark, file)
     // top-level column: NAME matches case-insensitively, POSITION is
     // ordinal 0 of a one-column table — the same node either way here
@@ -239,6 +249,13 @@ object ParquetArrayResolution {
         s"'${f.name}', $v"
       }.mkString("named_struct(", ", ", ")")
 
+    if (viewName.nonEmpty)
+      incompatLeaves(viewName.toLowerCase) = outcomes.toSeq.collect {
+        case (path, Incompatible(m)) =>
+          path.last ->
+            (s"File '$file' has an incompatible Parquet schema for " +
+              s"column '${(colName +: path).mkString(".")}': $m")
+      }
     df.selectExpr(
       s"transform(`$trueCol`, x -> ${fieldSql(elemType, Nil)}) AS $colName")
   }

@@ -36,11 +36,13 @@ object SchemaResolution {
   /** Project `df` (physical read) onto `logical`, resolving by name or
     * by position.
     */
-  def project(df: DataFrame, logical: StructType, byName: Boolean): DataFrame = {
+  def project(df: DataFrame, logical: StructType, byName: Boolean,
+      srcFile: String = ""): DataFrame = {
     val phys = df.schema
     val cols = logical.fields.zipWithIndex.map { case (lf, i) =>
       bindField(phys.fields, lf, i, byName)
-        .map { pf => resolve(col(pf.name), pf.dataType, lf.dataType, byName) }
+        .map { pf => resolve(col(pf.name), pf.dataType, lf.dataType, byName,
+          srcFile) }
         .getOrElse(lit(null).cast(lf.dataType))
         .as(lf.name)
     }
@@ -67,13 +69,13 @@ object SchemaResolution {
   }
 
   private def resolve(c: Column, phys: DataType, log: DataType,
-      byName: Boolean): Column = (phys, log) match {
+      byName: Boolean, srcFile: String = ""): Column = (phys, log) match {
     case (p, l) if p == l => c
     case (p: StructType, l: StructType) =>
       val inner = l.fields.zipWithIndex.map { case (lf, i) =>
         bindField(p.fields, lf, i, byName)
           .map(pf => resolve(c.getField(pf.name), pf.dataType, lf.dataType,
-            byName))
+            byName, srcFile))
           .getOrElse(lit(null).cast(lf.dataType))
           .as(lf.name)
       }
@@ -81,19 +83,29 @@ object SchemaResolution {
       // physical NULL struct itself
       when(c.isNotNull, struct(inner.toIndexedSeq: _*))
     case (ArrayType(pe, _), ArrayType(le, _)) =>
-      transform(c, x => resolve(x, pe, le, byName))
+      transform(c, x => resolve(x, pe, le, byName, srcFile))
     case (MapType(pk, pv, _), MapType(lk, lv, _))
         if compat(pk, lk) && compat(pv, lv) =>
       map_from_arrays(
-        transform(map_keys(c), x => resolve(x, pk, lk, byName)),
-        transform(map_values(c), x => resolve(x, pv, lv, byName)))
+        transform(map_keys(c), x => resolve(x, pk, lk, byName, srcFile)),
+        transform(map_values(c), x => resolve(x, pv, lv, byName, srcFile)))
     case (MapType(pk, pv, _), MapType(lk, lv, _))
         if byName && compat(pk, lv) && compat(pv, lk) =>
       // switched key/value group order: the positional read inverted
       // the roles; NAME resolution restores them
       map_from_arrays(
-        transform(map_values(c), x => resolve(x, pv, lk, byName)),
-        transform(map_keys(c), x => resolve(x, pk, lv, byName)))
+        transform(map_values(c), x => resolve(x, pv, lk, byName, srcFile)),
+        transform(map_keys(c), x => resolve(x, pk, lv, byName, srcFile)))
+    // a map whose key/value types match neither directly nor crosswise
+    // cannot be resolved — the reference scan REJECTS the file
+    // (parquet-metadata-utils.cc ValidateColumn's incompatible-schema
+    // error; parquet-resolution-by-name.test's switched-map POSITION
+    // probe)
+    case (_: MapType, l: MapType) if srcFile.nonEmpty =>
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.ImpalaRaiseOnRead(
+          s"File '$srcFile' has an incompatible Parquet schema for column",
+          l))
     case (p, l) if compat(p, l) => c.cast(l)
     case (_, l) => lit(null).cast(l)
   }

@@ -359,6 +359,9 @@ final class GoldenDdl(spark: SparkSession) {
       """(?:\s+partition\s*\(((?:[^()]|\([^()]*\))*)\))?\s+(.*)$""").r
   private val dropTableRe =
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([A-Za-z_]\w*)\s*(?:purge\s*)?$""".r
+  private val dropQualTableRe =
+    ("""(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?""" +
+      """([A-Za-z_]\w*)\.([A-Za-z_]\w*)\s*(?:purge\s*)?$""").r
   private val dropTableMissingRe =
     """(?is)^\s*drop\s+table\s+if\s+exists\s+([\w.]+)\s*(?:purge\s*)?$""".r
   private val invalidateRefreshRe =
@@ -568,9 +571,13 @@ final class GoldenDdl(spark: SparkSession) {
           // rename INTO another database: the table leaves this one
           // but stays addressable under its qualified name (the model
           // can rename it back — alter-table.test round-trips it)
-          val key = s"${toDb.toLowerCase}.$to"
+          val key = s"${toDb.toLowerCase}.${to.toLowerCase}"
           tables(key) = tables.remove(from).get
           ImpalaStats.rename(from, key)
+          // the moved model's closures must re-bind to the new key —
+          // SHOW TABLE STATS on the qualified name reads the same
+          // partition/file ledger the table had before the move
+          registerStats(key)
           spark.catalog.dropTempView(from); published -= from
         } else {
           tables(to) = tables.remove(from).get
@@ -890,6 +897,14 @@ final class GoldenDdl(spark: SparkSession) {
           Option(colList).map(_.split(",").toSeq.map(_.trim.toLowerCase
             .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
         publish(name); true
+      case dropQualTableRe(db, name)
+          if tables.contains(s"${db.toLowerCase}.${name.toLowerCase}") =>
+        // a table renamed INTO another db drops under its qualified name
+        val key = s"${db.toLowerCase}.${name.toLowerCase}"
+        tables.remove(key)
+        ImpalaStats.drop(key)
+        lastMessage = Some("Table has been dropped.")
+        true
       case dropTableRe(name) if tables.contains(name) =>
         ImpalaMeta.tableMeta.remove(name.toLowerCase)
         val t = tables.remove(name).get
@@ -1976,9 +1991,15 @@ final class GoldenDdl(spark: SparkSession) {
       else dfs.reduce(_ unionAll _)
     view.createOrReplaceTempView(name)
     published += name
-    // keep the stats catalog's physical model in sync (partition
-    // listing + file ledger feed SHOW TABLE STATS; the published view
-    // is COMPUTE STATS' scan target)
+    registerStats(name)
+  }
+
+  /** Keep the stats catalog's physical model in sync (partition
+    * listing + file ledger feed SHOW TABLE STATS; the published view
+    * is COMPUTE STATS' scan target). Qualified keys (cross-db renames)
+    * have no temp view — their scan target is empty.
+    */
+  private def registerStats(name: String): Unit =
     ImpalaStats.register(ImpalaStats.Model(
       name,
       () => tables.get(name).map(_.dataSchema).getOrElse(new StructType()),
@@ -1995,8 +2016,11 @@ final class GoldenDdl(spark: SparkSession) {
             else "$NAMENODE/test-warehouse/") + path)
         }
       }.getOrElse(Nil),
-      () => spark.table(name),
+      () => scala.util.Try(spark.table(name)).getOrElse(
+        spark.createDataFrame(new java.util.ArrayList[Row](),
+          tables.get(name).map(t =>
+            StructType(t.dataSchema.fields ++ t.partSchema.fields))
+            .getOrElse(new StructType()))),
       hbaseRegions =
         tables.get(name).map(_.hbaseRegions).getOrElse(Nil)))
-  }
 }

@@ -256,6 +256,22 @@ class IcebergSim(spark: SparkSession, ddl: GoldenDdl) {
           Files.deleteIfExists(p): Unit
         }
         rm(Paths.get(t.dir))
+        // external twins over the purged location go stale: their next
+        // scan fails loading the metadata chain (HadoopTables.load —
+        // `Table does not exist at location`)
+        registry.foreach { case (n2, t2) =>
+          if (t2.external &&
+              Paths.get(t2.dir).startsWith(Paths.get(t.dir))) {
+            val msg = s"Table does not exist at location: ${t2.location}"
+            def raise(dt: org.apache.spark.sql.types.DataType) =
+              org.apache.spark.sql.graft.Bridge.column(
+                graft.functions.ImpalaRaiseOnRead(msg, dt))
+            spark.range(1)
+              .filter(raise(org.apache.spark.sql.types.BooleanType))
+              .select(raise(org.apache.spark.sql.types.StringType).as("c"))
+              .createOrReplaceTempView(n2)
+          }
+        }
       }
       ddl.lastMessage = Some("Table has been dropped.")
       true

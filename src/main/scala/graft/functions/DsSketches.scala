@@ -611,8 +611,14 @@ case class DsKllStringify(child: Expression) extends UnaryExpression
     val b = Ds.bytesOf(v)
     if (b.isEmpty) return null
     val sk = Ds.kllHeapify(b)
+    // the C++ kll_sketch::to_string spells field names sentence-case
+    // ("Estimation mode") where the Java summary capitalizes each word
+    // — the reference goldens regex on the C++ spellings
     val body = sk.toString
-      .linesIterator.drop(1).filterNot(_.trim.isEmpty).mkString("\n")
+      .linesIterator.drop(1).filterNot(_.trim.isEmpty)
+      .map(_.replace("Estimation Mode", "Estimation mode")
+        .replace("Dynamic min K", "Min K"))
+      .mkString("\n")
     UTF8String.fromString(
       s"### KLL sketch summary:\n$body\n### End sketch summary\n")
   }

@@ -1453,12 +1453,6 @@ object FunctionalTables {
         mk(loadTextSerde(uv, sch, delim = "|"), sch, "uservisitssmall")
       }
     }
-    // empty INSERT-target shells (schema template: LIKE alltypes /
-    // alltypesnopart, loaded with no data)
-    mk(Nil, schema, "alltypesinsert")
-    mk(Nil, StructType(schema.fields.dropRight(2)), "alltypesnopart_insert")
-    mk(Nil, StructType(schema.fields.dropRight(2)), "insert_overwrite_nopart")
-    mk(Nil, schema, "insert_overwrite_partitioned")
     // table_with_header(_2) (schema template:2628-2642): text files
     // whose first 1/2 lines are headers, skipped via the
     // skip.header.line.count table property

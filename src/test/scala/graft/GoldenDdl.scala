@@ -355,8 +355,10 @@ final class GoldenDdl(spark: SparkSession) {
       """column\s+stats|cached|uncached)\b.*|sort\s+by\b.*|recover\s+partitions\s*)$""").r
   private val insertRe =
     ("""(?is)^\s*insert\s+(into|overwrite)\s+(?:table\s+)?([A-Za-z_]\w*)""" +
-      """\s*(?:\(([A-Za-z_][\w\s,`]*)\))?""" + // column permutation list
-      """(?:\s+partition\s*\(((?:[^()]|\([^()]*\))*)\))?\s+(.*)$""").r
+      // column permutation list — possibly EMPTY `()`; never a
+      // parenthesized source query
+      """\s*(?:\((?!\s*(?:select|values|with)\b)([\w\s,`]*)\))?""" +
+      """(?:\s+partition\s*\(((?:[^()]|\([^()]*\))*)\))?(?:\s+(.*))?$""").r
   private val dropTableRe =
     """(?is)^\s*drop\s+table\s+(?:if\s+exists\s+)?([A-Za-z_]\w*)\s*(?:purge\s*)?$""".r
   private val dropQualTableRe =
@@ -893,7 +895,7 @@ final class GoldenDdl(spark: SparkSession) {
       case insertRe(mode, name, colList, partSpec, source)
           if tables.contains(name) =>
         insert(name, mode.equalsIgnoreCase("overwrite"),
-          Option(partSpec), source,
+          Option(partSpec), Option(source).getOrElse(""),
           Option(colList).map(_.split(",").toSeq.map(_.trim.toLowerCase
             .stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
         publish(name); true
@@ -1679,16 +1681,20 @@ final class GoldenDdl(spark: SparkSession) {
     // physical-layout knob — drop it before parsing
     val sourceTxt = sourceTxt0.replaceAll("""^\s*/\*\+[^*]*\*/\s*""", "")
       .replaceAll("""^\s*\[\s*\w+\s*\]\s*""", "")
-    val srcRaw = ImpalaDialect.sql(spark,
-      if (sourceTxt.trim.toLowerCase.startsWith("values"))
-        s"SELECT * FROM ($sourceTxt)"
-      else sourceTxt)
+    val srcRaw =
+      // an insert with NO query statement (`insert into t()
+      // PARTITION(p1=10)`) writes one all-defaults row
+      if (sourceTxt.trim.isEmpty) spark.range(1).select()
+      else ImpalaDialect.sql(spark,
+        if (sourceTxt.trim.toLowerCase.startsWith("values"))
+          s"SELECT * FROM ($sourceTxt)"
+        else sourceTxt)
     // column permutation (InsertStmt.java): the listed data columns
     // bind the leading source columns positionally, unlisted data
     // columns fill NULL, dynamic partition columns keep taking the
     // TRAILING source columns
-    val src0 = colList match {
-      case None => srcRaw
+    val (src0, listedParts) = colList match {
+      case None => (srcRaw, Nil)
       case Some(cols) =>
         import org.apache.spark.sql.functions.{col, lit}
         val renamed = srcRaw.toDF(
@@ -1701,8 +1707,17 @@ final class GoldenDdl(spark: SparkSession) {
             case _ => lit(null).cast(f.dataType).as(f.name)
           }
         }
+        // PARTITION columns named in the permutation list
+        // (insert_permutation.test) ride as trailing dynamic columns
+        // in partition-schema order
+        val partListed = t.partSchema.fields.toSeq
+          .filter(f => posOf.contains(f.name.toLowerCase))
+        val partCols = partListed.map(f =>
+          col(renamed.columns(posOf(f.name.toLowerCase)))
+            .cast(f.dataType).as(f.name))
         val trailing = renamed.columns.drop(cols.length).toSeq.map(col(_))
-        renamed.select(dataCols ++ trailing: _*)
+        (renamed.select(dataCols ++ partCols ++ trailing: _*),
+          partListed.map(_.name.toLowerCase))
     }
     // Hive FileUtils.escapePathName: a fixed special-char set escapes
     // as %XX (slash, colon, brackets…); spaces stay literal
@@ -1736,7 +1751,8 @@ final class GoldenDdl(spark: SparkSession) {
         e.drop(i + 1).trim
     }.toMap
     val dyn = entries.filterNot(_.contains("="))
-      .map(_.trim.toLowerCase.stripPrefix("`").stripSuffix("`"))
+      .map(_.trim.toLowerCase.stripPrefix("`").stripSuffix("`")) ++
+      listedParts
     val nData = t.dataSchema.length
     if (dyn.isEmpty) {
       // bind by ordinal under fresh names — constant select lists may

@@ -1772,13 +1772,35 @@ object ImpalaDialect {
   private def checkScanRangeHeader(spark: SparkSession,
       analyzed: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : Unit = {
-    // DEBUG_ACTION with a FAIL command injects a query failure at the
-    // labeled exec point (debug-util.cc DebugActionImpl — joins.test's
-    // IMPALA-9309 probe); the exec point itself is fabricated, the
-    // injected failure is the contract
+    // DEBUG_ACTION failure injection (debug-util.cc DebugActionImpl —
+    // joins.test's IMPALA-9309 probe). The spec is a '|'-separated list
+    // of `label:CMD[@arg…]` / `node_id:phase:CMD[@arg…]` actions; only
+    // a FAIL command whose probability is 1.0 (the default) injects —
+    // WAIT/DELAY/JITTER/SET_DENY_RESERVATION_PROBABILITY and
+    // sub-certain FAIL@p are no-ops here (the exec points are
+    // fabricated; the deterministic injected failure is the contract).
+    // Node-scoped FAILs (numeric id ≥ 0 names a plan node) only fire
+    // on statements that actually plan a scan.
     spark.conf.getOption("graft.opt.DEBUG_ACTION").foreach { da =>
-      if (da.toUpperCase.contains("FAIL"))
-        throw new RuntimeException("Debug Action: FAIL")
+      // fixture tables are LocalRelation-backed here, so any leaf but
+      // the constant-select OneRowRelation counts as a planned scan
+      val hasScan = analyzed.collectLeaves().exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => false
+        case _ => true
+      }
+      da.split('|').map(_.trim).filter(_.nonEmpty).foreach { action =>
+        val parts = action.split(':')
+        val cmdPart = parts.last.trim
+        val cmdArgs = cmdPart.split('@')
+        val cmd = cmdArgs.head.trim.toUpperCase
+        val prob = if (cmdArgs.length > 1)
+          scala.util.Try(cmdArgs(1).trim.toDouble).getOrElse(1.0)
+        else 1.0
+        val nodeScoped = parts.length >= 3 &&
+          scala.util.Try(parts.head.trim.toInt).toOption.exists(_ >= 0)
+        if (cmd == "FAIL" && prob >= 1.0 && (!nodeScoped || hasScan))
+          throw new RuntimeException("Debug Action: FAIL")
+      }
     }
     // ambiguous-array leaves whose primitive slot bound a Parquet
     // GROUP under the session's resolution policy: referencing one

@@ -44,22 +44,53 @@ case class ImpalaDecimalRescale(child: Expression, targetScale: Int,
   * `Decimal expression overflowed`. Applied only to arithmetic whose
   * natural result precision exceeds 38 — everything else is
   * overflow-free by construction and stays on the codegen path.
+  *
+  * Each operand subtree is evaluated exactly once per row: the operand
+  * values are captured into leaf holders and the arithmetic is re-run
+  * over the holders, so side-effecting or non-deterministic operands
+  * cannot yield inconsistent null-vs-overflow classification.
   */
 case class ImpalaDecimalArithGuard(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable
-  override def eval(input: InternalRow): Any = {
-    val v = child.eval(input)
-    if (v == null) child match {
-      case b: BinaryExpression
-          if b.left.eval(input) != null && b.right.eval(input) != null =>
-        Ds.udfError("Decimal expression overflowed")
-      case _ =>
-    }
-    v
+
+  @transient private lazy val bound: Option[(Expression, ValueHolder,
+      ValueHolder, Expression, Expression)] = child match {
+    case b: BinaryExpression =>
+      val lh = ValueHolder(b.left.dataType)
+      val rh = ValueHolder(b.right.dataType)
+      Some((b.withNewChildren(Seq(lh, rh)), lh, rh, b.left, b.right))
+    case _ => None
+  }
+
+  override def eval(input: InternalRow): Any = bound match {
+    case Some((arith, lh, rh, left, right)) =>
+      val l = left.eval(input)
+      val r = right.eval(input)
+      if (l == null || r == null) null
+      else {
+        lh.value = l; rh.value = r
+        val v = arith.eval(input)
+        if (v == null) Ds.udfError("Decimal expression overflowed")
+        v
+      }
+    case None => child.eval(input)
   }
   override protected def withNewChildInternal(c: Expression): ImpalaDecimalArithGuard =
     copy(child = c)
   override def prettyName: String = "impala_decimal_arith_guard"
+}
+
+/** Leaf that replays a captured operand value; lets a wrapped
+  * arithmetic re-run over already-evaluated operands without
+  * re-evaluating the operand subtrees (see ImpalaDecimalArithGuard).
+  */
+case class ValueHolder(dt: DataType)
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with CodegenFallback {
+  @transient var value: Any = null
+  override def dataType: DataType = dt
+  override def nullable: Boolean = true
+  override def eval(input: InternalRow): Any = value
 }

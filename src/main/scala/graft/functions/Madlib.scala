@@ -90,11 +90,17 @@ case class MadlibPrintVector(child: Expression) extends UnaryExpression
 
 object MadlibPrintVector {
   /** C++ `ostream << double` default formatting: %g at precision 6
-    * with trailing zeros stripped. */
+    * with trailing zeros stripped — including from the mantissa of
+    * scientific form (`1e+07`, not `1.00000e+07`). */
   def ccDouble(d: Double): String = {
     val s = "%.6g".format(d)
-    if (s.contains('e') || !s.contains('.')) s
-    else s.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+    def strip(m: String): String =
+      if (m.contains('.'))
+        m.reverse.dropWhile(_ == '0').stripPrefix(".").reverse
+      else m
+    val ei = s.indexWhere(c => c == 'e' || c == 'E')
+    if (ei >= 0) strip(s.substring(0, ei)) + s.substring(ei)
+    else strip(s)
   }
 }
 

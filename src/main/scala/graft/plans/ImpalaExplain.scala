@@ -189,9 +189,13 @@ object ImpalaExplain {
     val db = lower.split('.').dropRight(1).mkString(".")
     analyzed(lower) || (db.nonEmpty && analyzed(db)) ||
     // COMPUTE STATS through the stats registry (rowCount >= 0 = stats
-    // computed) — the missing-stats WARNING clears once they exist
-    graft.ImpalaStats.lookup(lower.split('.').last)
-      .exists(_._2.rowCount >= 0) || {
+    // computed) — the missing-stats WARNING clears once they exist.
+    // Qualified names resolve only their own "db.name" key; a bare
+    // name also tries the registry's unqualified key, so stats on
+    // db2.foo never mask a missing-stats WARNING for db1.foo.
+    graft.ImpalaStats.lookup(lower).exists(_._2.rowCount >= 0) ||
+    (db.isEmpty && graft.ImpalaStats.lookup(lower.split('.').last)
+      .exists(_._2.rowCount >= 0)) || {
       val parts = name.split('.')
       val ident =
         if (parts.length > 1) TableIdentifier(parts.last, Some(parts.head))

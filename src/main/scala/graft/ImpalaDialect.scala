@@ -1175,6 +1175,11 @@ object ImpalaDialect {
     case c: Cast if c.child.isInstanceOf[Literal] =>
       s"CAST(${impalaLitSql(c.child)} AS " +
         s"${graft.functions.DsResolve.typeName(c.dataType)})"
+    case c: graft.functions.ImpalaV1DecimalCast
+        if c.child.isInstanceOf[Literal] =>
+      // V1 truncating casts print as the CAST the user wrote
+      s"CAST(${impalaLitSql(c.child)} AS " +
+        s"${graft.functions.DsResolve.typeName(c.dataType)})"
     case other => other.sql
   }
 
@@ -1252,7 +1257,42 @@ object ImpalaDialect {
     }
   }
 
+  /** Is the session in legacy DECIMAL_V2=false ("V1") mode? V1 decimal
+    * semantics: truncating divide/cast, NULL-with-warning instead of
+    * raising on overflow/parse failure, input-typed avg, int128
+    * wraparound sums (TypesUtil.getDecimalArithmeticResultTypeV1,
+    * decimal-exprs.test `set decimal_v2=false` sections).
+    */
+  private def decimalV1Mode(spark: SparkSession): Boolean =
+    spark.conf.getOption("graft.opt.DECIMAL_V2")
+      .exists(v => v.equalsIgnoreCase("false") || v.trim == "0")
+
+  private def activeV1: Boolean =
+    scala.util.Try(decimalV1Mode(SparkSession.active)).getOrElse(false)
+
+  /** Strip analyzer-inserted lossless decimal widening casts so V1
+    * arithmetic result types derive from the operands' ORIGINAL types
+    * (Impala's analyzer computes them pre-coercion; Spark's post-).
+    */
+  private def stripDecimalWiden(e: Expression): Expression = e match {
+    case c: Cast if c.child.resolved &&
+        c.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+        (c.child.dataType match {
+          case cd: org.apache.spark.sql.types.DecimalType =>
+            val d = c.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+            d.scale >= cd.scale &&
+              d.precision - d.scale >= cd.precision - cd.scale
+          case _ => false
+        }) => stripDecimalWiden(c.child)
+    case _ => e
+  }
+
   private def impalaExpr: PartialFunction[Expression, Expression] = {
+    val v1 = activeV1
+    impalaExprPf(v1)
+  }
+
+  private def impalaExprPf(v1: Boolean): PartialFunction[Expression, Expression] = {
     case c: Cast if c.dataType == TimestampType &&
         c.evalMode == EvalMode.ANSI && c.child.resolved &&
         c.child.dataType.isInstanceOf[StringType] =>
@@ -1382,27 +1422,68 @@ object ImpalaDialect {
     // `operators.cc` — C++ has no SQLSTATE 22012). Spark's TRY eval
     // mode is the exact analog of that contract.
     // strict STRING→DECIMAL (DECIMAL_V2 errors on parse failure and
-    // overflow — decimal-exprs.test CATCH contract)
-    case c: Cast if c.child.resolved &&
+    // overflow — decimal-exprs.test CATCH contract); V1 NULLs with a
+    // UDF WARNING instead (string-parser.h PARSE_FAILURE under V1)
+    case c: Cast if !v1 && c.child.resolved &&
         c.child.dataType.isInstanceOf[StringType] &&
         c.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
       graft.functions.ImpalaCastToDecimal(c.child,
         c.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType])
+    case c: Cast if v1 && c.evalMode == EvalMode.ANSI && c.child.resolved &&
+        c.child.dataType.isInstanceOf[StringType] &&
+        c.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+      c.copy(evalMode = EvalMode.TRY)
+    // V1 decimal→decimal cast truncates toward zero and NULLs when the
+    // value does not fit the target precision (decimal-exprs.test
+    // `cast(d3 as decimal(20,3))` → 1.234 not 1.235; the IMPALA-1837
+    // precision-loss coalesce row)
+    case c: Cast if v1 && c.child.resolved &&
+        c.child.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
+        c.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+      val d = c.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+      graft.functions.ImpalaV1DecimalCast(c.child, d.precision, d.scale)
     case c: Cast if c.evalMode == EvalMode.ANSI && c.child.resolved &&
         c.child.dataType.isInstanceOf[StringType] &&
         c.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] =>
       c.copy(evalMode = EvalMode.TRY)
     case d: Divide if d.resolved && d.dataType == DoubleType =>
       graft.functions.ImpalaDoubleDiv(d.left, d.right)
+    // V1 decimal division/modulo: result type per the V1 rule over the
+    // ORIGINAL operand types (widening coercions stripped), truncation
+    // toward zero, NULL on zero divisor or >38-digit result
+    case d: Divide if v1 && d.resolved &&
+        d.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+      val l = stripDecimalWiden(d.left)
+      val r = stripDecimalWiden(d.right)
+      (l.dataType, r.dataType) match {
+        case (a: org.apache.spark.sql.types.DecimalType,
+              b: org.apache.spark.sql.types.DecimalType) =>
+          val (p, s) = graft.functions.ImpalaDecimalV1.v1ResultType(
+            a.precision, a.scale, b.precision, b.scale, "div")
+          graft.functions.ImpalaV1Divide(l, r, p, s)
+        case _ => d
+      }
+    case m: Remainder if v1 && m.resolved &&
+        m.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+      val l = stripDecimalWiden(m.left)
+      val r = stripDecimalWiden(m.right)
+      (l.dataType, r.dataType) match {
+        case (a: org.apache.spark.sql.types.DecimalType,
+              b: org.apache.spark.sql.types.DecimalType) =>
+          val (p, s) = graft.functions.ImpalaDecimalV1.v1ResultType(
+            a.precision, a.scale, b.precision, b.scale, "mod")
+          graft.functions.ImpalaV1Mod(l, r, p, s)
+        case _ => m
+      }
     // DECIMAL_V2 division/modulo by zero RAISES ("Cannot divide
     // decimal by zero", operators.cc) — guard the divisor; other
     // arithmetic failure modes keep the TRY-null contract
-    case d: Divide if d.resolved &&
+    case d: Divide if !v1 && d.resolved &&
         d.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
         !d.right.isInstanceOf[graft.functions.ImpalaDecimalDivisor] =>
       Divide(d.left, graft.functions.ImpalaDecimalDivisor(d.right),
         d.evalContext.copy(evalMode = EvalMode.TRY))
-    case r: Remainder if r.resolved &&
+    case r: Remainder if !v1 && r.resolved &&
         r.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] &&
         !r.right.isInstanceOf[graft.functions.ImpalaDecimalDivisor] =>
       Remainder(r.left, graft.functions.ImpalaDecimalDivisor(r.right),
@@ -1433,7 +1514,7 @@ object ImpalaDialect {
     case ae @ org.apache.spark.sql.catalyst.expressions.aggregate
         .AggregateExpression(avg @ org.apache.spark.sql.catalyst
         .expressions.aggregate.Average(child, _), _, _, _, _)
-        if child.resolved && (child.dataType match {
+        if !v1 && child.resolved && (child.dataType match {
           // integer digits must fit DECIMAL(38,6) — avg over
           // decimal(38,0) extremes keeps Spark's native scale instead
           // of overflowing (decimal-exprs.test boundary rows)
@@ -1509,7 +1590,104 @@ object ImpalaDialect {
               org.apache.spark.sql.types.LongType)): Expression
         }.reduce(org.apache.spark.sql.catalyst.expressions.Add(_, _))
     }
-    val pf = preDivide.orElse(groupingId).orElse(impalaExpr)
+    // ---- DECIMAL_V2=false pre-analysis rewrites ----
+    val v1 = activeV1
+    // V1 literal heuristic (Expr.convertNumericLiteralsFromDecimal):
+    // in binary arithmetic where exactly ONE side is a decimal literal
+    // (not an explicit decimal cast) and the other is integer/float
+    // typed, the literal converts to DOUBLE — `10.0 / 0` is raw double
+    // division (inf), `typeof(9.6 % 3)` is DOUBLE.
+    def decLit(e: Expression)
+        : Option[org.apache.spark.sql.types.Decimal] = e match {
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) => Some(d)
+      case _ => None
+    }
+    def intOrFloat(e: Expression): Boolean = e.resolved && (e.dataType match {
+      case _: org.apache.spark.sql.types.DecimalType => false
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case org.apache.spark.sql.types.DoubleType |
+           org.apache.spark.sql.types.FloatType => true
+      case _ => false
+    })
+    def v1Heuristic(b: org.apache.spark.sql.catalyst.expressions
+        .BinaryArithmetic): Option[(Expression, Expression)] =
+      (decLit(b.left), decLit(b.right)) match {
+        case (Some(d), None) if intOrFloat(b.right) =>
+          Some((Literal(d.toDouble), b.right))
+        case (None, Some(d)) if intOrFloat(b.left) =>
+          Some((b.left, Literal(d.toDouble)))
+        case _ => None
+      }
+    // Impala types integer literals by value (NumericLiteral picks the
+    // smallest integer type) — mod()'s V1 arg coercion needs it
+    def minResDecimal(e: Expression): Option[(Int, Int)] = e match {
+      case Literal(d: org.apache.spark.sql.types.Decimal, _) =>
+        Some((d.precision, d.scale))
+      case Literal(v: Int, _) =>
+        val a = math.abs(v.toLong)
+        Some((if (a <= 127) 3 else if (a <= 32767) 5 else 10, 0))
+      case Literal(v: Long, _) => Some((19, 0))
+      case c: Cast if c.resolved &&
+          c.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType] =>
+        val d = c.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType]
+        Some((d.precision, d.scale))
+      case _ => None
+    }
+    val v1Pre: PartialFunction[Expression, Expression] = {
+      case d: Divide if v1 && v1Heuristic(d).isDefined =>
+        val (l, r) = v1Heuristic(d).get
+        graft.functions.ImpalaDoubleDiv(
+          Cast(l, org.apache.spark.sql.types.DoubleType),
+          Cast(r, org.apache.spark.sql.types.DoubleType))
+      case b: org.apache.spark.sql.catalyst.expressions.BinaryArithmetic
+          if v1 && !b.isInstanceOf[org.apache.spark.sql.catalyst
+            .expressions.IntegralDivide] && v1Heuristic(b).isDefined =>
+        val (l, r) = v1Heuristic(b).get
+        b.withNewChildren(Seq(l, r))
+      // V1 mod() FUNCTION (unlike the % operator, no literal
+      // heuristic): args coerce to their assignment-compatible decimal
+      // type — typeof(mod(9.6, 3)) is DECIMAL(4,1) where 9.6 % 3 is
+      // DOUBLE (decimal-exprs.test V1 typeof rows)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if v1 && f.nameParts.map(_.toLowerCase) == Seq("mod") &&
+            f.arguments.length == 2 &&
+            f.arguments.exists(a => a.resolved &&
+              a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) &&
+            f.arguments.forall(a => minResDecimal(a).isDefined) =>
+        val Seq((pa, sa), (pb, sb)) = f.arguments.map(minResDecimal(_).get)
+        val db = math.max(pa - sa, pb - sb)
+        val da = math.max(sa, sb)
+        val cp = math.min(38, db + da)
+        val cs = math.min(da, cp)
+        val ct = org.apache.spark.sql.types.DecimalType(cp, cs)
+        val (p, s) = graft.functions.ImpalaDecimalV1.v1ResultType(
+          cp, cs, cp, cs, "mod")
+        graft.functions.ImpalaV1Mod(
+          Cast(f.arguments.head, ct), Cast(f.arguments(1), ct), p, s)
+      // V1 decimal common-type keeps the max scale and sacrifices
+      // digits LEFT of the point (createClippedDecimalType — Spark
+      // keeps integer digits and trims scale): pre-coerce coalesce
+      // args so `coalesce(1.8, cast(0 as decimal(38,38)))` loses the
+      // 1.8 to precision (IMPALA-1837 row)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if v1 && f.nameParts.map(_.toLowerCase) == Seq("coalesce") &&
+            f.arguments.length >= 2 &&
+            f.arguments.forall(a => a.resolved &&
+              a.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType]) &&
+            f.arguments.map(_.dataType).distinct.length > 1 =>
+        val ds = f.arguments.map(
+          _.dataType.asInstanceOf[org.apache.spark.sql.types.DecimalType])
+        val db = ds.map(d => d.precision - d.scale).max
+        val da = ds.map(_.scale).max
+        val cp = math.min(38, db + da)
+        val cs = math.min(da, cp)
+        f.copy(arguments = f.arguments.map(a =>
+          graft.functions.ImpalaV1DecimalCast(a, cp, cs)))
+    }
+    val pf = v1Pre.orElse(preDivide).orElse(groupingId).orElse(impalaExpr)
     // grouping()/grouping_id() in a GROUP BY with NO grouping sets:
     // Spark's analyzer throws (UNSUPPORTED_GROUPING_EXPRESSION); the
     // reference evaluates them as constant 0 (every row is the base
@@ -1686,6 +1864,8 @@ object ImpalaDialect {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     import org.apache.spark.sql.types.DecimalType
 
+    if (activeV1) return decimalV1Guards(plan)
+
     def decOf(e: Expression): Option[DecimalType] = e.dataType match {
       case d: DecimalType => Some(d)
       case _ => None
@@ -1757,6 +1937,103 @@ object ImpalaDialect {
             .asInstanceOf[NamedExpression])
         if (newAggs == a.aggregateExpressions) a
         else a.copy(aggregateExpressions = newAggs)
+      case p => p.transformExpressionsUp(arithPf)
+    }
+  }
+
+  /** Legacy DECIMAL_V2=false aggregate/arithmetic execution: no raises
+    * anywhere — arithmetic overflow NULLs (TRY mode), sum over a
+    * 38-digit decimal wraps around in int128 exactly like the BE's
+    * unchecked `val16 +=` (decimal-exprs.test's "negative number is
+    * incorrectly returned"), and avg divides the wraparound sum by the
+    * count with truncation, presented at the INPUT type's scale (V1
+    * avg returns the input type). The wraparound sum is computed as
+    * TWO ordinary partial-able sums over the unscaled value's hi/lo
+    * 19-digit halves — map-side combine is preserved and neither half
+    * can itself overflow.
+    */
+  private def decimalV1Guards(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Multiply,
+      NamedExpression, Subtract, WindowExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{
+      AggregateExpression, Average, Count, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window}
+    import org.apache.spark.sql.types.DecimalType
+
+    def decOf(e: Expression): Option[DecimalType] = e.dataType match {
+      case d: DecimalType => Some(d)
+      case _ => None
+    }
+    def trySum(child: Expression): Sum = {
+      val s = Sum(child)
+      s.copy(evalContext = s.evalContext.copy(evalMode = EvalMode.TRY))
+    }
+    def wrapSumLegs(ae: AggregateExpression, child: Expression)
+        : (Expression, Expression) = {
+      val hi = ae.copy(aggregateFunction =
+        trySum(graft.functions.ImpalaDecimalHi(child)),
+        resultId = NamedExpression.newExprId)
+      val lo = ae.copy(aggregateFunction =
+        trySum(graft.functions.ImpalaDecimalLo(child)),
+        resultId = NamedExpression.newExprId)
+      (hi, lo)
+    }
+    val aggPf: PartialFunction[Expression, Expression] = {
+      case ae @ AggregateExpression(s: Sum, _, false, None, _)
+          if decOf(s.child).exists(_.precision >= 29) &&
+            !s.child.isInstanceOf[graft.functions.ImpalaDecimalHi] &&
+            !s.child.isInstanceOf[graft.functions.ImpalaDecimalLo] =>
+        val d = decOf(s.child).get
+        val (hi, lo) = wrapSumLegs(ae, s.child)
+        graft.functions.ImpalaV1SumFinish(hi, lo, d.scale)
+      case ae @ AggregateExpression(av: Average, _, false, None, _)
+          if decOf(av.child).isDefined =>
+        val d = decOf(av.child).get
+        if (d.precision >= 29) {
+          val (hi, lo) = wrapSumLegs(ae, av.child)
+          val cnt = ae.copy(aggregateFunction = Count(Seq(av.child)),
+            resultId = NamedExpression.newExprId)
+          graft.functions.ImpalaV1AvgFinish(hi, lo, cnt, d.scale)
+        } else
+          graft.functions.ImpalaV1DecimalCast(
+            ae.copy(aggregateFunction = av.copy(evalMode = EvalMode.TRY)),
+            38, d.scale)
+    }
+    // +,-,* on decimals never raise under V1 — TRY-null on overflow
+    val arithPf: PartialFunction[Expression, Expression] = {
+      case m: Multiply if m.resolved && m.evalMode == EvalMode.ANSI &&
+          m.dataType.isInstanceOf[DecimalType] =>
+        m.copy(evalContext = m.evalContext.copy(evalMode = EvalMode.TRY))
+      case a: Add if a.resolved && a.evalMode == EvalMode.ANSI &&
+          a.dataType.isInstanceOf[DecimalType] =>
+        a.copy(evalContext = a.evalContext.copy(evalMode = EvalMode.TRY))
+      case s: Subtract if s.resolved && s.evalMode == EvalMode.ANSI &&
+          s.dataType.isInstanceOf[DecimalType] =>
+        s.copy(evalContext = s.evalContext.copy(evalMode = EvalMode.TRY))
+    }
+    // windowed V1 avg: the input-typed truncating presentation wraps
+    // OUTSIDE the OVER (the WindowExpression stays the window
+    // function — same hoist shape as the V2 scale-6 rewrite)
+    val windowPf: PartialFunction[Expression, Expression] = {
+      case we @ WindowExpression(
+          ae @ AggregateExpression(av: Average, _, false, None, _), _)
+          if decOf(av.child).isDefined =>
+        val d = decOf(av.child).get
+        graft.functions.ImpalaV1DecimalCast(
+          we.copy(windowFunction = ae.copy(aggregateFunction =
+            av.copy(evalMode = EvalMode.TRY))), 38, d.scale)
+    }
+    plan.transformUpWithSubqueries {
+      case a: Aggregate if a.resolved =>
+        val newAggs = a.aggregateExpressions.map(
+          _.transformUp(aggPf.orElse(arithPf))
+            .asInstanceOf[NamedExpression])
+        if (newAggs == a.aggregateExpressions) a
+        else a.copy(aggregateExpressions = newAggs)
+      case w: Window if w.resolved =>
+        w.transformExpressionsUp(windowPf.orElse(arithPf))
       case p => p.transformExpressionsUp(arithPf)
     }
   }

@@ -432,8 +432,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         "Spark µs — SURVEY §7.4)"),
     ("aggregation.test", 97) ->
       "RESULTS bound to the reference's TPC-H-scale load (distinct lineitem count)",
+    ("decimal-exprs.test", 25) ->
+      "RESULTS bound to the reference's TPC-H-scale load (per-tax avg over tpch lineitem)",
     ("decimal-exprs.test", 26) ->
       "RESULTS bound to the reference's TPC-H-scale load (per-tax avg over tpch lineitem)",
+    ("decimal-exprs.test", 27) ->
+      "RESULTS bound to the reference's TPC-H-scale load (per-tax avg over tpch lineitem)",
+    ("decimal-exprs.test", 38) -> "DECIMAL→TIMESTAMP keeps 9 fraction digits in Impala (nanosecond timestamps); Spark timestamps are µs",
     ("decimal_avro.test", 3) ->
       "RESULTS bound to the reference's TPC-H-scale load (decimal aggregates over tpch lineitem)",
     ("decimal-exprs.test", 28) ->
@@ -786,12 +791,10 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private val useDbRe = """(?is)^use\s+[a-z_][a-z0-9_]*\s*$""".r
   // Spark's decimal arithmetic IS Impala's DECIMAL_V2 (SQL-standard
   // scales, round-half-up); v2=true is therefore also a no-op…
+  // (v2=false flows through ImpalaOptions as an applied set — the
+  // dialect's decimalV1Guards/ImpalaV1* expressions take over)
   private val decimalV2TrueRe =
     """(?is)^set\s+decimal_v2\s*=\s*(true|1)\s*$""".r
-  // …while v2=false selects the legacy v1 rules this engine does not
-  // implement — those blocks skip with a documented reason.
-  private val decimalV2FalseRe =
-    """(?is)^set\s+decimal_v2\s*=\s*(false|0)\s*$""".r
 
   private def isNeutralSet(s: String): Boolean =
     neutralSetRe.matches(s) || decimalV2TrueRe.matches(s) ||
@@ -819,7 +822,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private val appliedSetNames =
     Set("NOW_STRING", "APPX_COUNT_DISTINCT", "PARQUET_TIMESTAMP_TYPE",
       "ABORT_ON_ERROR", "MAX_SCAN_RANGE_LENGTH", "DEBUG_ACTION",
-      "PARQUET_ARRAY_RESOLUTION", "PARQUET_FALLBACK_SCHEMA_RESOLUTION")
+      "PARQUET_ARRAY_RESOLUTION", "PARQUET_FALLBACK_SCHEMA_RESOLUTION",
+      "DECIMAL_V2")
   private def isAppliedSet(s: String): Boolean = s match {
     case optSetRe(nm, _) => appliedSetNames(nm.toUpperCase)
     case _ => false
@@ -1148,6 +1152,13 @@ class FunctionalGoldenSpec extends SparkSpecBase {
   private val rowRegexFiles =
     Set("exprs.test", "datasketches-hll.test", "datasketches-kll.test")
   private var currentFile = ""
+
+  /** Files whose HIVE_MAJOR_VERSION=2 blocks replay against a modeled
+    * Hive-2 twin: avro_date (Julian/Gregorian calendar handling),
+    * alter-table (HMS cross-db RENAME — allowed in Hive 2, removed by
+    * HIVE-21806 in Hive 3; the catalog emulation supports it).
+    */
+  private val hive2TwinFiles = Set("avro_date.test", "alter-table.test")
   private lazy val icebergSim = new IcebergSim(spark, ddlStore)
   private var ddlEmu = false
   private lazy val ddlStore = new GoldenDdl(spark)
@@ -1397,8 +1408,6 @@ class FunctionalGoldenSpec extends SparkSpecBase {
           // (SET ALL inventories; a plain SET answers empty)
           (setFile && q.startsWith("set")))))
       Some("non-select")
-    else if (prefix.exists(decimalV2FalseRe.matches))
-      Some("documented delta: legacy DECIMAL_V2=false arithmetic")
     else if (prefix.nonEmpty &&
         !prefix.forall(s => isSetupStmt(s) || isNeutralSet(s) ||
           isSessionSet(s) || (setFile && optSetRe.matches(s)) ||
@@ -1431,10 +1440,12 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       Some("test-runner variable")
     else if (c.sections.get("HIVE_MAJOR_VERSION").exists(
           _.headOption.exists(_.trim == "2")) &&
-        currentFile != "avro_date.test")
+        !hive2TwinFiles(currentFile))
       // the reference's runner gates these on the cluster's Hive major
-      // version; the modeled environment is Hive 3 (avro_date's v2
-      // blocks run against the Hive-2-calendar twin instead)
+      // version; the modeled environment is Hive 3, with per-file
+      // Hive-2 twins where the delta is modelable (avro_date's
+      // calendar, alter-table's HMS cross-db rename — HIVE-21806
+      // removed it in Hive 3, the catalog emulation supports it)
       Some("Hive-2-only block (modeled environment is Hive 3)")
     else if (c.sections.contains("CATCH")) Some("error-path block")
     else if (c.sections.contains("DML_RESULTS")) Some("dml block")

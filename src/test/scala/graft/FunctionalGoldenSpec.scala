@@ -656,15 +656,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
         "#FILES=3 is a 3-node-minicluster writer artifact (one insert writes one file here)",
       ("compute-stats.test", 34) ->
         "#FILES=3 is a 3-node-minicluster writer artifact (one insert writes one file here)") ++
-    // corrupt-stats EXPLAIN blocks pin the reference DISTRIBUTED
-    // planner's internals: the small-query single-node collapse for
-    // healthy row counts, merge-agg node ids assigned by
-    // DistributedPlanner, and its scan cardinality estimator — the
-    // stats themselves (SHOW TABLE STATS before/after the corrupt
-    // numRows overrides) are the gated surface
-    Seq(9, 12, 15, 16, 19, 22, 23).map(i =>
-      ("corrupt-stats.test", i) ->
-        "EXPLAIN pins the reference distributed planner (small-query collapse, merge-agg ids, cardinality estimator)").toMap ++
+    Map.empty[(String, Int), String] ++
     Seq(37, 42).map(i =>
       ("functions-ddl.test", i) ->
         "a per-db UDF shadowing a builtin name (the single-namespace catalog keeps the builtin)").toMap

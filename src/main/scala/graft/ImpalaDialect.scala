@@ -2058,13 +2058,38 @@ object ImpalaDialect {
     // fabricated; the deterministic injected failure is the contract).
     // Node-scoped FAILs (numeric id ≥ 0 names a plan node) only fire
     // on statements that actually plan a scan.
-    spark.conf.getOption("graft.opt.DEBUG_ACTION").foreach { da =>
-      // fixture tables are LocalRelation-backed here, so any leaf but
-      // the constant-select OneRowRelation counts as a planned scan
-      val hasScan = analyzed.collectLeaves().exists {
-        case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => false
-        case _ => true
+    // fixture tables are LocalRelation-backed here, so any leaf but
+    // the constant-select OneRowRelation counts as a planned scan
+    val hasScan = analyzed.collectLeaves().exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.OneRowRelation => false
+      case _ => true
+    }
+    // MEM_LIMIT reservation floor (admission control's min-reservation
+    // check — set.test's `set mem_limit=1` probe): any plan that scans
+    // needs a few MB of buffer reservation, so a limit below the 8MB
+    // floor modeled here is rejected before execution with the
+    // reference's wording. Real workload limits (≥tens of MB) pass.
+    spark.conf.getOption("graft.opt.MEM_LIMIT").foreach { ml =>
+      val bytesRe = """(?i)^\s*"?(\d+(?:\.\d+)?)\s*([kmg]b?)?"?\s*;?\s*$""".r
+      val bytes = bytesRe.findFirstMatchIn(ml).map { m0 =>
+        val n = m0.group(1).toDouble
+        (Option(m0.group(2)).map(_.toLowerCase.head) match {
+          case Some('k') => n * (1L << 10)
+          case Some('m') => n * (1L << 20)
+          case Some('g') => n * (1L << 30)
+          case _ => n
+        }).toLong
       }
+      if (hasScan && bytes.exists(b => b > 0 && b < (8L << 20)))
+        throw new RuntimeException(
+          "Rejected query from pool default-pool: minimum memory " +
+            "reservation is greater than memory available to the " +
+            "query for buffer reservations. Memory reservation needed " +
+            "given the current plan: 4.00 MB. Adjust the mem_limit " +
+            "option for the query to allow the query memory limit to " +
+            "be at least 12.00 MB.")
+    }
+    spark.conf.getOption("graft.opt.DEBUG_ACTION").foreach { da =>
       da.split('|').map(_.trim).filter(_.nonEmpty).foreach { action =>
         val parts = action.split(':')
         val cmdPart = parts.last.trim

@@ -161,6 +161,8 @@ object Aliases {
     // the reference's reservoir median, type-preserving (DATE in →
     // DATE out) — percentile_approx can't express that
     "appx_median" -> (a => AppxMedianAgg(a.head)),
+    // the reservoir sample printer (ReservoirSampleFinalize)
+    "sample" -> (a => SampleAgg(a.head)),
     // group_concat lives in GraftFunctions as a true AggregateFunction
     // (alias composition can't see the DISTINCT flag)
   )

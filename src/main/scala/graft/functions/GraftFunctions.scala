@@ -42,6 +42,12 @@ object GraftFunctions {
     // (utility-functions-ir.cc Pid; exprs.test's union-distinct probe
     // verifies one process answers every row)
     "pid" -> (_ => Literal(ProcessHandle.current().pid().toInt)),
+    // coordinator() — the coordinating host's name, constant across
+    // the query (utility-functions-ir.cc Coordinator; single-process
+    // sandbox = this host, like pid())
+    "coordinator" -> (_ => Literal(
+      scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+        .getOrElse("localhost"))),
     // MADlib vector builtins (udf-builtins-ir.cc:99-200)
     "madlib_vector" -> (a => MadlibVector(a.map(e =>
       Cast(e, org.apache.spark.sql.types.DoubleType)))),

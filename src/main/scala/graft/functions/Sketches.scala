@@ -457,6 +457,63 @@ case class HistogramAgg(
   override def prettyName: String = "histogram"
 }
 
+/** `sample(x)` → STRING — the reference's reservoir sample printer
+  * (`aggregate-functions-ir.cc` ReservoirSampleFinalize): every
+  * retained sample in buffer order, ", "-separated, formatted per
+  * input type via PrintSample. Exact below the 20 000-sample
+  * reservoir, deterministic-prefix sample above (same note as
+  * [[HistogramAgg]]).
+  */
+case class SampleAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[ArrayBuffer[Any]]
+    with UnaryLike[Expression] {
+
+  import HistogramAgg._
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def createAggregationBuffer(): ArrayBuffer[Any] = ArrayBuffer.empty
+
+  override def update(b: ArrayBuffer[Any], row: InternalRow): ArrayBuffer[Any] = {
+    val v = child.eval(row)
+    if (v != null && b.length < MaxSamples) b += normalize(v, child.dataType)
+    b
+  }
+  override def merge(a: ArrayBuffer[Any], b: ArrayBuffer[Any]): ArrayBuffer[Any] = {
+    val take = math.min(b.length, MaxSamples - a.length)
+    if (take > 0) a ++= b.take(take)
+    a
+  }
+  override def eval(b: ArrayBuffer[Any]): Any = {
+    if (b.isEmpty) return null
+    UTF8String.fromString(
+      b.map(printSample(_, child.dataType)).mkString(", "))
+  }
+
+  override def serialize(b: ArrayBuffer[Any]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(b.toArray)
+    oos.flush()
+    bos.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Any] = {
+    val ois = new java.io.ObjectInputStream(new ByteArrayInputStream(bytes))
+    ArrayBuffer.from(ois.readObject().asInstanceOf[Array[Any]])
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): SampleAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SampleAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): SampleAgg =
+    copy(child = c)
+  override def prettyName: String = "sample"
+}
+
 /** `appx_median(x)` — the reference's ReservoirSample median
   * (`aggregate-functions-ir.cc` AppxMedianFinalize → GetMedian:
   * element n/2 of the sorted samples), type-preserving — a DATE median
@@ -567,7 +624,7 @@ object HistogramAgg {
     case _ => false
   }
 
-  private def printSample(v: Any, t: DataType): String = (v, t) match {
+  private[functions] def printSample(v: Any, t: DataType): String = (v, t) match {
     case (micros: Long, TimestampType) =>
       val ldt = java.time.LocalDateTime.ofEpochSecond(
         Math.floorDiv(micros, 1000000L),

@@ -101,7 +101,8 @@ object ImpalaExplain {
       return spark.createDataFrame(rows,
         StructType(Seq(StructField("Explain String", StringType))))
     }
-    val statsScan = statsScanNode(spark, body, names)
+    val statsScan = statsScanNode(spark, body, names, level)
+    val scanExtras = parquetStatsPredicates(spark, body, names, level)
     // the rendered plan is the STATIC one, like Impala's (AQE re-plans
     // at runtime; EXPLAIN describes the compile-time plan)
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -109,7 +110,7 @@ object ImpalaExplain {
     val lines =
       try {
         val df = sqlRunner(spark, stripped)
-        render(spark, df, names, level, statsScan)
+        render(spark, df, names, level, statsScan, scanExtras)
       } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     val rows = new java.util.ArrayList[Row](lines.length)
     lines.foreach(l => rows.add(Row(l)))
@@ -220,7 +221,7 @@ object ImpalaExplain {
     * conjuncts drive the pruning, exactly HdfsPartitionPruner.
     */
   private def statsScanNode(spark: SparkSession, body: String,
-      names: Seq[String]): Option[Node] = {
+      names: Seq[String], level: Int = 1): Option[Node] = {
     if (names.map(_.toLowerCase).distinct.length != 1) return None
     val full = names.head
     val bare = full.split('.').last
@@ -406,6 +407,48 @@ object ImpalaExplain {
     Some(out.toSeq)
   }
 
+  /** EXTENDED-level `parquet statistics predicates:` detail: the
+    * min/max-prunable comparison conjuncts a Parquet scan's row-group
+    * statistics filter by (`HdfsScanNode` computeStatsTupleAndConjuncts
+    * — parquet-stats.test pins the `CAST(lit AS <col type>)` literal
+    * spelling). Column types resolve from the scanned table's schema;
+    * partition-key conjuncts (known via the stats registry) never
+    * become statistics predicates.
+    */
+  private def parquetStatsPredicates(spark: SparkSession, body: String,
+      names: Seq[String], level: Int): Seq[String] = {
+    if (level < 2 || names.map(_.toLowerCase).distinct.length != 1)
+      return Nil
+    val full = names.head
+    if (!full.toLowerCase.contains("parquet") &&
+        !graft.ImpalaStats.lookup(full.split('.').last)
+          .exists(_._1.partitions().exists(
+            _.format.equalsIgnoreCase("parquet")))) return Nil
+    val bare = full.split('.').last
+    val schema = scala.util.Try(spark.table(bare).schema)
+      .getOrElse(return Nil)
+    val colTypes = schema.fields
+      .map(f0 => f0.name.toLowerCase -> f0.dataType).toMap
+    val partNames = graft.ImpalaStats.lookup(bare)
+      .map(_._1.partCols().fields.map(_.name.toLowerCase).toSet)
+      .getOrElse(Set("year", "month")) // the alltypes family layout
+    val whereTxt = """(?is)\bwhere\b(.*?)(?:\bgroup\s+by\b|\border\s+by\b|\blimit\b|$)""".r
+      .findFirstMatchIn(body).map(_.group(1)).getOrElse(return Nil)
+    val statRe =
+      """(?s)^\s*(\w+)\s*(<=|>=|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*$""".r
+    val preds = splitTopAnd(whereTxt).flatMap {
+      case statRe(col0, op, lit) =>
+        colTypes.get(col0.toLowerCase).filterNot(_ =>
+          partNames(col0.toLowerCase)).map { dt =>
+          s"$col0 $op CAST($lit AS " +
+            s"${graft.functions.DsResolve.typeName(dt)})"
+        }
+      case _ => None
+    }
+    if (preds.isEmpty) Nil
+    else Seq("parquet statistics predicates: " + preds.mkString(", "))
+  }
+
   private def splitTopAnd(txt: String): Seq[String] = {
     val out = mutable.ArrayBuffer.empty[String]
     var depth = 0
@@ -465,7 +508,8 @@ object ImpalaExplain {
     */
   private[plans] def render(spark: SparkSession, df: DataFrame,
       names: Seq[String], level: Int,
-      statsScan: Option[Node] = None): Seq[String] = {
+      statsScan: Option[Node] = None,
+      scanExtras: Seq[String] = Nil): Seq[String] = {
     val plan = df.queryExecution.executedPlan
     // assign original names to physical scan leaves in order
     val scanNames = new java.util.IdentityHashMap[SparkPlan, String]()
@@ -494,6 +538,9 @@ object ImpalaExplain {
         new Node("EXCHANGE", "EXCHANGE [UNPARTITIONED]",
           child = Some(treeNoRoot))
       else treeNoRoot
+    if (scanExtras.nonEmpty)
+      tree.allNodes.find(_.kind == "SCAN")
+        .foreach(n => n.details = n.details ++ scanExtras)
     tagAggs(tree)
     number(tree)
     planRuntimeFilters(tree)

@@ -115,6 +115,14 @@ object AcidFixtures {
     * overrides `alltypestiny`/`complextypestbl` with their ACID-backed
     * reads for the acid golden files.
     */
+  /** The built warehouse dir of a fixture table (SHOW FILES rendering
+    * over the real layout), None when no such fixture exists.
+    */
+  def tableDir(spark: SparkSession, name: String): Option[Path] = {
+    val d = warehouse(spark).resolve(name.toLowerCase)
+    if (Files.isDirectory(d)) Some(d) else None
+  }
+
   def registerFullAcid(spark: SparkSession): Unit = {
     val wh = warehouse(spark)
     def reg(name: String, parts: StructType = new StructType()): Unit =

@@ -25,13 +25,17 @@ object AcidLayout {
   import AcidFiles.bucketEncode
 
   private def deltaName(min: Long, max: Long, compactionV: Option[Long],
-      delete: Boolean): String = {
+      delete: Boolean, padded: Boolean = true): String = {
     val p = if (delete) "delete_delta" else "delta"
     val v = compactionV.map(n => f"_v$n%07d").getOrElse("")
-    f"${p}_$min%07d_$max%07d$v"
+    // Hive zero-pads write ids in directory names; Impala's own table
+    // sink spells them minimally (`delta_1_1` — acid-insert.test SHOW
+    // FILES pins the spelling)
+    if (padded) f"${p}_$min%07d_$max%07d$v" else s"${p}_${min}_$max$v"
   }
 
-  private def baseName(w: Long): String = f"base_$w%07d"
+  private def baseName(w: Long, padded: Boolean = true): String =
+    if (padded) f"base_$w%07d" else s"base_$w"
 
   /** Move the single ORC part-file Spark wrote under `tmp` to `dest`.
     * A zero-row write may produce no part-file at all — the layout
@@ -82,7 +86,8 @@ object AcidLayout {
       writeIdCol: Option[String] = None,
       asBase: Boolean = false,
       compactionV: Option[Long] = None,
-      orderBy: Seq[Column] = Nil): Unit = {
+      orderBy: Seq[Column] = Nil,
+      padded: Boolean = true): Unit = {
     import org.apache.spark.sql.expressions.Window
     val widCol = writeIdCol.map(col).getOrElse(lit(minWriteId)).cast(LongType)
     val dataCols = df.columns
@@ -107,8 +112,9 @@ object AcidLayout {
         struct(dataCols.map(col).toIndexedSeq: _*).as("row")
       ) ++ partCols.map(col) :+ col("_gf_bucket")): _*)
     val dirName =
-      if (asBase) baseName(maxWriteId)
-      else deltaName(minWriteId, maxWriteId, compactionV, delete = false)
+      if (asBase) baseName(maxWriteId, padded)
+      else deltaName(minWriteId, maxWriteId, compactionV, delete = false,
+        padded = padded)
     writeBuckets(spark, tableDir, wrapped, partCols, dirName)
   }
 
@@ -153,11 +159,12 @@ object AcidLayout {
     */
   def writeInsertOnly(spark: SparkSession, tableDir: Path, df: DataFrame,
       writeId: Long, partCols: Seq[String] = Nil,
-      asBase: Boolean = false): Unit = {
+      asBase: Boolean = false, padded: Boolean = true): Unit = {
     val dataCols = df.columns.filterNot(partCols.contains)
     val dirName =
-      if (asBase) baseName(writeId)
-      else deltaName(writeId, writeId, None, delete = false)
+      if (asBase) baseName(writeId, padded)
+      else deltaName(writeId, writeId, None, delete = false,
+        padded = padded)
     eachPartition(df, partCols) { case (partVals, part) =>
       val tmp = Files.createTempDirectory("graft-acid-w")
       part.select(dataCols.map(col).toIndexedSeq: _*).coalesce(1)
@@ -209,7 +216,8 @@ object AcidLayout {
     * plain empty file (insert-only tables).
     */
   def writeTruncate(spark: SparkSession, tableDir: Path,
-      schema: StructType, writeId: Long, wrapped: Boolean): Unit =
+      schema: StructType, writeId: Long, wrapped: Boolean,
+      padded: Boolean): Unit =
     if (!wrapped) {
       val tmp = Files.createTempDirectory("graft-acid-w")
       spark.createDataFrame(
@@ -217,12 +225,14 @@ object AcidLayout {
         .coalesce(1).write.mode("overwrite")
         .orc(tmp.resolve("d").toString)
       moveSparkFile(tmp.resolve("d"),
-        tableDir.resolve(baseName(writeId)).resolve("empty"))
-    } else writeTruncate(spark, tableDir, schema, writeId)
+        tableDir.resolve(baseName(writeId, padded)).resolve("empty"))
+    } else writeTruncate(spark, tableDir, schema, writeId,
+      padded = padded)
 
   /** An empty full-ACID base. */
   def writeTruncate(spark: SparkSession, tableDir: Path,
-      schema: StructType, writeId: Long): Unit = {
+      schema: StructType, writeId: Long,
+      padded: Boolean = true): Unit = {
     val tmp = Files.createTempDirectory("graft-acid-w")
     val acidSchema = StructType(Seq(
       StructField("operation", IntegerType),
@@ -235,7 +245,7 @@ object AcidLayout {
         acidSchema)
       .coalesce(1).write.mode("overwrite").orc(tmp.resolve("d").toString)
     moveSparkFile(tmp.resolve("d"),
-      tableDir.resolve(baseName(writeId)).resolve("bucket_00000"))
+      tableDir.resolve(baseName(writeId, padded)).resolve("bucket_00000"))
   }
 
   private def eachPartition(df: DataFrame, partCols: Seq[String])(

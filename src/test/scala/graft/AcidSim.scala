@@ -27,7 +27,8 @@ class AcidSim(spark: SparkSession) {
       var insertOnly: Boolean,
       var nextWriteId: Long = 1L,
       var origFileCount: Int = 0,
-      var compactionV: Long = 100L)
+      var compactionV: Long = 100L,
+      var statsAccurate: Boolean = false)
 
   private val wh = Files.createTempDirectory("graft-acid-sim")
   private val tables = scala.collection.mutable.LinkedHashMap
@@ -103,7 +104,7 @@ class AcidSim(spark: SparkSession) {
     ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+add\s+""" +
       """(?:if\s+not\s+exists\s+)?partition\s*\(.*\)\s*$""").r
   private val analyzeRe =
-    """(?is)^\s*analyze\s+table\b.*$""".r
+    """(?is)^\s*analyze\s+table\s+([\w.$]+)\s+compute\s+statistics\b.*$""".r
   private val loadRe =
     ("""(?is)^\s*load\s+data\s+inpath\s+'([^']+)'\s+(overwrite\s+)?""" +
       """into\s+table\s+([A-Za-z_]\w*)""" +
@@ -209,7 +210,7 @@ class AcidSim(spark: SparkSession) {
           d.resolve(s"${k.trim}=${v.trim}")
         }
         AcidLayout.writeTruncate(spark, pd, t.schema, t.nextWriteId,
-          wrapped = t.transactional && !t.insertOnly)
+          wrapped = t.transactional && !t.insertOnly, padded = false)
         t.nextWriteId += 1
       } else writeRows(t, df, overwrite)
       register(name.toLowerCase)
@@ -285,12 +286,13 @@ class AcidSim(spark: SparkSession) {
             case (d, ((n, _), i)) => d.resolve(s"$n=${r.get(i)}")
           }
           AcidLayout.writeTruncate(spark, pd, t.schema, t.nextWriteId,
-            wrapped = t.transactional && !t.insertOnly)
+            wrapped = t.transactional && !t.insertOnly, padded = false)
         }
       } else
         AcidLayout.writeTruncate(spark, t.dir, t.schema, t.nextWriteId,
-          wrapped = t.transactional && !t.insertOnly)
+          wrapped = t.transactional && !t.insertOnly, padded = false)
       t.nextWriteId += 1
+      t.statsAccurate = false // Hive truncate drops COLUMN_STATS_ACCURATE
       register(name.toLowerCase)
       true
     case dropRe(name) if tables.contains(name.toLowerCase) =>
@@ -302,7 +304,12 @@ class AcidSim(spark: SparkSession) {
     case refreshRe(name) if tables.contains(name.toLowerCase) =>
       register(name.toLowerCase)
       true
-    case analyzeRe() => true
+    case analyzeRe(name) =>
+      // Hive ANALYZE sets COLUMN_STATS_ACCURATE on the table (SHOW
+      // CREATE TABLE's row_regex probe; truncate clears it)
+      tables.get(name.split('.').last.toLowerCase)
+        .foreach(_.statsAccurate = true)
+      true
     case loadRe(path, ow, name, partSpec)
         if tables.contains(name.toLowerCase) =>
       execLoad(path, ow != null, name.toLowerCase, Option(partSpec))
@@ -312,6 +319,55 @@ class AcidSim(spark: SparkSession) {
       true
     case _ => false
   }
+
+  private def bare(name: String): String =
+    name.split('.').last.toLowerCase
+
+  def has(name: String): Boolean = tables.contains(bare(name))
+
+  /** Live table listing (SHOW TABLES over the sim's test db). */
+  def tableNames: Seq[String] = tables.keys.toSeq
+
+  /** SHOW FILES rows (path, size, partition): the current snapshot's
+    * VISIBLE files (AcidFiles.select — a base hides older deltas, like
+    * the reference's file listing), spelled with the managed-warehouse
+    * prefix the goldens pin (after their $NAMENODE/$MANAGED_WAREHOUSE
+    * variable substitution).
+    */
+  def showFiles(name: String): Option[Seq[(String, String, String)]] =
+    tables.get(bare(name)).map { t =>
+      val sel = AcidFiles.select(t.dir)
+      (sel.inserts ++ sel.deletes ++ sel.originals).map { p =>
+        val rel = t.dir.relativize(p).toString.replace('\\', '/')
+        val part = rel.split('/').takeWhile(_.contains('=')).mkString("/")
+        (s"/test-warehouse/managed/acidsim.db/${bare(name)}/$rel",
+          graft.ImpalaStats.printBytes(Files.size(p)), part)
+      }
+    }
+
+  /** SHOW CREATE TABLE text — column list, storage and tblproperties
+    * (the goldens' COLUMN_STATS_ACCURATE row_regex probes).
+    */
+  def showCreate(name: String): Option[String] =
+    tables.get(bare(name)).map { t =>
+      val props = Seq(
+        Option.when(t.transactional)("'transactional'='true'"),
+        Option.when(t.insertOnly)(
+          "'transactional_properties'='insert_only'"),
+        Option.when(t.statsAccurate)(
+          "'COLUMN_STATS_ACCURATE'='{\"BASIC_STATS\":\"true\"}'")
+      ).flatten
+      val cols = t.schema.fields.map(f =>
+        s"  ${f.name} ${graft.functions.DsResolve.typeName(f.dataType)}")
+        .mkString(",\n")
+      val partClause =
+        if (t.partCols.isEmpty) ""
+        else t.partCols.map { case (n, dt) =>
+          s"$n ${graft.functions.DsResolve.typeName(dt)}" }
+          .mkString("\nPARTITIONED BY (\n  ", ",\n  ", "\n)")
+      s"CREATE TABLE ${bare(name)} (\n$cols\n)$partClause\n" +
+        s"STORED AS ORC\nTBLPROPERTIES (${props.mkString(", ")})"
+    }
 
   // ---- LOAD DATA INPATH (tests/metadata/test_load.py environment) ----
   // staging dir N -> (rows, consumed): a load MOVES the files, so each
@@ -449,10 +505,10 @@ class AcidSim(spark: SparkSession) {
         t.partCols.map(_._1), suffix)
     } else if (t.insertOnly)
       AcidLayout.writeInsertOnly(spark, t.dir, df, wid,
-        t.partCols.map(_._1), asBase = overwrite)
+        t.partCols.map(_._1), asBase = overwrite, padded = false)
     else
       AcidLayout.writeInsert(spark, t.dir, df, wid, wid,
-        t.partCols.map(_._1), asBase = overwrite)
+        t.partCols.map(_._1), asBase = overwrite, padded = false)
     if (t.transactional) t.nextWriteId = wid + 1
   }
 

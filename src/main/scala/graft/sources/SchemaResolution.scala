@@ -68,6 +68,14 @@ object SchemaResolution {
     case (a, b) => a == b
   }
 
+  private def intWidth(dt: DataType): Int = dt match {
+    case org.apache.spark.sql.types.ByteType => 8
+    case org.apache.spark.sql.types.ShortType => 16
+    case org.apache.spark.sql.types.IntegerType => 32
+    case org.apache.spark.sql.types.LongType => 64
+    case _ => 0
+  }
+
   private def resolve(c: Column, phys: DataType, log: DataType,
       byName: Boolean, srcFile: String = ""): Column = (phys, log) match {
     case (p, l) if p == l => c
@@ -106,6 +114,17 @@ object SchemaResolution {
         graft.functions.ImpalaRaiseOnRead(
           s"File '$srcFile' has an incompatible Parquet schema for column",
           l))
+    // a physically WIDER integer under a narrower logical type (ALTER
+    // COLUMN int→tinyint over existing parquet files) reads by BIT
+    // REINTERPRETATION — the reference scanner static_casts the stored
+    // value (200 AS TINYINT = -56), it never range-checks
+    // (parquet-stats.test's tnarrow probes)
+    case (p, l) if intWidth(p) > 0 && intWidth(l) > 0 &&
+        intWidth(p) > intWidth(l) =>
+      val bits = intWidth(l)
+      val half = 1L << (bits - 1)
+      (pmod(c.cast(org.apache.spark.sql.types.LongType) + half,
+        lit(1L << bits)) - half).cast(l)
     case (p, l) if compat(p, l) => c.cast(l)
     case (_, l) => lit(null).cast(l)
   }

@@ -555,13 +555,6 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // parquet-stats.test[82-94]: tnarrow — ALTER ... CHANGE COLUMN to a
     // NARROWER integer type, then reading old int32/int16 row groups
     // through the narrowed slot (200 reinterprets to -56). Impala's
-    // column readers truncate stored bits on the fly
-    // (be/src/exec/parquet/parquet-column-readers.cc); Spark's reader
-    // rejects narrowing schema evolution by design, so the
-    // reinterpreted values cannot be produced from the same files
-    Seq(82, 83, 84, 85, 86, 87, 88, 89, 90, 91, 92, 93, 94).map(i =>
-      ("parquet-stats.test", i) ->
-        "physical int narrowing via ALTER (Impala reinterprets stored bits; Spark rejects narrowing schema evolution)").toMap ++
     // nested-types-with-clause.test[1,2]: the IMPALA-2414 correlated
     // WITH shapes now execute (NestedRefs subplan laterals — the
     // equivalent subplan_with_corr row is driver-oracle-gated green),

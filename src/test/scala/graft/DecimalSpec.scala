@@ -58,4 +58,69 @@ class DecimalSpec extends SparkSpecBase {
     assert(df.repartition(7).agg(org.apache.spark.sql.functions.sum(
       $"d".cast(DecimalType(12, 2)))).head().getDecimal(0) == expected)
   }
+
+  // ---- legacy DECIMAL_V2=false (V1) semantics ----
+  // TypesUtil.getDecimalArithmeticResultTypeV1 + the V1 runtime
+  // contracts (decimal-exprs.test `set decimal_v2=false` sections)
+
+  private def v1[T](body: => T): T = {
+    spark.conf.set("graft.opt.DECIMAL_V2", "0")
+    try body finally spark.conf.unset("graft.opt.DECIMAL_V2")
+  }
+
+  test("V1 divide: result type (sMax+p2+1 scale) and truncation") {
+    v1 {
+      val df = ImpalaDialect.sql(spark,
+        "select cast(2345 as decimal(9,0)) / cast(111 as decimal(10,0)) as q")
+      assert(df.schema.head.dataType == DecimalType(20, 11))
+      // 2345/111 = 21.126126126126… — V1 truncates (V2 rounds …13)
+      assert(df.head().getDecimal(0).toPlainString == "21.12612612612")
+    }
+  }
+
+  test("V1 divide/mod by zero NULLs (V2 raises)") {
+    v1 {
+      val r = ImpalaDialect.sql(spark,
+        "select cast(5 as decimal(9,0)) / cast(0 as decimal(9,0)) as q," +
+          " cast(5 as decimal(9,0)) % cast(0 as decimal(9,0)) as m").head()
+      assert(r.isNullAt(0) && r.isNullAt(1))
+    }
+  }
+
+  test("V1 decimal→decimal cast truncates; overflow NULLs") {
+    v1 {
+      val r = ImpalaDialect.sql(spark,
+        "select cast(cast(1.2345678900 as decimal(20,10)) as decimal(20,3)) as t," +
+          " cast(cast(12345.678 as decimal(20,3)) as decimal(5,2)) as o").head()
+      assert(r.getDecimal(0).toPlainString == "1.234") // V2 rounds to 1.235
+      assert(r.isNullAt(1))
+    }
+  }
+
+  test("V1 sum/avg wrap around in int128 like the BE's unchecked add") {
+    v1 {
+      val r = ImpalaDialect.sql(spark,
+        "with t as (select cast(99999999999999999999999999999999999999 as decimal(38,0)) c " +
+          "union all select cast(99999999999999999999999999999999999999 as decimal(38,0))) " +
+          "select sum(c) as s, avg(c) as a from t").head()
+      // true sum 2·(10^38−1) wraps mod 2^128, renders mod 10^38
+      assert(r.getDecimal(0).toPlainString ==
+        "-40282366920938463463374607431768211458")
+      // avg divides the WRAPPED sum by the count, truncating
+      assert(r.getDecimal(1).toPlainString ==
+        "-70141183460469231731687303715884105729")
+    }
+  }
+
+  test("V1 literal heuristic: decimal literal op integer is DOUBLE") {
+    v1 {
+      val r = ImpalaDialect.sql(spark,
+        "select typeof(9.6 % 3) as t, 10.0 / 0 as d").head()
+      assert(r.getString(0) == "DOUBLE")
+      assert(r.getDouble(1).isPosInfinity)
+      // mod() the FUNCTION keeps decimal typing via arg coercion
+      assert(ImpalaDialect.sql(spark, "select typeof(mod(9.6, 3))")
+        .head().getString(0) == "DECIMAL(4,1)")
+    }
+  }
 }

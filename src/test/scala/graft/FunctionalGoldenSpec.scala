@@ -2882,8 +2882,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3981,
-      s"only $pass golden queries passed (floor 3981)")
+    assert(fileFilter.isDefined || pass >= 3994,
+      s"only $pass golden queries passed (floor 3994)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

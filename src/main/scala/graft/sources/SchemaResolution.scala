@@ -122,9 +122,12 @@ object SchemaResolution {
     case (p, l) if intWidth(p) > 0 && intWidth(l) > 0 &&
         intWidth(p) > intWidth(l) =>
       val bits = intWidth(l)
-      val half = 1L << (bits - 1)
-      (pmod(c.cast(org.apache.spark.sql.types.LongType) + half,
-        lit(1L << bits)) - half).cast(l)
+      // sign-extend via arithmetic shifts: cannot overflow even when
+      // the stored 64-bit value is near Long.MaxValue (Add/pmod would
+      // raise ARITHMETIC_OVERFLOW under the ANSI session)
+      shiftright(
+        shiftleft(c.cast(org.apache.spark.sql.types.LongType), 64 - bits),
+        64 - bits).cast(l)
     case (p, l) if compat(p, l) => c.cast(l)
     case (_, l) => lit(null).cast(l)
   }

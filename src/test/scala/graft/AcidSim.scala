@@ -104,7 +104,8 @@ class AcidSim(spark: SparkSession) {
     ("""(?is)^\s*alter\s+table\s+([A-Za-z_]\w*)\s+add\s+""" +
       """(?:if\s+not\s+exists\s+)?partition\s*\(.*\)\s*$""").r
   private val analyzeRe =
-    """(?is)^\s*analyze\s+table\s+([\w.$]+)\s+compute\s+statistics\b.*$""".r
+    ("""(?is)^\s*analyze\s+table\s+([\w.$]+)\s*""" +
+      """(?:partition\s*\([^)]*\)\s*)?compute\s+statistics\b.*$""").r
   private val loadRe =
     ("""(?is)^\s*load\s+data\s+inpath\s+'([^']+)'\s+(overwrite\s+)?""" +
       """into\s+table\s+([A-Za-z_]\w*)""" +

@@ -2878,8 +2878,8 @@ class FunctionalGoldenSpec extends SparkSpecBase {
     // turns even one passing golden into an error surfaces immediately
     // instead of merging into a coarse floor; raise when files/tables
     // are added, never lower without a documented delta
-    assert(fileFilter.isDefined || pass >= 3994,
-      s"only $pass golden queries passed (floor 3994)")
+    assert(fileFilter.isDefined || pass >= 3996,
+      s"only $pass golden queries passed (floor 3996)")
     // ceiling on execution-error skips: new analysis/runtime errors on
     // previously-running queries cannot hide inside the skip bucket.
     // ZERO as of r10 — the r9 bucket's five drained: the

@@ -16,7 +16,7 @@ object Bench {
     * `testdata/workloads/tpch/queries/`) + the heaviest LLM-pipeline
     * operators (dedup/similarity/text) + events sessionization.
     */
-  private val headline: Seq[String] =
+  private[graft] val headline: Seq[String] =
     (1 to 22).map(i => s"tpch_q$i") ++ Seq(
       "q_events_session", "q_events_tumbling",
       "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",

@@ -35,6 +35,15 @@ object GraftSession {
       c.set("spark.sql.adaptive.enabled", "true")
       c.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
       c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // r17 (guide §2.2/§9): AQE's coalescing floor is tuned for
+      // IO-bound stages (1 MiB/partition). The engine's hot reduce
+      // stages (signature kernels, decimal aggregation, pair
+      // expansion) are CPU-bound at far fewer bytes/CPU-second, so a
+      // 1 MiB floor collapses small-byte CPU-heavy stages onto 1-6
+      // tasks. 64 KiB keeps `parallelismFirst` honest (total/cores)
+      // for them; production stages are ≫1 MiB/partition either way,
+      // where this floor is inert. Conf-overridable like any Spark conf.
+      c.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       // CBO + join reorder ≈ Impala's cardinality-based join ordering.
       c.set("spark.sql.cbo.enabled", "true")
       c.set("spark.sql.cbo.joinReorder.enabled", "true")

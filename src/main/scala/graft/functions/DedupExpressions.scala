@@ -318,6 +318,166 @@ case class CollectCapped(
   override def prettyName: String = "collect_capped"
 }
 
+/** `sorted_pairs2(arr)` → ARRAY<STRUCT<id1,b1,id2,b2>>: every unordered
+  * pair of an ARRAY<STRUCT<BIGINT,BIGINT>> posting list where the first
+  * field is the id and the second a per-id payload (doc size, simhash
+  * …), emitted with the smaller id first and equal-id pairs skipped —
+  * the payload-carrying twin of [[SortedPairs]]. Lets the inverted-index
+  * pipelines emit (id1, payload1, id2, payload2) from ONE groupBy, so
+  * the per-id payload never needs a join back to a second corpus scan
+  * (optimization guide §2.4: remove shuffles outright).
+  */
+case class SortedPairs2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id1", LongType, nullable = false),
+      StructField("b1", LongType, nullable = false),
+      StructField("id2", LongType, nullable = false),
+      StructField("b2", LongType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StructType(Array(f1, f2)), _)
+          if f1.dataType == LongType && f2.dataType == LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_pairs2 requires ARRAY<STRUCT<BIGINT,BIGINT>>, got ${t.simpleString}")
+    }
+  override protected def nullSafeEval(v: Any): Any =
+    pairsFor(v.asInstanceOf[ArrayData])
+  /** Codegen entry. */
+  def pairsFor(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val ids = new Array[Long](n)
+    val bs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = a.getStruct(i, 2)
+      ids(i) = r.getLong(0)
+      bs(i) = r.getLong(1)
+      i += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (ids(i) != ids(j)) {
+          out(k) =
+            if (ids(i) < ids(j)) InternalRow(ids(i), bs(i), ids(j), bs(j))
+            else InternalRow(ids(j), bs(j), ids(i), bs(i))
+          k += 1
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(if (k == out.length) out else out.take(k))
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pairs2Expr", this, classOf[SortedPairs2].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.pairsFor($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): SortedPairs2 =
+    copy(child = c)
+  override def prettyName: String = "sorted_pairs2"
+}
+
+/** `collect_capped2(id, payload, cap)` → ARRAY<STRUCT<id,b>> or NULL:
+  * the payload-carrying twin of [[CollectCapped]] — same bounded buffer
+  * (saturates at cap+1 entries, over-cap groups evaluate to NULL), each
+  * entry an (id, payload) pair. Feeds [[SortedPairs2]] so the
+  * inverted-index pipelines carry doc sizes through the single groupBy
+  * instead of joining a second corpus scan back onto the pairs.
+  */
+case class CollectCapped2(
+    left: Expression,
+    right: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Long]]
+  with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("id", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"collect_capped2 requires two BIGINT columns, got " +
+            s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  // buffer holds (id, payload) flattened; length 2·(cap+1) is the
+  // saturated "exceeded" state, update/merge never grow past it
+  override def createAggregationBuffer(): ArrayBuffer[Long] =
+    ArrayBuffer.empty[Long]
+
+  override def update(buf: ArrayBuffer[Long], row: InternalRow): ArrayBuffer[Long] = {
+    val a = left.eval(row)
+    val b = right.eval(row)
+    if (a != null && b != null && buf.length <= 2 * cap) {
+      buf += a.asInstanceOf[Number].longValue
+      buf += b.asInstanceOf[Number].longValue
+    }
+    buf
+  }
+
+  override def merge(a: ArrayBuffer[Long], b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+    var i = 0
+    while (i < b.length && a.length <= 2 * cap) {
+      a += b(i); a += b(i + 1); i += 2
+    }
+    a
+  }
+
+  override def eval(buf: ArrayBuffer[Long]): Any =
+    if (buf.length > 2 * cap) null
+    else {
+      val out = new Array[Any](buf.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = InternalRow(buf(2 * i), buf(2 * i + 1))
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+  override def serialize(buf: ArrayBuffer[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) { buf += bb.getLong; i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): CollectCapped2 =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): CollectCapped2 =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CollectCapped2 = copy(left = l, right = r)
+  override def prettyName: String = "collect_capped2"
+}
+
 /** `simhash_text(text)` → BIGINT: lowercase → whitespace-split → murmur
   * per token → 64-bit SimHash, one pass (replaces an interpreted
   * transform(split(...), w -> xxhash64(w)) per-word lambda).

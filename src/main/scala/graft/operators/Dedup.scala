@@ -125,17 +125,22 @@ object Dedup {
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
       chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    // r17: candidate pairs from ONE groupBy over (chunk_idx, chunk_val)
+    // instead of a self-join — one corpus scan (the simhash kernel runs
+    // once, not once per join side) and one shuffle instead of two
+    // (guide §2.4). The signature rides the posting list as the
+    // sorted_pairs2 payload; an id appears at most once per chunk_idx,
+    // so the kernel's (id1 < id2, equal-id-skipped) pair set is exactly
+    // the join's, and the downstream distinct() is unchanged.
     val t = simhashTable(df, idCol, textCol, chunks)
     val b = t.select(col("id"), col("sim"),
       posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
-    val l = b.select(col("chunk_idx"), col("chunk_val"),
-      col("id").as("id1"), col("sim").as("sim1"))
-    val r = b.select(col("chunk_idx"), col("chunk_val"),
-      col("id").as("id2"), col("sim").as("sim2"))
-    l.join(r, Seq("chunk_idx", "chunk_val"))
-      .filter(col("id1") < col("id2"))
-      .select(col("id1"), col("id2"),
-        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
+    b.groupBy(col("chunk_idx"), col("chunk_val"))
+      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(call_function("sorted_pairs2", col("members"))).as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        bit_count(col("p.b1").bitwiseXOR(col("p.b2"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -230,20 +235,25 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, maxDocFreq: Int = 50,
       minShared: Int = 2): DataFrame = {
+    // r17: one corpus pass. The shingle-set size rides the posting list
+    // as the collect_capped2 payload, so the per-id size needs no
+    // second corpus scan + two joins back onto the pairs (guide §2.4
+    // remove shuffles / §8 carry the lightweight proxy). sz joins the
+    // pair groupBy key — it is functionally dependent on the id, so the
+    // groups (and every emitted pair/count) are unchanged.
     val docs = df.select(col(idCol).as("id"),
       shingleHashes(col(textCol), shingleN).as("hs"))
-    val sizes = docs.select(col("id"), size(col("hs")).as("sz"))
-    val inv = docs.select(col("id"), explode(col("hs")).as("h"))
-    val shared = inv.groupBy(col("h"))
-      .agg(call_function("collect_capped", col("id"), lit(maxDocFreq)).as("ids"))
+    val inv = docs.select(col("id"),
+      size(col("hs")).cast("long").as("sz"), explode(col("hs")).as("h"))
+    inv.groupBy(col("h"))
+      .agg(call_function("collect_capped2", col("id"), col("sz"),
+        lit(maxDocFreq)).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-      .select(explode(call_function("sorted_pairs", col("ids"))).as("p"))
-      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .select(explode(call_function("sorted_pairs2", col("ids"))).as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.b1").as("sz1"),
+        col("p.id2").as("id2"), col("p.b2").as("sz2"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)
-    shared
-      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), Seq("id1"))
-      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), Seq("id2"))
       .select(col("id1"), col("id2"),
         (col("shared").cast("double") /
           (col("sz1") + col("sz2") - col("shared"))).as("jaccard"))

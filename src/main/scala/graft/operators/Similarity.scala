@@ -77,11 +77,21 @@ object Similarity {
     */
   def signAndWriteCorpus(df: DataFrame, path: String, idCol: String,
       vecCol: String, m: Int = 8, dim: Int = 64, tables: Int = 4,
-      seed: Long = 7L): Unit =
+      seed: Long = 7L): Unit = {
     bucketedCorpus(df, idCol, vecCol, m, dim, tables, seed)
       .select(col(idCol), col(vecCol),
         posexplode(col("buckets")).as(Seq("tbl", "bucket")))
       .write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+    // r17: the session runs partitionOverwriteMode=dynamic, whose commit
+    // path does NOT emit the _SUCCESS marker — the probe entry points
+    // key "already built" on it, so every probe silently re-signed and
+    // re-wrote the whole index (a full corpus pass per query!). Write
+    // the marker explicitly so the build is amortized as designed
+    // (guide §1.4: measure the computation, not the rebuild).
+    val marker = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = marker.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.create(marker, true).close()
+  }
 
   /** Multi-probe bucket set for one query vector: per table, the exact
     * bucket plus all Hamming-distance-1 neighbors. Driver-side over one
@@ -109,11 +119,18 @@ object Similarity {
     val hit = probes.indices.map { l =>
       col("tbl") === l && col("bucket").isin(probes(l).map(Int.box): _*)
     }.reduce(_ || _)
+    // r17: score BEFORE deduplicating (guide §2.3 "project before the
+    // exchange"): dropDuplicates(id) compiled to Sort+SortAggregate
+    // carrying the full embedding through the exchange (first() over an
+    // array type is not hash-aggregable). A given id stores the same
+    // vector in every probed (tbl,bucket) partition and the cosine
+    // kernel is deterministic, so distinct over (id, cos_sim) keeps
+    // exactly one identical row per id — same result, but the exchange
+    // now moves 16 bytes/row instead of the vector and hash-aggregates.
     index.filter(hit && col(idCol) =!= excludeId)
-      .select(col(idCol), col(vecCol))
-      .dropDuplicates(idCol)
       .select(col(idCol),
         cosine(col(vecCol), typedlit(queryVec.toSeq)).as("cos_sim"))
+      .distinct()
       .orderBy(desc_nulls_last("cos_sim"), col(idCol))
       .limit(k)
   }

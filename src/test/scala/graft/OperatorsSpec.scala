@@ -121,6 +121,74 @@ class OperatorsSpec extends SparkSpecBase {
     assert(agg.eval(under) != null)
   }
 
+  test("sorted_pairs2 carries payloads, orders by id, skips equal ids") {
+    val spark2 = spark
+    import spark2.implicits._
+    // posting list arrives id-descending with a duplicate id: pairs must
+    // come out (lo id, its payload, hi id, its payload), no self-pair
+    val out = Seq(Tuple1(Seq((9L, 90L), (3L, 30L), (9L, 91L), (1L, 10L))))
+      .toDF("arr")
+      .select(explode(call_function("sorted_pairs2",
+        col("arr").cast("array<struct<a:bigint,b:bigint>>"))).as("p"))
+      .select("p.id1", "p.b1", "p.id2", "p.b2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(out == Set(
+      (3L, 30L, 9L, 90L), (1L, 10L, 9L, 90L),
+      (3L, 30L, 9L, 91L), (1L, 10L, 9L, 91L),
+      (1L, 10L, 3L, 30L)))
+  }
+
+  test("collect_capped2 saturates at cap+1 pairs under update and merge") {
+    import scala.collection.mutable.ArrayBuffer
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.LongType
+    val agg = graft.functions.CollectCapped2(
+      BoundReference(0, LongType, nullable = false),
+      BoundReference(1, LongType, nullable = false), 5)
+    var buf = agg.createAggregationBuffer()
+    (1L to 100L).foreach { v =>
+      buf = agg.update(buf, InternalRow(v, v * 10))
+      assert(buf.length <= 12) // (cap+1) entries × 2 longs
+    }
+    assert(agg.eval(buf) == null) // over cap → dropped whole
+    val merged = agg.merge(
+      ArrayBuffer(1L, 10L, 2L, 20L, 3L, 30L, 4L, 40L),
+      ArrayBuffer(5L, 50L, 6L, 60L, 7L, 70L, 8L, 80L))
+    assert(merged.length == 12 && agg.eval(merged) == null)
+    val under = agg.merge(ArrayBuffer(1L, 10L), ArrayBuffer(2L, 20L))
+    val arr = agg.eval(under)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(arr.numElements() == 2)
+    assert(arr.getStruct(0, 2).getLong(1) == 10L)
+    // round-trips through the shuffle serializer
+    assert(agg.deserialize(agg.serialize(under)) == under)
+  }
+
+  test("simhashDupPairs one-pass groupBy equals the self-join formulation") {
+    // the r17 rewrite must emit exactly the pairs the (chunk_idx,
+    // chunk_val) self-join produced, hamming included
+    val t = Dedup.simhashTable(docs, "doc_id", "text")
+    val b = t.select(col("id"), col("sim"),
+      posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
+    val l = b.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id1"), col("sim").as("sim1"))
+    val r = b.select(col("chunk_idx"), col("chunk_val"),
+      col("id").as("id2"), col("sim").as("sim2"))
+    val joined = l.join(r, Seq("chunk_idx", "chunk_val"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sim1").bitwiseXOR(col("sim2"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    val onePass = Dedup.simhashDupPairs(docs, "doc_id", "text", 4, 10)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getInt(2))).toSet
+    assert(onePass == joined)
+    assert(onePass.contains((1L, 4L, 0))) // planted exact dup at hamming 0
+  }
+
   test("candidatePairs: degenerate LSH bucket is capped, not quadratic") {
     val spark2 = spark
     import spark2.implicits._

@@ -4,7 +4,7 @@ import graft.GraftSession
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import Q.dec2
+import Q.{dec2, u2, sumUnscaledDbl}
 
 /** Incremental-batch analytics over the `events` table (the reference has
   * no streaming engine — SURVEY.md §2.11; its "real-time" story is fast
@@ -26,7 +26,7 @@ object EventsQueries extends QueryGroup {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-          sum(dec2(col("value"))).cast("double").as("value_sum"),
+          sumUnscaledDbl(u2(col("value")), 2).as("value_sum"),
           countDistinct(col("user_id")).as("n_users"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("hour_start"), col("event_type"), col("n"), col("value_sum"),
@@ -80,7 +80,7 @@ object EventsQueries extends QueryGroup {
         .groupBy(col("user_id"))
         .agg(max(col("sess_id")).as("n_sessions"),
           count(lit(1)).as("n_events"),
-          sum(dec2(col("value"))).cast("double").as("value_total"))
+          sumUnscaledDbl(u2(col("value")), 2).as("value_total"))
         .orderBy(col("user_id"))
     }, Some("""
       WITH w AS (

@@ -4,7 +4,7 @@ import graft.GraftSession
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import Q.dec2
+import Q.{dec2, u2, sumUnscaledDbl}
 
 /** Nested-type dataflow (SURVEY.md §2.10: SubplanNode/UnnestNode over
   * ARRAY/MAP/STRUCT — `be/src/exec/subplan-node.h:42`,
@@ -39,7 +39,7 @@ object NestedQueries extends QueryGroup {
         .select(col("l_orderkey"), size(col("items")).as("n_items"),
           explode(col("items")).as("it"))
         .groupBy(col("l_orderkey"), col("n_items"))
-        .agg(sum(dec2(col("it.qty"))).cast("double").as("sum_qty"),
+        .agg(sumUnscaledDbl(u2(col("it.qty")), 2).as("sum_qty"),
           max(col("it.price")).as("max_price"),
           min(col("it.ln")).as("first_ln"))
         .orderBy(col("l_orderkey"))

@@ -3,7 +3,7 @@ package graft.queries
 import graft.GraftSession
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import Q.{dec2, frac2}
+import Q.{dec2, frac2, u2, uf2, sumUnscaledDbl}
 
 /** The reference's TPC-H golden-result suite re-expressed Spark-first:
   * `testdata/workloads/tpch/queries/tpch-q1.test` … `tpch-q22.test`
@@ -29,8 +29,12 @@ object TpchQueries extends QueryGroup {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     GraftSession.table(s, dir, n)
 
-  /** revenue term used by Q3/Q5/Q7/Q8/Q10/…: exact decimal per-row. */
-  private def rev = dec2(col("l_extendedprice")) * (lit(1) - frac2(col("l_discount")))
+  /** Unscaled (scale-4) revenue term used by Q3/Q5/Q7/Q8/Q10/…: the
+    * exact `dec2(price) * (1 - frac2(discount))` computed on unscaled
+    * longs (r17, [[Q.sumUnscaledDbl]] — same rational, no per-row
+    * BigDecimal in the aggregate).
+    */
+  private def urev = Q.uRev(col("l_extendedprice"), col("l_discount"))
 
   def defs: Seq[Q.Def] = Seq(
 
@@ -40,13 +44,13 @@ object TpchQueries extends QueryGroup {
         .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(rev).cast("double").as("sum_disc_price"),
-          sum(rev * (lit(1) + frac2(col("l_tax")))).cast("double").as("sum_charge"),
-          (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-          (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
-          (sum(frac2(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          sumUnscaledDbl(u2(col("l_quantity")), 2).as("sum_qty"),
+          sumUnscaledDbl(u2(col("l_extendedprice")), 2).as("sum_base_price"),
+          sumUnscaledDbl(urev, 4).as("sum_disc_price"),
+          sumUnscaledDbl(urev * (lit(100L) + uf2(col("l_tax"))), 6).as("sum_charge"),
+          (sumUnscaledDbl(u2(col("l_quantity")), 2) / count(lit(1))).as("avg_qty"),
+          (sumUnscaledDbl(u2(col("l_extendedprice")), 2) / count(lit(1))).as("avg_price"),
+          (sumUnscaledDbl(uf2(col("l_discount")), 2) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }, Some("""
@@ -115,7 +119,7 @@ object TpchQueries extends QueryGroup {
         .groupBy(col("l_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
           col("o_orderpriority"))
-        .agg(sum(rev).cast("double").as("revenue"))
+        .agg(sumUnscaledDbl(urev, 4).as("revenue"))
         .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
           col("o_orderpriority"))
         .orderBy(desc_nulls_first("revenue"), asc_nulls_last("o_orderdate"),
@@ -173,7 +177,7 @@ object TpchQueries extends QueryGroup {
         .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(rev).cast("double").as("revenue"))
+        .agg(sumUnscaledDbl(urev, 4).as("revenue"))
         .orderBy(desc_nulls_first("revenue"), asc_nulls_last("n_name"))
     }, Some("""
       SELECT n_name,
@@ -195,8 +199,8 @@ object TpchQueries extends QueryGroup {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
           col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-        .agg(sum(dec2(col("l_extendedprice")) * frac2(col("l_discount")))
-          .cast("double").as("revenue"))
+        .agg(sumUnscaledDbl(u2(col("l_extendedprice")) * uf2(col("l_discount")), 4)
+          .as("revenue"))
     }, Some("""
       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
       FROM lineitem
@@ -224,7 +228,7 @@ object TpchQueries extends QueryGroup {
           col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(sum(rev).cast("double").as("revenue"))
+        .agg(sumUnscaledDbl(urev, 4).as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }, Some("""
       SELECT supp_nation, cust_nation, l_year,
@@ -262,8 +266,9 @@ object TpchQueries extends QueryGroup {
         .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .join(n2, col("s_nationkey") === col("sn_key"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
-        .agg((sum(when(col("supp_nation") === "NATION_6", rev).otherwise(lit(0)))
-          .cast("double") / sum(rev).cast("double")).as("mkt_share"))
+        .agg((sumUnscaledDbl(
+            when(col("supp_nation") === "NATION_6", urev).otherwise(lit(0L)), 4)
+          / sumUnscaledDbl(urev, 4)).as("mkt_share"))
         .orderBy(col("o_year"))
     }, Some("""
       SELECT o_year,
@@ -293,8 +298,8 @@ object TpchQueries extends QueryGroup {
         .join(t(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
         .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
-        .agg((sum(rev).cast("double") -
-          sum(dec2(col("p_retailprice")) * dec2(col("l_quantity"))).cast("double") / 10.0d)
+        .agg((sumUnscaledDbl(urev, 4) -
+          sumUnscaledDbl(u2(col("p_retailprice")) * u2(col("l_quantity")), 4) / 10.0d)
           .as("sum_profit"))
         .orderBy(asc_nulls_last("nation"), desc_nulls_first("o_year"))
     }, Some("""
@@ -319,7 +324,7 @@ object TpchQueries extends QueryGroup {
           col("l_orderkey") === col("o_orderkey"))
         .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
-        .agg(sum(rev).cast("double").as("revenue"))
+        .agg(sumUnscaledDbl(urev, 4).as("revenue"))
         .orderBy(desc_nulls_first("revenue"), asc_nulls_last("c_custkey"))
         .limit(20)
     }, Some("""
@@ -345,9 +350,9 @@ object TpchQueries extends QueryGroup {
         .join(t(s, dir, "nation").filter(col("n_name") === "NATION_13"),
           col("s_nationkey") === col("n_nationkey"))
       val total = natLi.agg(
-        sum(dec2(col("l_extendedprice"))).cast("double").as("grand_total"))
+        sumUnscaledDbl(u2(col("l_extendedprice")), 2).as("grand_total"))
       natLi.groupBy(col("l_partkey"))
-        .agg(sum(dec2(col("l_extendedprice"))).cast("double").as("value"))
+        .agg(sumUnscaledDbl(u2(col("l_extendedprice")), 2).as("value"))
         .crossJoin(broadcast(total))
         .filter(col("value") > col("grand_total") * 0.001)
         .select(col("l_partkey"), col("value"))
@@ -430,8 +435,8 @@ object TpchQueries extends QueryGroup {
           col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
         .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0d) *
-          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).cast("double") /
-          sum(rev).cast("double")).as("promo_revenue"))
+          sumUnscaledDbl(when(col("p_type") === "PROMO", urev).otherwise(lit(0L)), 4) /
+          sumUnscaledDbl(urev, 4)).as("promo_revenue"))
     }, Some("""
       SELECT 100.0 *
         CAST(SUM(CASE WHEN p_type = 'PROMO'
@@ -450,7 +455,7 @@ object TpchQueries extends QueryGroup {
         .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
         .groupBy(col("l_suppkey").as("supplier_no"))
-        .agg(sum(rev).cast("double").as("total_revenue"))
+        .agg(sumUnscaledDbl(urev, 4).as("total_revenue"))
       val maxRev = revenue.agg(max(col("total_revenue")).as("max_rev"))
       t(s, dir, "supplier")
         .join(revenue, col("s_suppkey") === col("supplier_no"))
@@ -504,14 +509,14 @@ object TpchQueries extends QueryGroup {
     Q.Def("tpch_q17", (s, dir) => {
       val li = t(s, dir, "lineitem")
       val partAvg = li.groupBy(col("l_partkey").as("pa_partkey"))
-        .agg((sum(dec2(col("l_quantity"))).cast("double") / count(lit(1)))
+        .agg((sumUnscaledDbl(u2(col("l_quantity")), 2) / count(lit(1)))
           .as("avg_qty"))
       t(s, dir, "part")
         .filter(col("p_brand") === "Brand#3" && col("p_type") === "SMALL")
         .join(li, col("p_partkey") === col("l_partkey"))
         .join(partAvg, col("p_partkey") === col("pa_partkey"))
         .filter(col("l_quantity") < lit(0.2d) * col("avg_qty"))
-        .agg((sum(dec2(col("l_extendedprice"))).cast("double") / 7.0d)
+        .agg((sumUnscaledDbl(u2(col("l_extendedprice")), 2) / 7.0d)
           .as("avg_yearly"))
     }, Some("""
       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
@@ -528,7 +533,7 @@ object TpchQueries extends QueryGroup {
     Q.Def("tpch_q18", (s, dir) => {
       val li = t(s, dir, "lineitem")
       val bigOrders = li.groupBy(col("l_orderkey").as("bo_orderkey"))
-        .agg(sum(dec2(col("l_quantity"))).cast("double").as("bo_qty"))
+        .agg(sumUnscaledDbl(u2(col("l_quantity")), 2).as("bo_qty"))
         .filter(col("bo_qty") > 250.0)
         .select(col("bo_orderkey"))
       t(s, dir, "customer")
@@ -538,7 +543,7 @@ object TpchQueries extends QueryGroup {
         .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
           col("o_totalprice"))
-        .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+        .agg(sumUnscaledDbl(u2(col("l_quantity")), 2).as("sum_qty"))
         .orderBy(desc_nulls_first("o_totalprice"), asc_nulls_last("o_orderkey"))
         .limit(100)
     }, Some("""
@@ -567,7 +572,7 @@ object TpchQueries extends QueryGroup {
             col("l_quantity").between(10, 20)) ||
           (col("p_brand") === "Brand#25" && col("p_size").between(1, 15) &&
             col("l_quantity").between(20, 30)))
-        .agg(sum(rev).cast("double").as("revenue"))
+        .agg(sumUnscaledDbl(urev, 4).as("revenue"))
     }, Some("""
       SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
       FROM lineitem, part
@@ -585,7 +590,7 @@ object TpchQueries extends QueryGroup {
       val bigSupp = t(s, dir, "lineitem")
         .join(redParts, col("l_partkey") === col("p_partkey"), "left_semi")
         .groupBy(col("l_suppkey"))
-        .agg(sum(dec2(col("l_quantity"))).cast("double").as("qty"))
+        .agg(sumUnscaledDbl(u2(col("l_quantity")), 2).as("qty"))
         .filter(col("qty") > 50.0)
         .select(col("l_suppkey"))
       t(s, dir, "supplier")
@@ -664,14 +669,14 @@ object TpchQueries extends QueryGroup {
         .withColumn("cntrycode", pmod(col("c_nationkey"), lit(10)))
         .filter(col("cntrycode").isin(1, 2, 3, 4, 5, 6, 7))
       val avgBal = cust.filter(col("c_acctbal") > 0.0)
-        .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1)))
+        .agg((sumUnscaledDbl(u2(col("c_acctbal")), 2) / count(lit(1)))
           .as("avg_bal"))
       cust.crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("avg_bal"))
         .join(t(s, dir, "orders"), col("o_custkey") === col("c_custkey"), "left_anti")
         .groupBy(col("cntrycode"))
         .agg(count(lit(1)).as("numcust"),
-          sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+          sumUnscaledDbl(u2(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy(col("cntrycode"))
     }, Some("""
       SELECT cntrycode, COUNT(*) AS numcust,

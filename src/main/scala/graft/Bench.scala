@@ -117,8 +117,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val prev = prevCommitBench(sfDir)
-    val prevJson = prev.map { case (sha, t) =>
-      f""","prev_commit":"$sha","prev_commit_total":$t%.3f"""
+    val prevJson = prev.map { case (sha, t, qmap) =>
+      f""","prev_commit":"$sha","prev_commit_total":$t%.3f""" +
+        qmap.map(q => s""","prev_commit_queries":$q""").getOrElse("")
     }.getOrElse("")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"$prevJson}""")
     spark.stop()
@@ -129,11 +130,14 @@ object Bench {
     * (machine speed drifts ~35% between driver runs — r6 adjudication):
     * checks out the last `round N: verdict…` commit into a /tmp
     * worktree, runs ITS `graft.Bench` on the same fixture minutes after
-    * the head numbers, and embeds its total. Every failure path
-    * degrades to the head-only JSON (None) — the band is evidence, not
-    * a gate.
+    * the head numbers, and embeds its total AND per-query map (r17,
+    * r16-verdict item: a hot-session artifact outlier — e.g. the 2.11×
+    * q21 mirage — is then self-diagnosing per query without a judge
+    * re-run). Every failure path degrades to the head-only JSON (None)
+    * — the band is evidence, not a gate.
     */
-  private def prevCommitBench(sfDir: String): Option[(String, Double)] = {
+  private def prevCommitBench(
+      sfDir: String): Option[(String, Double, Option[String])] = {
     if (sys.env.contains("GRAFT_BENCH_NO_PREV")) return None
     try {
       def git(args: String*): Option[String] = {
@@ -169,8 +173,11 @@ object Bench {
       }
       val out = outF.get()
       val totalRe = """"metric":"total","value":([0-9.]+)""".r
-      totalRe.findFirstMatchIn(out + errF.get())
-        .map(m => (sha.take(12), m.group(1).toDouble))
+      val queriesRe = """"queries":(\{[^}]*\})""".r
+      val all = out + errF.get()
+      totalRe.findFirstMatchIn(all)
+        .map(m => (sha.take(12), m.group(1).toDouble,
+          queriesRe.findFirstMatchIn(all).map(_.group(1))))
     } catch {
       case e: Throwable =>
         // best-effort subprocess — but a swallowed failure here also

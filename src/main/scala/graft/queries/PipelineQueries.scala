@@ -135,18 +135,24 @@ object PipelineQueries extends QueryGroup {
           .cast("long").as("n_exact_dup_pairs"))
       val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
         threshold = 0.7)
-      // containment: annotate the pipeline's j=1.0 pairs (a tiny,
-      // broadcastable relation) with both text hashes; the count with
-      // hh1 = hh2 must equal the combinatorial exact-pair count.
-      val found = pairs.filter(col("jaccard") === 1.0)
+      // containment: annotate every pipeline pair (a tiny, broadcastable
+      // relation) with both text hashes; the count of jaccard-1.0 pairs
+      // with hh1 = hh2 must equal the combinatorial exact-pair count.
+      // r17: __f and the total pair count come from ONE aggregate over
+      // ONE evaluation of the LSH pipeline — the previous shape ran the
+      // whole shingle→minhash→LSH→verify subtree twice (once per
+      // crossJoined aggregate). The hh joins are inner on ids drawn
+      // from docs, so they are row-preserving and count(*) is unchanged.
+      val pairStats = pairs
         .join(hh.select(col("id").as("id1"), col("hh").as("hh1")), Seq("id1"))
         .join(hh.select(col("id").as("id2"), col("hh").as("hh2")), Seq("id2"))
-        .agg(coalesce(sum(when(col("hh1") === col("hh2"), 1L)
-          .otherwise(0L)), lit(0L)).as("__f"))
+        .agg(
+          coalesce(sum(when(col("jaccard") === 1.0 &&
+            col("hh1") === col("hh2"), 1L).otherwise(0L)), lit(0L)).as("__f"),
+          count(lit(1)).as("__n"))
       docs.select(count(lit(1)).as("n_docs"))
         .crossJoin(exactPairs)
-        .crossJoin(found)
-        .crossJoin(pairs.agg(count(lit(1)).as("__n")))
+        .crossJoin(pairStats)
         .select(col("n_docs"), col("n_exact_dup_pairs"),
           (col("__f") === col("n_exact_dup_pairs")).as("exact_dups_at_j100"),
           (col("__n") >= col("n_exact_dup_pairs")).as("near_ge_exact"))
@@ -238,11 +244,22 @@ object PipelineQueries extends QueryGroup {
         .select(col("id1"), col("id2"))
       val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
         chunks = 4, maxHamming = 10)
+      // r17: containment + total from ONE aggregate over ONE evaluation
+      // of the simhash pipeline (the previous semi-join + count shape
+      // ran the whole pipeline twice). Both pair sets are distinct, so
+      // |epairs ⋉ pairs₀| == Σ over pairs of (hamming=0 ∧ ∈epairs) —
+      // counted from the pairs side via a left join against the tiny
+      // epairs relation.
+      val pairStats = pairs
+        .join(epairs.withColumn("__e", lit(1L)), Seq("id1", "id2"),
+          "left_outer")
+        .agg(
+          coalesce(sum(when(col("hamming") === 0 && col("__e").isNotNull,
+            1L).otherwise(0L)), lit(0L)).as("__f"),
+          count(lit(1)).as("__n10"))
       docs.select(count(lit(1)).as("n_docs"))
         .crossJoin(epairs.agg(count(lit(1)).as("n_exact_dup_pairs")))
-        .crossJoin(epairs.join(pairs.filter(col("hamming") === 0),
-          Seq("id1", "id2"), "left_semi").agg(count(lit(1)).as("__f")))
-        .crossJoin(pairs.agg(count(lit(1)).as("__n10")))
+        .crossJoin(pairStats)
         .select(col("n_docs"), col("n_exact_dup_pairs"),
           (col("__f") === col("n_exact_dup_pairs")).as("exact_dups_at_h0"),
           (col("__n10") >= col("n_exact_dup_pairs")).as("near_ge_exact"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{count, lit, sum}
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide, Literal, Remainder, UnscaledValue}
+import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide, Literal, Remainder}
 import org.apache.spark.sql.types.DecimalType
 
 /** Query registry shared by SparkEntry / Verify / Bench.
@@ -54,9 +54,13 @@ object Q {
 
   private val SplitM = 1000000L
 
-  /** Unscaled long of `c.cast(decimal(p,s))` (null iff the cast is). */
+  /** Unscaled long of `c.cast(decimal(p,s))` (null iff the cast is) —
+    * the fast-path [[graft.functions.UnscaledDec]] kernel (exact-decimal
+    * doubles skip the cast's per-value BigDecimal/toString round trip;
+    * everything else takes Spark's own Decimal slow path).
+    */
   def uDec(c: Column, p: Int, s: Int): Column =
-    Bridge.column(UnscaledValue(Bridge.expression(c.cast(DecimalType(p, s)))))
+    Bridge.column(graft.functions.UnscaledDec(Bridge.expression(c), p, s))
 
   /** uDec for the 2-dec money convention (pairs with [[dec2]]). */
   def u2(c: Column): Column = uDec(c, 12, 2)

@@ -123,4 +123,36 @@ class DecimalSpec extends SparkSpecBase {
         .head().getString(0) == "DECIMAL(4,1)")
     }
   }
+  test("UnscaledDec fast path == UnscaledValue(Cast) on adversarial doubles") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.catalyst.expressions.UnscaledValue
+    val spark2 = spark
+    import spark2.implicits._
+    // boundary-straddlers, shortest-repr traps, negatives, exact 2-dec
+    // values, and a deterministic pseudo-random sweep
+    val tricky = Seq(0.005, -0.005, 1.115, -1.115, 1.15, 0.1 + 0.2, 0.0,
+      -0.0, 123.456, 99999999.99, -99999999.99, 1.005, 2.675,
+      0.0049999999999999999, 1e-13, 37.0, 0.07)
+    val rng = new scala.util.Random(7)
+    val sweep = Seq.fill(20000)(
+      math.rint(rng.nextDouble() * 1e7) / 100.0) ++
+      Seq.fill(20000)(rng.nextDouble() * 1e5)
+    val df = (tricky ++ sweep).toDF("d")
+    def u(p: Int, sc: Int) =
+      Bridge.column(graft.functions.UnscaledDec(Bridge.expression(col("d")), p, sc))
+    def ref(p: Int, sc: Int) =
+      Bridge.column(UnscaledValue(Bridge.expression(
+        col("d").cast(org.apache.spark.sql.types.DecimalType(p, sc)))))
+    val bad = df.filter(
+        u(12, 2) =!= ref(12, 2) || u(12, 4) =!= ref(12, 4))
+      .limit(5).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+    // and over a real fixture money column
+    val li = GraftSession.table(spark, "/root/testdata/sf0.001", "lineitem")
+      .select(col("l_extendedprice").as("d"))
+    val badLi = li.filter(u(12, 2) =!= ref(12, 2)).limit(5).collect()
+    assert(badLi.isEmpty, badLi.mkString(", "))
+  }
+
 }

@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only measurement probe (not part of the driver contract).
-  * Attributes wall time inside the slow bench queries.
+  * Attributes wall time inside the slow bench queries. Rewritten per
+  * optimization round for that round's suspects (r17 probes in git
+  * history at tag `round 17`).
   */
 object DevProbe {
   var spark: SparkSession = _
@@ -18,7 +20,7 @@ object DevProbe {
       f
       (System.nanoTime() - t0) / 1e9
     }
-    println(f"[probe] $label%-44s min=${ts.min}%.3f med=${ts.sorted.apply(n / 2)}%.3f")
+    println(f"[probe] $label%-52s min=${ts.min}%.3f med=${ts.sorted.apply(n / 2)}%.3f")
   }
   def timeDf(label: String, n: Int = 5)(f: => DataFrame): Unit =
     time(label, n)(f.write.format("noop").mode("overwrite").save())
@@ -34,144 +36,117 @@ object DevProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
+    val only: String => Boolean =
+      if (args.nonEmpty) args(0).split(",").toSet else (_ => true)
     def docs = GraftSession.table(spark, sfDir, "documents")
-    def emb = GraftSession.table(spark, sfDir, "embeddings")
-    GraftSession.table(spark, sfDir, "lineitem").count()
-    docs.count(); emb.count()
-    // warm the probe indexes
-    Seq("q_sim_ann_probe").foreach { n =>
-      SparkEntry.queries(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
-    }
+    def li = GraftSession.table(spark, sfDir, "lineitem")
+    def ord = GraftSession.table(spark, sfDir, "orders")
+    li.count(); docs.count()
+    SparkEntry.queries("q1_agg")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
 
-    import graft.operators.{Dedup, Similarity}
-
-    // ---- ann probe pieces
-    val key = java.lang.Integer.toHexString(s"$sfDir|m4|t4".hashCode)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ann_probe_$key"
-    time("probe: read.parquet() analysis only")(
-      spark.read.parquet(path).schema)
-    time("probe: qvec point read")(
-      emb.filter(col("vec_id") === 0L).select(col("embedding")).head())
-    val qVec = emb.filter(col("vec_id") === 0L).select(col("embedding"))
-      .head().getSeq[Float](0).toArray
-    timeDf("probe: scan+cos+distinct+topk")(
-      Similarity.annTopKPersisted(spark, path, "vec_id", "embedding",
-        qVec, 0L, 10, 4, 64, 4, 7L))
-    timeDf("q_sim_ann_probe full")(
-      SparkEntry.queries("q_sim_ann_probe")(spark, sfDir))
-    time("q_sim_ann_probe construct only")(
-      SparkEntry.queries("q_sim_ann_probe")(spark, sfDir))
-    time("emb table analysis only")(
-      GraftSession.table(spark, sfDir, "embeddings").schema)
-    locally {
-      val pre = SparkEntry.queries("q_sim_ann_probe")(spark, sfDir)
-      timeDf("q_sim_ann_probe exec only (prebuilt)")(pre)
-    }
-    time("construct: inner overload w/ qVec")(
-      Similarity.annTopKPersisted(spark, path, "vec_id", "embedding",
-        qVec, 0L, 10, 4, 64, 4, 7L))
-    time("construct: typedlit(Seq[Float])")(
-      org.apache.spark.sql.functions.typedlit(qVec.toSeq))
-    time("construct: qvec head via source overload")(
-      GraftSession.table(spark, sfDir, "embeddings")
-        .filter(col("vec_id") === 0L).select(col("embedding"))
-        .head().getSeq[Float](0).toArray)
-
-    // ---- dedup pieces
-    timeDf("docs noop (scan only)")(docs)
-    timeDf("minhash: bucketTable")(
-      Dedup.bucketTable(docs, "doc_id", "text"))
-    timeDf("minhash: candidatePairs")(
-      Dedup.candidatePairs(Dedup.bucketTable(docs, "doc_id", "text")))
-    timeDf("minhash: full dupPairs")(
-      Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.7))
-    timeDf("q_dedup_minhash full")(
-      SparkEntry.queries("q_dedup_minhash")(spark, sfDir))
-    timeDf("hh branch (md5 norm)")(
-      docs.select(col("doc_id").as("id"),
-        md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
-          .cast("binary")).as("hh")))
-    timeDf("simhash: table")(
-      Dedup.simhashTable(docs, "doc_id", "text"))
-    timeDf("simhash: dupPairs")(
-      Dedup.simhashDupPairs(docs, "doc_id", "text", 4, 10))
-    timeDf("ngram: pairs")(
-      Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
-    // ---- ngram internals
-    def ndocs = docs.select(col("doc_id").as("id"),
-      Dedup.shingleHashes(col("text"), 3).as("hs"))
-    def inv = ndocs.select(col("id"),
-      size(col("hs")).cast("long").as("sz"), explode(col("hs")).as("h"))
-    timeDf("ngram: inv explode only")(inv)
-    timeDf("ngram: groupBy(h).count")(
-      inv.groupBy(col("h")).agg(count(lit(1))))
-    timeDf("ngram: groupBy(h).collect_capped2")(
-      inv.groupBy(col("h"))
-        .agg(call_function("collect_capped2", col("id"), col("sz"), lit(50))
-          .as("ids")))
-    timeDf("ngram: + pairs explode")(
-      inv.groupBy(col("h"))
-        .agg(call_function("collect_capped2", col("id"), col("sz"), lit(50))
-          .as("ids"))
-        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
-        .select(explode(call_function("sorted_pairs2", col("ids"))).as("p")))
-    // ---- unscaled-long q1
-    import graft.queries.Q
-    def li2 = GraftSession.table(spark, sfDir, "lineitem")
-    def q1dec = li2
-      .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        sum(Q.dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(Q.dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(Q.dec2(col("l_extendedprice")) * (lit(1) - Q.frac2(col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(Q.dec2(col("l_extendedprice")) * (lit(1) - Q.frac2(col("l_discount")))
-          * (lit(1) + Q.frac2(col("l_tax")))).cast("double").as("sum_charge"),
-        (sum(Q.dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
-        (sum(Q.dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
-        (sum(Q.frac2(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
-        count(lit(1)).as("count_order"))
-      .orderBy(col("l_returnflag"), col("l_linestatus"))
-    def q1u = {
-      val uQty = Q.u2(col("l_quantity"))
-      val uPrice = Q.u2(col("l_extendedprice"))
-      val uDisc = Q.uf2(col("l_discount"))
-      val uTax = Q.uf2(col("l_tax"))
-      val uR = uPrice * (lit(100L) - uDisc)
-      val uC = uR * (lit(100L) + uTax)
-      li2.filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
-        .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          Q.sumUnscaledDbl(uQty, 2).as("sum_qty"),
-          Q.sumUnscaledDbl(uPrice, 2).as("sum_base_price"),
-          Q.sumUnscaledDbl(uR, 4).as("sum_disc_price"),
-          Q.sumUnscaledDbl(uC, 6).as("sum_charge"),
-          (Q.sumUnscaledDbl(uQty, 2) / count(lit(1))).as("avg_qty"),
-          (Q.sumUnscaledDbl(uPrice, 2) / count(lit(1))).as("avg_price"),
-          (Q.sumUnscaledDbl(uDisc, 2) / count(lit(1))).as("avg_disc"),
-          count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    }
-    timeDf("q1 decimal sums")(q1dec)
-    timeDf("q1 unscaled-long sums")(q1u)
-    locally {
-      val a = q1dec.collect()
-      val b = q1u.collect()
-      val same = a.zip(b).forall { case (ra, rb) =>
-        (0 until ra.length).forall { i =>
-          val va = ra.get(i); val vb = rb.get(i)
-          (va == vb) || (va.isInstanceOf[Double] &&
-            java.lang.Double.doubleToRawLongBits(va.asInstanceOf[Double]) ==
-            java.lang.Double.doubleToRawLongBits(vb.asInstanceOf[Double]))
-        }
-      }
-      println(s"[probe] q1 unscaled == decimal bitwise: $same rows=${a.length}")
-      if (!same) {
-        a.zip(b).foreach { case (ra, rb) =>
-          if (ra.toString != rb.toString) println(s"[probe] DIFF\n  $ra\n  $rb") }
+    // ---- construct vs exec split for the round's heavy set
+    if (only("split")) {
+      Seq("tpch_q21", "tpch_q5", "tpch_q4", "tpch_q18", "tpch_q7",
+          "tpch_q3", "tpch_q9", "q_dedup_simhash", "q_dedup_minhash",
+          "q_dedup_ngram", "q_sim_ivf", "q_events_tumbling").foreach { q =>
+        val fn = SparkEntry.queries(q)
+        timeDf(s"$q full")(fn(spark, sfDir))
+        time(s"$q construct only")(fn(spark, sfDir))
       }
     }
+
+    // ---- q21: current vs single-pass window rewrite
+    if (only("q21")) {
+      import graft.queries.Q
+      val fn = SparkEntry.queries("tpch_q21")
+      timeDf("q21 current")(fn(spark, sfDir))
+      def lateLines = li
+        .join(ord.filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      def q21win = {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+        val lone = lateLines
+          .withColumn("__mn", min(col("l_suppkey")).over(w))
+          .withColumn("__mx", max(col("l_suppkey")).over(w))
+          .filter(col("__mn") === col("__mx"))
+          .select(col("l_orderkey").as("l1_orderkey"),
+            col("l_suppkey").as("l1_suppkey"))
+        val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+          col("l_suppkey").as("l2_suppkey"))
+        lone
+          .join(l2, col("l2_orderkey") === col("l1_orderkey") &&
+            col("l2_suppkey") =!= col("l1_suppkey"), "left_semi")
+          .join(GraftSession.table(spark, sfDir, "supplier"),
+            col("l1_suppkey") === col("s_suppkey"))
+          .join(GraftSession.table(spark, sfDir, "nation")
+            .filter(col("n_name") === "NATION_13"),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc_nulls_first("numwait"), asc_nulls_last("s_name"))
+          .limit(100)
+      }
+      timeDf("q21 window rewrite")(q21win)
+      locally {
+        val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+        val b = q21win.collect().map(_.toString).toSeq
+        println(s"[probe] q21 rewrite equal: ${a == b} (${a.length} rows)")
+      }
+    }
+
+    // ---- simhash gate: epairs join vs hh-annotation (minhash shape)
+    if (only("simhash")) {
+      import graft.operators.Dedup
+      val fn = SparkEntry.queries("q_dedup_simhash")
+      timeDf("q_dedup_simhash current")(fn(spark, sfDir))
+      def norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary"))
+      def hh = docs.select(col("doc_id").as("id"), norm.as("hh"))
+      def alt = {
+        val exactPairs = hh.groupBy(col("hh")).agg(count(lit(1)).as("g"))
+          .agg(coalesce(sum(col("g") * (col("g") - 1) / 2), lit(0.0))
+            .cast("long").as("n_exact_dup_pairs"))
+        val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
+          chunks = 4, maxHamming = 10)
+        val pairStats = pairs
+          .join(hh.select(col("id").as("id1"), col("hh").as("hh1")), Seq("id1"))
+          .join(hh.select(col("id").as("id2"), col("hh").as("hh2")), Seq("id2"))
+          .agg(
+            coalesce(sum(when(col("hamming") === 0 && col("hh1") === col("hh2"),
+              1L).otherwise(0L)), lit(0L)).as("__f"),
+            count(lit(1)).as("__n10"))
+        docs.select(count(lit(1)).as("n_docs"))
+          .crossJoin(exactPairs)
+          .crossJoin(pairStats)
+          .select(col("n_docs"), col("n_exact_dup_pairs"),
+            (col("__f") === col("n_exact_dup_pairs")).as("exact_dups_at_h0"),
+            (col("__n10") >= col("n_exact_dup_pairs")).as("near_ge_exact"))
+      }
+      timeDf("q_dedup_simhash hh-annotated")(alt)
+      locally {
+        val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+        val b = alt.collect().map(_.toString).toSeq
+        println(s"[probe] simhash rewrite equal: ${a == b} $a $b")
+      }
+    }
+
+    // ---- dedup kernel attribution: how many corpus passes matter
+    if (only("dedup")) {
+      import graft.operators.Dedup
+      timeDf("docs scan only")(docs)
+      timeDf("md5 norm pass")(docs.select(md5(regexp_replace(
+        lower(trim(col("text"))), "\\s+", " ").cast("binary"))))
+      timeDf("shingle_hashes pass")(docs.select(col("doc_id"),
+        Dedup.shingleHashes(col("text"), 3).as("hs")))
+      timeDf("simhash_text pass")(docs.select(col("doc_id"),
+        call_function("simhash_text", col("text"))))
+      timeDf("minhash sig pass")(docs.select(col("doc_id"),
+        Dedup.minhashSignature(Dedup.shingleHashes(col("text"), 3), 64)))
+    }
+
     spark.stop()
   }
 }

@@ -40,9 +40,11 @@ object GraftSession {
       // stages (signature kernels, decimal aggregation, pair
       // expansion) are CPU-bound at far fewer bytes/CPU-second, so a
       // 1 MiB floor collapses small-byte CPU-heavy stages onto 1-6
-      // tasks. 64 KiB keeps `parallelismFirst` honest (total/cores)
-      // for them; production stages are ≫1 MiB/partition either way,
-      // where this floor is inert. Conf-overridable like any Spark conf.
+      // tasks. 256 KiB keeps `parallelismFirst` honest (total/cores)
+      // for them (64 KiB was also measured: better on TPC-H, worse on
+      // high-stage-count pipelines — 256 KiB won on total); production
+      // stages are ≫1 MiB/partition either way, where this floor is
+      // inert. Conf-overridable like any Spark conf.
       c.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
       // CBO + join reorder ≈ Impala's cardinality-based join ordering.
       c.set("spark.sql.cbo.enabled", "true")
@@ -104,10 +106,26 @@ object GraftSession {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
+    purgeStopped()
     tableCache.computeIfAbsent((spark, dir, name), _ => {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events") normalizeEventsTs(df, s"$dir/$name.parquet") else df
     })
+  }
+
+  /** r18 (advisor): drop memo entries (and the tune() marker) for
+    * stopped sessions so a long-lived multi-session process doesn't
+    * retain dead sessions and their analyzed plans forever. O(live
+    * entries) per table() call — tens of keys. The fixture dirs are
+    * immutable driver inputs (TESTDATA.md), so no mtime check: a
+    * rewritten dir in-process would need a new SparkSession (or dir) to
+    * see fresh listings, which is the documented contract.
+    */
+  private def purgeStopped(): Unit = {
+    val it = tableCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
+    val it2 = tuned.iterator()
+    while (it2.hasNext) if (it2.next().sparkContext.isStopped) it2.remove()
   }
 
   /** Catalog-metadata memo (r17, guide §1.2 per-task → per-QUERY work):

@@ -213,7 +213,14 @@ case class SortedPairs(child: Expression) extends UnaryExpression {
   def pairsFor(a: ArrayData): ArrayData = {
     val ids = a.toLongArray()
     val n = ids.length
-    val out = new Array[Any](n * (n - 1) / 2)
+    // pair count in Long: n*(n-1)/2 silently overflows Int past n=65536
+    // (NegativeArraySizeException); posting lists are collect_capped so
+    // this cannot fire from the shipped pipelines, but an uncapped
+    // caller must fail loudly, not corrupt
+    val np = n.toLong * (n - 1) / 2
+    require(np <= Int.MaxValue - 8,
+      s"sorted_pairs: $n ids expand to $np pairs — cap the posting list")
+    val out = new Array[Any](np.toInt)
     var k = 0
     var i = 0
     while (i < n) {
@@ -358,7 +365,11 @@ case class SortedPairs2(child: Expression) extends UnaryExpression {
       bs(i) = r.getLong(1)
       i += 1
     }
-    val out = new Array[Any](n * (n - 1) / 2)
+    // Long-safe sizing, as in SortedPairs.pairsFor
+    val np = n.toLong * (n - 1) / 2
+    require(np <= Int.MaxValue - 8,
+      s"sorted_pairs2: $n ids expand to $np pairs — cap the posting list")
+    val out = new Array[Any](np.toInt)
     var k = 0
     i = 0
     while (i < n) {

@@ -30,6 +30,13 @@ case class UnscaledDec(child: Expression, p: Int, s: Int)
     extends UnaryExpression {
   require(p <= 18, s"UnscaledDec requires a long-backed precision, got $p")
 
+  // r18 (advisor): the fast-path proof needs 10^(p+1) < 5·2⁵² — i.e.
+  // p ≤ 15 — for BOTH legs (rint(d·10^s) exact below 2^53, and
+  // ulp(d) < the 5·10^-(s+1) half-up boundary margin). p ∈ 16..18 is
+  // still a valid long-backed decimal, it just takes the slow path
+  // unconditionally instead of a silently-inexact fast one.
+  private val fastOk = p <= 15
+
   override def dataType: DataType = LongType
 
   override def checkInputDataTypes()
@@ -50,9 +57,11 @@ case class UnscaledDec(child: Expression, p: Int, s: Int)
 
   /** Codegen entry. */
   def compute(d: Double): Long = {
-    val r = Math.rint(d * pow)
-    if (r / pow == d && Math.abs(r) < maxUnscaled) r.toLong
-    else slow(d)
+    if (fastOk) {
+      val r = Math.rint(d * pow)
+      if (r / pow == d && Math.abs(r) < maxUnscaled) return r.toLong
+    }
+    slow(d)
   }
 
   private def slow(d: Double): Long = {

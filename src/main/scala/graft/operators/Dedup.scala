@@ -124,7 +124,8 @@ object Dedup {
     * instruction pair per candidate.
     */
   def simhashDupPairs(df: DataFrame, idCol: String, textCol: String,
-      chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+      chunks: Int = 4, maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     // r17: candidate pairs from ONE groupBy over (chunk_idx, chunk_val)
     // instead of a self-join — one corpus scan (the simhash kernel runs
     // once, not once per join side) and one shuffle instead of two
@@ -132,12 +133,22 @@ object Dedup {
     // sorted_pairs2 payload; an id appears at most once per chunk_idx,
     // so the kernel's (id1 < id2, equal-id-skipped) pair set is exactly
     // the join's, and the downstream distinct() is unchanged.
+    // r18 (advisor): the posting list collects through the size-capped
+    // collect_capped2 — same hot-bucket guard as candidatePairs /
+    // ngramJaccardPairs. Chunk values are only 16 bits and every
+    // boilerplate/exact-dup cluster shares all `chunks` of them, so an
+    // uncapped degenerate bucket would materialize n·(n-1)/2 pair
+    // structs in ONE array (Int overflow past n=65536, OOM well
+    // before). Agg state saturates at maxBucket+1 entries; an over-cap
+    // bucket drops whole (identical-text clusters are the O(n) exact
+    // path's job, like the other inverted indexes).
     val t = simhashTable(df, idCol, textCol, chunks)
     val b = t.select(col("id"), col("sim"),
       posexplode(col("chunks")).as(Seq("chunk_idx", "chunk_val")))
     b.groupBy(col("chunk_idx"), col("chunk_val"))
-      .agg(collect_list(struct(col("id"), col("sim"))).as("members"))
-      .filter(size(col("members")) >= 2)
+      .agg(call_function("collect_capped2", col("id"), col("sim"),
+        lit(maxBucket)).as("members"))
+      .filter(col("members").isNotNull && size(col("members")) >= 2)
       .select(explode(call_function("sorted_pairs2", col("members"))).as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
         bit_count(col("p.b1").bitwiseXOR(col("p.b2"))).as("hamming"))

@@ -189,6 +189,56 @@ class OperatorsSpec extends SparkSpecBase {
     assert(onePass.contains((1L, 4L, 0))) // planted exact dup at hamming 0
   }
 
+  test("simhashDupPairs: degenerate chunk bucket is capped, not quadratic") {
+    val spark2 = spark
+    import spark2.implicits._
+    // r18 (advisor): identical-text clusters share all 4 simhash chunks,
+    // so every chunk bucket of the cluster goes quadratic uncapped. With
+    // maxBucket below the cluster size the hot buckets drop whole (zero
+    // pairs from the cluster — the exact-dup path's job) while a planted
+    // distinct near-dup pair still surfaces; with the cap above the
+    // cluster size behavior is unchanged (threshold, not rewrite).
+    val constant = (1L to 60L).map(i =>
+      (i, "exactly the same boilerplate text repeated in every document"))
+    // identical planted pair: hamming 0 ⇒ shares every chunk ⇒ its
+    // buckets have exactly 2 members, far under the cap
+    val planted = Seq(
+      (101L, "a genuinely distinctive document about alpine meteorology data"),
+      (102L, "a genuinely distinctive document about alpine meteorology data"))
+    val corpus = (constant ++ planted).toDF("doc_id", "text")
+    val capped = Dedup.simhashDupPairs(corpus, "doc_id", "text",
+        chunks = 4, maxHamming = 10, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((101L, 102L)), capped)
+    assert(!capped.exists(p => p._1 <= 60L || p._2 <= 60L),
+      s"hot chunk bucket leaked pairs: ${capped.take(5)}")
+    val above = Dedup.simhashDupPairs(corpus, "doc_id", "text",
+        chunks = 4, maxHamming = 10, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(above.count(p => p._1 <= 60L && p._2 <= 60L) == 60 * 59 / 2)
+  }
+
+  test("sorted_pairs kernels: pair-count sizing is Long-safe past 65536 ids") {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.LongType
+    // n=65537 → n*(n-1)/2 overflows Int to a negative number; the kernel
+    // must fail loudly (posting lists are collect_capped in the shipped
+    // pipelines, so this is the uncapped-caller guard), never allocate a
+    // negative-size array or truncate
+    val big = new GenericArrayData(Array.tabulate(70000)(_.toLong))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.functions.SortedPairs(Literal(null, LongType)).pairsFor(big)
+    }
+    assert(e1.getMessage.contains("cap the posting list"), e1.getMessage)
+    val bigStructs = new GenericArrayData(Array.tabulate(70000)(i =>
+      org.apache.spark.sql.catalyst.InternalRow(i.toLong, 0L): Any))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.functions.SortedPairs2(Literal(null, LongType)).pairsFor(bigStructs)
+    }
+    assert(e2.getMessage.contains("cap the posting list"), e2.getMessage)
+  }
+
   test("candidatePairs: degenerate LSH bucket is capped, not quadratic") {
     val spark2 = spark
     import spark2.implicits._

@@ -46,6 +46,21 @@ object GraftSession {
       // stages are ≫1 MiB/partition either way, where this floor is
       // inert. Conf-overridable like any Spark conf.
       c.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+      // r18 (guide §3.1: size estimates are often badly wrong): the
+      // planner's sizeInBytes for a parquet relation is the COMPRESSED
+      // file size, while the broadcast decision is about the in-memory
+      // hashed-relation size — zstd/snappy parquet of TPC-H-shaped rows
+      // decodes ~4-8× larger (lineitem at sf0.1: 10.8 MB file, ~18
+      // B/row on disk vs ~100 B/row unsafe). With factor 1.0 a pruned
+      // fact-table projection sneaks under the 10 MB threshold and the
+      // planner BROADCASTS THE FACT TABLE (q4/q5 built a 600k-row
+      // hashed relation per run — and at real scale the same estimate
+      // error picks broadcast a side that OOMs the driver). 4.0 keeps
+      // real dimensions broadcast and fact tables streamed; measured
+      // -23% on the TPC-H suite. Scale-independent: it corrects a
+      // units mismatch (compressed bytes vs in-memory bytes), not a
+      // local-mode tuning.
+      c.set("spark.sql.sources.fileCompressionFactor", "4.0")
       // CBO + join reorder ≈ Impala's cardinality-based join ordering.
       c.set("spark.sql.cbo.enabled", "true")
       c.set("spark.sql.cbo.joinReorder.enabled", "true")

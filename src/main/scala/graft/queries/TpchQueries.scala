@@ -531,19 +531,23 @@ object TpchQueries extends QueryGroup {
     // ---- Q18: large-volume customers (HAVING subquery feeding a
     // semi-join, then 3-way join re-aggregation).
     Q.Def("tpch_q18", (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      val bigOrders = li.groupBy(col("l_orderkey").as("bo_orderkey"))
-        .agg(sumUnscaledDbl(u2(col("l_quantity")), 2).as("bo_qty"))
-        .filter(col("bo_qty") > 250.0)
-        .select(col("bo_orderkey"))
+      // r18 (guide §2.4 remove shuffles): the HAVING subquery's
+      // per-order qty sum IS the output's sum_qty — the final group keys
+      // (c_name, c_custkey, o_orderdate, o_totalprice) are functionally
+      // dependent on o_orderkey, so one aggregation serves both the
+      // filter and the projection. One lineitem scan + one agg instead
+      // of two scans + semi join + re-aggregation; sums are unscaled
+      // longs (order-insensitive), so the value is bit-identical.
+      val bigOrders = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("bo_orderkey"))
+        .agg(sumUnscaledDbl(u2(col("l_quantity")), 2).as("sum_qty"))
+        .filter(col("sum_qty") > 250.0)
       t(s, dir, "customer")
         .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
-        .join(bigOrders, col("o_orderkey") === col("bo_orderkey"), "left_semi")
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        .join(bigOrders, col("o_orderkey") === col("bo_orderkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
-          col("o_totalprice"))
-        .agg(sumUnscaledDbl(u2(col("l_quantity")), 2).as("sum_qty"))
+          col("o_totalprice"), col("sum_qty"))
         .orderBy(desc_nulls_first("o_totalprice"), asc_nulls_last("o_orderkey"))
         .limit(100)
     }, Some("""
@@ -618,23 +622,33 @@ object TpchQueries extends QueryGroup {
       // l1 (late line of a status-F order) and l3 (another supplier's
       // late line of the SAME order) are the same relation — the NOT
       // EXISTS order is l1's order, so its status filter is implied.
-      // One join builds both sides.
+      // r18 (guide §2.4): the NOT EXISTS is a predicate ON the late
+      // relation itself — "no OTHER supplier has a late line in this
+      // order" ⟺ every late line of the order carries l1's suppkey ⟺
+      // min(l_suppkey) = max(l_suppkey) over the order's late lines. A
+      // window min/max over `late` replaces the lineitem-sized
+      // SortMergeJoin LeftAnti (and late's second evaluation — one
+      // li⋈orders pass instead of two); the EXISTS over full lineitem
+      // stays a semi join. Same rows by construction (l1 is itself a
+      // late line, so the window sees it).
       val li = t(s, dir, "lineitem")
       val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
       val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
         .select(col("l_orderkey"), col("l_suppkey"))
-      val l1 = late.select(col("l_orderkey").as("l1_orderkey"),
-        col("l_suppkey").as("l1_suppkey"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_orderkey"))
+      val l1 = late
+        .withColumn("__mn", min(col("l_suppkey")).over(w))
+        .withColumn("__mx", max(col("l_suppkey")).over(w))
+        .filter(col("__mn") === col("__mx")) // sole late supplier
+        .select(col("l_orderkey").as("l1_orderkey"),
+          col("l_suppkey").as("l1_suppkey"))
       val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
         col("l_suppkey").as("l2_suppkey"))
-      val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
-        col("l_suppkey").as("l3_suppkey"))
       l1
         .join(l2, col("l2_orderkey") === col("l1_orderkey") &&
           col("l2_suppkey") =!= col("l1_suppkey"), "left_semi")
-        .join(l3, col("l3_orderkey") === col("l1_orderkey") &&
-          col("l3_suppkey") =!= col("l1_suppkey"), "left_anti")
         .join(t(s, dir, "supplier"), col("l1_suppkey") === col("s_suppkey"))
         .join(t(s, dir, "nation").filter(col("n_name") === "NATION_13"),
           col("s_nationkey") === col("n_nationkey"), "left_semi")

@@ -57,7 +57,13 @@ class PlanSpec extends SparkSpecBase {
 
   test("semi/anti joins stay joins (no subquery re-execution)") {
     assert(plan("tpch_q4").contains("LeftSemi"), "q4 semi")
-    assert(plan("tpch_q21").contains("LeftAnti"), "q21 anti")
+    assert(plan("tpch_q16").contains("LeftAnti"), "q16 anti")
+    // r18: q21's NOT EXISTS compiles to a window min/max over the late
+    // relation (sole-late-supplier predicate), not a lineitem-sized
+    // SortMergeJoin LeftAnti; the EXISTS stays a semi join
+    val q21 = plan("tpch_q21")
+    assert(q21.contains("LeftSemi") && q21.contains("Window"), q21)
+    assert(!q21.contains("LeftAnti"), "q21 must not re-join lineitem for NOT EXISTS")
   }
 
   test("runtime bloom filters inject at scale thresholds (Impala runtime-filter analog)") {

@@ -133,6 +133,216 @@ object DevProbe {
       }
     }
 
+    // ---- parquet size-estimate fix: stop broadcasting the fact table
+    if (only("factor")) {
+      val tpch = (1 to 22).map(i => s"tpch_q$i")
+      def runAll(label: String): Unit = {
+        val ts = tpch.map { q =>
+          val fn = SparkEntry.queries(q)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          System.gc()
+          val t0 = System.nanoTime()
+          (0 until 3).foreach(_ => fn(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
+          q -> (System.nanoTime() - t0) / 3e9
+        }
+        println(s"[probe] $label total=${ts.map(_._2).sum}")
+        ts.foreach { case (q, t) => println(f"[probe]   $q%-10s $t%.3f") }
+      }
+      runAll("tpch factor=1.0 (default)")
+      spark.conf.set("spark.sql.sources.fileCompressionFactor", "4.0")
+      runAll("tpch factor=4.0")
+      spark.conf.unset("spark.sql.sources.fileCompressionFactor")
+    }
+
+    // ---- q4: max-shipdate-per-order aggregation instead of semi join
+    if (only("q4")) {
+      import graft.queries.Q
+      val fn = SparkEntry.queries("tpch_q4")
+      timeDf("q4 current")(fn(spark, sfDir))
+      def q4agg = {
+        val liMax = li.groupBy(col("l_orderkey"))
+          .agg(max(col("l_shipdate")).as("__mx"))
+        ord
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+          .join(liMax, col("l_orderkey") === col("o_orderkey") &&
+            col("__mx") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+            "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      }
+      timeDf("q4 max-per-order agg")(q4agg)
+      locally {
+        val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+        val b = q4agg.collect().map(_.toString).toSeq
+        println(s"[probe] q4 rewrite equal: ${a == b} $a")
+      }
+    }
+
+    // ---- q18: single per-order qty aggregation reused for filter+output
+    if (only("q18")) {
+      import graft.queries.Q
+      val fn = SparkEntry.queries("tpch_q18")
+      timeDf("q18 current")(fn(spark, sfDir))
+      def q18agg = {
+        val liAgg = li.groupBy(col("l_orderkey").as("bo_orderkey"))
+          .agg(Q.sumUnscaledDbl(Q.u2(col("l_quantity")), 2).as("sum_qty"))
+          .filter(col("sum_qty") > 250.0)
+        GraftSession.table(spark, sfDir, "customer")
+          .join(ord, col("c_custkey") === col("o_custkey"))
+          .join(liAgg, col("o_orderkey") === col("bo_orderkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+            col("o_totalprice"), col("sum_qty"))
+          .orderBy(desc_nulls_first("o_totalprice"), asc_nulls_last("o_orderkey"))
+          .limit(100)
+      }
+      timeDf("q18 one-agg")(q18agg)
+      locally {
+        val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+        val b = q18agg.collect().map(_.toString).toSeq
+        println(s"[probe] q18 rewrite equal: ${a == b} (${a.length} rows)")
+      }
+    }
+
+    // ---- batch-2 A/B: kernel text stats vs the regex formulation,
+    // merged minhash verify vs 4-join shape, 1-job ivf build
+    if (only("batch2")) {
+      import org.apache.spark.sql.Column
+      // OLD q_text_stats (regex formulations, pre-r18 TA internals)
+      def oldTokenCount(t: Column) = when(length(trim(t)) === 0, lit(0))
+        .otherwise(size(split(trim(t), "\\s+")))
+      def oldSubword(t: Column) = size(regexp_extract_all(t,
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      def oldHits(t: Column, words: Seq[String]) = size(regexp_extract_all(
+        lower(t), lit(words.mkString("\\b(", "|", ")\\b")), lit(0)))
+      def oldStopRatio(t: Column) = {
+        val n = oldTokenCount(t)
+        when(n === 0, lit(0.0)).otherwise(oldHits(t,
+          graft.operators.TextAnalysis.enStopwords).cast("double") / n)
+      }
+      def oldMeanWlen(t: Column) = {
+        val n = oldTokenCount(t)
+        when(n === 0, lit(0.0))
+          .otherwise(length(regexp_replace(t, "\\s+", "")).cast("double") / n)
+      }
+      def oldPunctRatio(t: Column) = when(length(t) === 0, lit(0.0))
+        .otherwise(length(regexp_replace(t, "[A-Za-z0-9\\s]", "")).cast("double")
+          / length(t))
+      def oldQuality(t: Column) = {
+        val lenOk = when(length(t).between(50, 10000), lit(0.25)).otherwise(lit(0.0))
+        val stopOk = when(oldStopRatio(t) >= 0.05, lit(0.25)).otherwise(lit(0.0))
+        val punctOk = when(oldPunctRatio(t) <= 0.2, lit(0.25)).otherwise(lit(0.0))
+        val wordOk = when(oldMeanWlen(t).between(3.0, 12.0), lit(0.25)).otherwise(lit(0.0))
+        lenOk + stopOk + punctOk + wordOk
+      }
+      def oldTextStats = docs.filter(col("doc_id") <= 500)
+        .select(col("doc_id"),
+          oldTokenCount(col("text")).as("n_tokens"),
+          oldSubword(col("text")).as("n_subwords"),
+          length(col("text")).as("n_chars_m"),
+          oldHits(col("text"), graft.operators.TextAnalysis.enStopwords).as("stop_hits"),
+          round(oldStopRatio(col("text")), 6).as("stop_ratio"),
+          round(oldMeanWlen(col("text")), 6).as("mean_wlen"),
+          oldQuality(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+      timeDf("q_text_stats OLD regex")(oldTextStats)
+      timeDf("q_text_stats NEW kernel")(
+        SparkEntry.queries("q_text_stats")(spark, sfDir))
+      locally {
+        val a = oldTextStats.collect().map(_.toString).toSeq
+        val b = SparkEntry.queries("q_text_stats")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        println(s"[probe] text_stats equal: ${a == b} (${a.length} rows)")
+      }
+      def oldLangId(t: Column) = {
+        val scores = graft.operators.TextAnalysis.langMarkers.map {
+          case (lang, words) => lang -> oldHits(t, words)
+        }
+        val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+        scores.foldRight(lit("und"): Column) { case ((lang, sc), acc) =>
+          when(best > 0 && sc === best, lit(lang)).otherwise(acc)
+        }
+      }
+      def oldLang = docs
+        .select(col("doc_id"), col("lang"), oldLangId(col("text")).as("lang_guess"))
+        .groupBy(col("lang"), col("lang_guess"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_guess"))
+      timeDf("q_lang_id OLD regex")(oldLang)
+      timeDf("q_lang_id NEW kernel")(
+        SparkEntry.queries("q_lang_id")(spark, sfDir))
+      locally {
+        val a = oldLang.collect().map(_.toString).toSeq
+        val b = SparkEntry.queries("q_lang_id")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        println(s"[probe] lang_id equal: ${a == b} (${a.length} rows)")
+      }
+      // OLD q_dedup_minhash gate: separate (id,hs) verify joins + (id,hh)
+      // containment joins (4 joins, 4 corpus scans) + docs.count scan
+      def oldMinhash = {
+        import graft.operators.Dedup
+        val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+          .cast("binary"))
+        val hh = docs.select(col("doc_id").as("id"), norm.as("hh"))
+        val exactPairs = hh.groupBy(col("hh")).agg(count(lit(1)).as("g"))
+          .agg(coalesce(sum(col("g") * (col("g") - 1) / 2), lit(0.0))
+            .cast("long").as("n_exact_dup_pairs"))
+        val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", threshold = 0.7)
+        val pairStats = pairs
+          .join(hh.select(col("id").as("id1"), col("hh").as("hh1")), Seq("id1"))
+          .join(hh.select(col("id").as("id2"), col("hh").as("hh2")), Seq("id2"))
+          .agg(
+            coalesce(sum(when(col("jaccard") === 1.0 &&
+              col("hh1") === col("hh2"), 1L).otherwise(0L)), lit(0L)).as("__f"),
+            count(lit(1)).as("__n"))
+        docs.select(count(lit(1)).as("n_docs"))
+          .crossJoin(exactPairs)
+          .crossJoin(pairStats)
+          .select(col("n_docs"), col("n_exact_dup_pairs"),
+            (col("__f") === col("n_exact_dup_pairs")).as("exact_dups_at_j100"),
+            (col("__n") >= col("n_exact_dup_pairs")).as("near_ge_exact"))
+      }
+      timeDf("q_dedup_minhash OLD 4-join")(oldMinhash)
+      timeDf("q_dedup_minhash NEW merged-verify")(
+        SparkEntry.queries("q_dedup_minhash")(spark, sfDir))
+      locally {
+        val a = oldMinhash.collect().map(_.toString).toSeq
+        val b = SparkEntry.queries("q_dedup_minhash")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        println(s"[probe] minhash gate equal: ${a == b} $a $b")
+      }
+      timeDf("q_sim_ivf NEW 1-job build")(
+        SparkEntry.queries("q_sim_ivf")(spark, sfDir))
+    }
+
+    // ---- md5-normalization decomposition: is the regex the cost?
+    if (only("md5")) {
+      timeDf("lower+trim only")(docs.select(lower(trim(col("text")))))
+      timeDf("regexp_replace(\\s+) only")(docs.select(
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ")))
+      timeDf("md5(text) no norm")(docs.select(md5(col("text").cast("binary"))))
+      timeDf("full md5 norm")(docs.select(md5(regexp_replace(
+        lower(trim(col("text"))), "\\s+", " ").cast("binary"))))
+    }
+
+    // ---- text-analysis regex stack decomposition
+    if (only("text")) {
+      import graft.operators.{TextAnalysis => TA}
+      val d5 = docs.filter(col("doc_id") <= 500)
+      timeDf("ts: scan 500")(d5.select(col("doc_id"), col("text")))
+      timeDf("ts: tokenCount")(d5.select(TA.tokenCount(col("text"))))
+      timeDf("ts: subwordCount")(d5.select(TA.subwordCount(col("text"))))
+      timeDf("ts: stopwordHits")(d5.select(TA.stopwordHits(col("text"))))
+      timeDf("ts: meanWordLen")(d5.select(TA.meanWordLen(col("text"))))
+      timeDf("ts: qualityScore")(d5.select(TA.qualityScore(col("text"))))
+      timeDf("q_text_stats full")(SparkEntry.queries("q_text_stats")(spark, sfDir))
+      timeDf("q_lang_id full")(SparkEntry.queries("q_lang_id")(spark, sfDir))
+      timeDf("lang: langId only")(docs.select(TA.langId(col("text"))))
+    }
+
     // ---- dedup kernel attribution: how many corpus passes matter
     if (only("dedup")) {
       import graft.operators.Dedup

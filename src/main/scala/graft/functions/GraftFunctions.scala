@@ -223,6 +223,11 @@ object GraftFunctions {
       a(2).eval().asInstanceOf[Number].intValue)),
     "simhash64" -> (a => SimHash64(a.head)),
     "simhash_text" -> (a => SimHashText(a.head)),
+    // text-analysis kernels (graft.operators.TextAnalysis; word list
+    // must be a foldable comma-joined literal)
+    "text_stats" -> (a => TextStats(a.head)),
+    "marker_hits" -> (a => MarkerHits(a(0),
+      a(1).eval().toString.split(",").toSeq)),
     // vector kernels (graft.operators.Similarity)
     "lsh_signatures" -> (a => LshSignatures(a(0),
       a(1).eval().asInstanceOf[Number].intValue,

@@ -161,14 +161,17 @@ object Similarity {
   def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
       k: Int = 16, iters: Int = 5, sampleN: Int = 2048,
       seed: Long = 11L): (DataFrame, Array[Array[Double]]) = {
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    // deterministic init: first k vectors by id order
-    var centroids: Array[Array[Double]] = df
-      .orderBy(col(idCol)).limit(k).select(col(vecCol)).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // r18 (guide §5 driver): ONE driver job instead of three — the
+    // deterministic init (first k vectors by id order) is a prefix of
+    // the training sample (first sampleN, k ≤ sampleN), and dim falls
+    // out of the fetched vectors; the old shape ran separate
+    // size()-probe / init / sample TakeOrdered jobs per index build.
+    require(k <= sampleN, s"ivfIndex: k=$k exceeds sampleN=$sampleN")
     val sample = df.orderBy(col(idCol)).limit(sampleN)
       .select(col(vecCol)).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val dim = sample.head.length
+    var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
     (0 until iters).foreach { _ =>
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Long](k)

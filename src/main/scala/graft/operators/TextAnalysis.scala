@@ -12,22 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** One-pass native counts (r18, [[graft.functions.TextStats]]): every
+    * accessor below projects a field of the same `text_stats(text)`
+    * call, so one projection using several of them evaluates the kernel
+    * ONCE per row (identical trees — whole-stage-codegen subexpression
+    * elimination) where the regex formulation ran 5-10 compiled-pattern
+    * scans per row. Field semantics are asserted bit-identical to the
+    * regex formulations in OperatorsSpec.
+    */
+  private def stats(text: Column): Column = call_function("text_stats", text)
+
   /** Whitespace tokenization; empty/blank text counts 0. */
-  def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+  def tokenCount(text: Column): Column = stats(text).getField("n_tokens")
 
   /** BPE-ish subword count approximation: runs of letters, digits, or a
     * single non-space symbol each count as one token.
     */
-  def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text,
-      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+  def subwordCount(text: Column): Column = stats(text).getField("n_subwords")
 
   /** Character-class ratios used by quality filters. */
   def punctRatio(text: Column): Column =
     when(length(text) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(text, "[A-Za-z0-9\\s]", "")).cast("double")
+      .otherwise(stats(text).getField("n_punct").cast("double")
         / length(text))
 
   def upperRatio(text: Column): Column =
@@ -44,7 +50,7 @@ object TextAnalysis {
   def meanWordLen(text: Column): Column = {
     val n = tokenCount(text)
     when(n === 0, lit(0.0))
-      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / n)
+      .otherwise(stats(text).getField("n_nonspace").cast("double") / n)
   }
 
   /** English stopword hit ratio (hits / tokens) — a standard quality
@@ -53,10 +59,8 @@ object TextAnalysis {
   val enStopwords: Seq[String] =
     Seq("the", "and", "of", "to", "a", "in", "is", "that", "for", "with")
 
-  def stopwordHits(text: Column, words: Seq[String] = enStopwords): Column = {
-    val pat = words.mkString("\\b(", "|", ")\\b")
-    size(regexp_extract_all(lower(text), lit(pat), lit(0)))
-  }
+  def stopwordHits(text: Column, words: Seq[String] = enStopwords): Column =
+    call_function("marker_hits", lower(text), lit(words.mkString(",")))
 
   def stopwordRatio(text: Column): Column = {
     val n = tokenCount(text)

@@ -129,29 +129,45 @@ object PipelineQueries extends QueryGroup {
       val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
         .cast("binary"))
       val hh = docs.select(col("doc_id").as("id"), norm.as("hh"))
-      // exact-dup PAIR count without a self-join: Σ g·(g-1)/2 per group
+      // exact-dup PAIR count without a self-join: Σ g·(g-1)/2 per group;
+      // r18: n_docs = Σ g from the SAME aggregate (count(*) is the sum
+      // of group sizes by definition) — drops the separate corpus scan
+      // the old crossJoin(docs.count) paid
       val exactPairs = hh.groupBy(col("hh")).agg(count(lit(1)).as("g"))
-        .agg(coalesce(sum(col("g") * (col("g") - 1) / 2), lit(0.0))
-          .cast("long").as("n_exact_dup_pairs"))
-      val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
-        threshold = 0.7)
+        .agg(coalesce(sum(col("g")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("g") * (col("g") - 1) / 2), lit(0.0))
+            .cast("long").as("n_exact_dup_pairs"))
       // containment: annotate every pipeline pair (a tiny, broadcastable
       // relation) with both text hashes; the count of jaccard-1.0 pairs
       // with hh1 = hh2 must equal the combinatorial exact-pair count.
       // r17: __f and the total pair count come from ONE aggregate over
-      // ONE evaluation of the LSH pipeline — the previous shape ran the
-      // whole shingle→minhash→LSH→verify subtree twice (once per
-      // crossJoined aggregate). The hh joins are inner on ids drawn
-      // from docs, so they are row-preserving and count(*) is unchanged.
+      // ONE evaluation of the LSH pipeline. r18 (guide §2.4): the hh
+      // annotation rides the SAME per-id relation the Jaccard verify
+      // already joins — (id, hs, hh) computed in one corpus pass — so
+      // the pipeline inlines Dedup.minhashDupPairs' verify step with hh
+      // as an extra payload: 2 joins and 2 corpus scans instead of 4.
+      // The threshold filter commutes with the row-preserving
+      // annotation, so the pair set (and __n/__f) is unchanged.
+      val hashedHH = docs.select(col("doc_id").as("id"),
+        Dedup.shingleHashes(col("text")).as("hs"), norm.as("hh"))
+      val cands = Dedup.candidatePairs(
+        Dedup.bucketTable(docs, "doc_id", "text"))
+      val pairs = cands
+        .join(hashedHH.select(col("id").as("id1"), col("hs").as("hs1"),
+          col("hh").as("hh1")), Seq("id1"))
+        .join(hashedHH.select(col("id").as("id2"), col("hs").as("hs2"),
+          col("hh").as("hh2")), Seq("id2"))
+        .select(col("id1"), col("id2"),
+          (size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+            size(array_union(col("hs1"), col("hs2")))).as("jaccard"),
+          col("hh1"), col("hh2"))
+        .filter(col("jaccard") >= 0.7)
       val pairStats = pairs
-        .join(hh.select(col("id").as("id1"), col("hh").as("hh1")), Seq("id1"))
-        .join(hh.select(col("id").as("id2"), col("hh").as("hh2")), Seq("id2"))
         .agg(
           coalesce(sum(when(col("jaccard") === 1.0 &&
             col("hh1") === col("hh2"), 1L).otherwise(0L)), lit(0L)).as("__f"),
           count(lit(1)).as("__n"))
-      docs.select(count(lit(1)).as("n_docs"))
-        .crossJoin(exactPairs)
+      exactPairs
         .crossJoin(pairStats)
         .select(col("n_docs"), col("n_exact_dup_pairs"),
           (col("__f") === col("n_exact_dup_pairs")).as("exact_dups_at_j100"),
@@ -238,27 +254,32 @@ object PipelineQueries extends QueryGroup {
       val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
         .cast("binary"))
       val hh = docs.select(col("doc_id").as("id"), norm.as("hh"))
-      val epairs = hh.select(col("id").as("id1"), col("hh"))
-        .join(hh.select(col("id").as("id2"), col("hh")), Seq("hh"))
-        .filter(col("id1") < col("id2"))
-        .select(col("id1"), col("id2"))
+      // r18 (guide §2.4): no materialized epairs relation at all — the
+      // exact-dup pair count is Σ g·(g-1)/2 over hh groups (and n_docs
+      // is Σ g from the same aggregate), and a candidate pair is an
+      // exact-dup pair iff hh1 = hh2, so the containment count __f
+      // annotates the (tiny) pairs relation with both text hashes
+      // instead of left-joining an O(pairs) self-join product. This is
+      // exactly q_dedup_minhash's shape; the r17 epairs formulation
+      // evaluated the hh self-join twice (once per crossJoined
+      // aggregate) — 2 corpus scans and a shuffle, gone.
+      val exactPairs = hh.groupBy(col("hh")).agg(count(lit(1)).as("g"))
+        .agg(coalesce(sum(col("g")), lit(0L)).as("n_docs"),
+          coalesce(sum(col("g") * (col("g") - 1) / 2), lit(0.0))
+            .cast("long").as("n_exact_dup_pairs"))
       val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
         chunks = 4, maxHamming = 10)
       // r17: containment + total from ONE aggregate over ONE evaluation
-      // of the simhash pipeline (the previous semi-join + count shape
-      // ran the whole pipeline twice). Both pair sets are distinct, so
-      // |epairs ⋉ pairs₀| == Σ over pairs of (hamming=0 ∧ ∈epairs) —
-      // counted from the pairs side via a left join against the tiny
-      // epairs relation.
+      // of the simhash pipeline. Both pair sets are distinct, so
+      // |epairs ⋉ pairs₀| == Σ over pairs of (hamming=0 ∧ hh1=hh2).
       val pairStats = pairs
-        .join(epairs.withColumn("__e", lit(1L)), Seq("id1", "id2"),
-          "left_outer")
+        .join(hh.select(col("id").as("id1"), col("hh").as("hh1")), Seq("id1"))
+        .join(hh.select(col("id").as("id2"), col("hh").as("hh2")), Seq("id2"))
         .agg(
-          coalesce(sum(when(col("hamming") === 0 && col("__e").isNotNull,
+          coalesce(sum(when(col("hamming") === 0 && col("hh1") === col("hh2"),
             1L).otherwise(0L)), lit(0L)).as("__f"),
           count(lit(1)).as("__n10"))
-      docs.select(count(lit(1)).as("n_docs"))
-        .crossJoin(epairs.agg(count(lit(1)).as("n_exact_dup_pairs")))
+      exactPairs
         .crossJoin(pairStats)
         .select(col("n_docs"), col("n_exact_dup_pairs"),
           (col("__f") === col("n_exact_dup_pairs")).as("exact_dups_at_h0"),

@@ -239,6 +239,46 @@ class OperatorsSpec extends SparkSpecBase {
     assert(e2.getMessage.contains("cap the posting list"), e2.getMessage)
   }
 
+  test("text_stats/marker_hits kernels bit-identical to the regex formulations") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.Column
+    // the exact formulations the r18 kernels replaced — any deviation
+    // on the fixture corpus or adversarial strings is a regression
+    def oldTokenCount(t: Column) = when(length(trim(t)) === 0, lit(0))
+      .otherwise(size(split(trim(t), "\\s+")))
+    def oldSubword(t: Column) = size(regexp_extract_all(t,
+      lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+    def oldNonspace(t: Column) = length(regexp_replace(t, "\\s+", ""))
+    def oldPunct(t: Column) = length(regexp_replace(t, "[A-Za-z0-9\\s]", ""))
+    def oldHits(t: Column, words: Seq[String]) = size(regexp_extract_all(
+      lower(t), lit(words.mkString("\\b(", "|", ")\\b")), lit(0)))
+    val adversarial = Seq(
+      "", " ", "  a  ", "\tab\t", " \t leading tab", "a1b2 c_d", "the and of",
+      "thethe", "a", "andrew the_", "héllo wörld the", "ünicode ÉTÉ the",
+      "12 34abc!?», e=mc2", "the,and.of;to", "_the_ the", "a\nb\rc\fde",
+      "ß THE The the", "🙂 the 🙂🙂",
+      "é🙂the", "with with with", "le la der und el")
+    val docsT = GraftSession.table(spark, sfDir, "documents").select(col("text"))
+    val advT = adversarial.toDF("text")
+    Seq("fixture corpus" -> docsT, "adversarial" -> advT).foreach {
+      case (label, src) =>
+        val t = col("text")
+        val st = call_function("text_stats", t)
+        val bad = src.filter(!(
+          (st.getField("n_tokens") <=> oldTokenCount(t)) &&
+          (st.getField("n_subwords") <=> oldSubword(t)) &&
+          (st.getField("n_nonspace") <=> oldNonspace(t)) &&
+          (st.getField("n_punct") <=> oldPunct(t)) &&
+          TextAnalysis.langMarkers.map { case (_, words) =>
+            TextAnalysis.stopwordHits(t, words) <=> oldHits(t, words)
+          }.reduce(_ && _) &&
+          (TextAnalysis.stopwordHits(t) <=> oldHits(t, TextAnalysis.enStopwords))
+        )).collect()
+        assert(bad.isEmpty, s"$label: ${bad.take(3).mkString(" | ")}")
+    }
+  }
+
   test("candidatePairs: degenerate LSH bucket is capped, not quadratic") {
     val spark2 = spark
     import spark2.implicits._

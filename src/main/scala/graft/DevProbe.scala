@@ -155,6 +155,50 @@ object DevProbe {
       spark.conf.unset("spark.sql.sources.fileCompressionFactor")
     }
 
+    // ---- q4: inner join + distinct so the SMALL side broadcasts and
+    // lineitem streams (a semi keeping orders rows can only broadcast
+    // the lineitem side)
+    if (only("q4i")) {
+      val fn = SparkEntry.queries("tpch_q4")
+      timeDf("q4 current (semi)")(fn(spark, sfDir))
+      def q4inner = {
+        val ordF = ord
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        li.select(col("l_orderkey"), col("l_shipdate"))
+          .join(broadcast(ordF), col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .distinct()
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      }
+      timeDf("q4 inner+distinct")(q4inner)
+      locally {
+        val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+        val b = q4inner.collect().map(_.toString).toSeq
+        println(s"[probe] q4 inner rewrite equal: ${a == b} $a")
+      }
+      // hint-free: does the static planner / AQE find the broadcast?
+      def q4innerNoHint = {
+        val ordF = ord
+          .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        li.select(col("l_orderkey"), col("l_shipdate"))
+          .join(ordF, col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .distinct()
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy(col("o_orderpriority"))
+      }
+      timeDf("q4 inner+distinct NO hint")(q4innerNoHint)
+    }
+
     // ---- q4: max-shipdate-per-order aggregation instead of semi join
     if (only("q4")) {
       import graft.queries.Q
@@ -316,6 +360,70 @@ object DevProbe {
       }
       timeDf("q_sim_ivf NEW 1-job build")(
         SparkEntry.queries("q_sim_ivf")(spark, sfDir))
+    }
+
+    // ---- ngram: parallelize the single-task shingle stage?
+    if (only("ngram")) {
+      import graft.operators.Dedup
+      def agg3(p: org.apache.spark.sql.DataFrame) = p.agg(
+        count(lit(1)).as("n_pairs_examined"),
+        coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard"),
+        coalesce(sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)), lit(0L))
+          .as("n_pairs_j30"))
+      timeDf("ngram current (1-task scan)")(
+        agg3(Dedup.ngramJaccardPairs(docs, "doc_id", "text")))
+      timeDf("ngram repartition(32, doc_id) first")(
+        agg3(Dedup.ngramJaccardPairs(
+          docs.repartition(32, col("doc_id")), "doc_id", "text")))
+      timeDf("minhash bucketTable repartitioned")(
+        Dedup.bucketTable(docs.repartition(32, col("doc_id")), "doc_id", "text"))
+      timeDf("minhash bucketTable current")(
+        Dedup.bucketTable(docs, "doc_id", "text"))
+      locally {
+        val a = agg3(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+          .collect().map(_.toString).toSeq
+        val b = agg3(Dedup.ngramJaccardPairs(
+          docs.repartition(32, col("doc_id")), "doc_id", "text"))
+          .collect().map(_.toString).toSeq
+        println(s"[probe] ngram repartition equal: ${a == b} $a")
+      }
+      // full minhash gate with the LSH kernel stage parallelized
+      import graft.operators.Dedup
+      def minhashGate(src: org.apache.spark.sql.DataFrame,
+          kernelSrc: org.apache.spark.sql.DataFrame) = {
+        val norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+          .cast("binary"))
+        val hh = src.select(col("doc_id").as("id"), norm.as("hh"))
+        val exactPairs = hh.groupBy(col("hh")).agg(count(lit(1)).as("g"))
+          .agg(coalesce(sum(col("g")), lit(0L)).as("n_docs"),
+            coalesce(sum(col("g") * (col("g") - 1) / 2), lit(0.0))
+              .cast("long").as("n_exact_dup_pairs"))
+        val hashedHH = src.select(col("doc_id").as("id"),
+          Dedup.shingleHashes(col("text")).as("hs"), norm.as("hh"))
+        val cands = Dedup.candidatePairs(
+          Dedup.bucketTable(kernelSrc, "doc_id", "text"))
+        val pairs = cands
+          .join(hashedHH.select(col("id").as("id1"), col("hs").as("hs1"),
+            col("hh").as("hh1")), Seq("id1"))
+          .join(hashedHH.select(col("id").as("id2"), col("hs").as("hs2"),
+            col("hh").as("hh2")), Seq("id2"))
+          .select(col("id1"), col("id2"),
+            (size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+              size(array_union(col("hs1"), col("hs2")))).as("jaccard"),
+            col("hh1"), col("hh2"))
+          .filter(col("jaccard") >= 0.7)
+        val pairStats = pairs.agg(
+          coalesce(sum(when(col("jaccard") === 1.0 &&
+            col("hh1") === col("hh2"), 1L).otherwise(0L)), lit(0L)).as("__f"),
+          count(lit(1)).as("__n"))
+        exactPairs.crossJoin(pairStats)
+          .select(col("n_docs"), col("n_exact_dup_pairs"),
+            (col("__f") === col("n_exact_dup_pairs")).as("exact_dups_at_j100"),
+            (col("__n") >= col("n_exact_dup_pairs")).as("near_ge_exact"))
+      }
+      timeDf("minhash gate current")(minhashGate(docs, docs))
+      timeDf("minhash gate kernel-repartitioned")(
+        minhashGate(docs, docs.repartition(32, col("doc_id"))))
     }
 
     // ---- md5-normalization decomposition: is the regex the cost?

@@ -142,13 +142,22 @@ object TpchQueries extends QueryGroup {
     // ---- Q4: order priority checking (EXISTS semi join;
     // commit<receipt → shipped >90 days after order).
     Q.Def("tpch_q4", (s, dir) => {
-      val li = t(s, dir, "lineitem")
-      t(s, dir, "orders")
+      // r18 (guide §3.1): a left-semi keeping orders rows can only put
+      // lineitem on the build side — streaming the FACT table needs the
+      // EXISTS as inner join + distinct. (o_orderkey, o_orderpriority)
+      // is distinct per order (priority is functionally dependent on
+      // the key), so the per-priority counts are identical; the planner
+      // picks the join strategy from sizes (broadcast of the 3-month
+      // orders slice locally, shuffle at scale), no hint.
+      val ordF = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
           col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
-        .join(li, col("l_orderkey") === col("o_orderkey") &&
-          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
-          "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        .join(ordF, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .distinct()
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
         .orderBy(col("o_orderpriority"))

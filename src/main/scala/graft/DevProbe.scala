@@ -362,6 +362,53 @@ object DevProbe {
         SparkEntry.queries("q_sim_ivf")(spark, sfDir))
     }
 
+    // ---- q13 pre-agg + q_events_session single-window: old vs new
+    if (only("q13sess")) {
+      val cust = GraftSession.table(spark, sfDir, "customer")
+      def q13old = cust
+        .join(ord.filter(col("o_orderpriority") =!= "5-LOW"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc_nulls_first("custdist"), desc_nulls_first("c_count"))
+      timeDf("q13 OLD join-then-agg")(q13old)
+      timeDf("q13 NEW pre-agg")(SparkEntry.queries("tpch_q13")(spark, sfDir))
+      locally {
+        val a = q13old.collect().map(_.toString).toSeq
+        val b = SparkEntry.queries("tpch_q13")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        println(s"[probe] q13 rewrite equal: ${a == b} (${a.length} rows)")
+      }
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
+      val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def sessOld = GraftSession.table(spark, sfDir, "events")
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(runSum))
+        .groupBy(col("user_id"))
+        .agg(max(col("sess_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          graft.queries.Q.sumUnscaledDbl(
+            graft.queries.Q.u2(col("value")), 2).as("value_total"))
+        .orderBy(col("user_id"))
+      timeDf("q_events_session OLD two-window")(sessOld)
+      timeDf("q_events_session NEW lag-only")(
+        SparkEntry.queries("q_events_session")(spark, sfDir))
+      locally {
+        val a = sessOld.collect().map(_.toString).toSeq
+        val b = SparkEntry.queries("q_events_session")(spark, sfDir)
+          .collect().map(_.toString).toSeq
+        println(s"[probe] session rewrite equal: ${a == b} (${a.length} rows)")
+      }
+    }
+
     // ---- ngram: parallelize the single-task shingle stage?
     if (only("ngram")) {
       import graft.operators.Dedup

@@ -67,8 +67,14 @@ object EventsQueries extends QueryGroup {
     Q.Def("q_events_session", (s, dir) => {
       val byUser = Window.partitionBy(col("user_id"))
         .orderBy(asc_nulls_last("ts"), asc_nulls_last("event_id"))
-      val runSum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // r18 (guide §2.4): sess_id was a running sum of the non-negative
+      // new_sess flag, consumed only as max(sess_id) per user — and the
+      // max of a running sum of non-negative terms IS the plain sum, so
+      // the second window frame drops entirely (the lag window computes
+      // the flags; the aggregate sums them). Early projection of the 4
+      // consumed columns keeps the window sort rows narrow (§2.3).
       t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .withColumn("prev_us",
           lag(unix_micros(col("ts")), 1).over(byUser))
         .withColumn("new_sess",
@@ -76,9 +82,8 @@ object EventsQueries extends QueryGroup {
             unix_micros(col("ts")) - col("prev_us") >
               1800L * 1000000L, 1L)
             .otherwise(0L))
-        .withColumn("sess_id", sum(col("new_sess")).over(runSum))
         .groupBy(col("user_id"))
-        .agg(max(col("sess_id")).as("n_sessions"),
+        .agg(sum(col("new_sess")).as("n_sessions"),
           count(lit(1)).as("n_events"),
           sumUnscaledDbl(u2(col("value")), 2).as("value_total"))
         .orderBy(col("user_id"))

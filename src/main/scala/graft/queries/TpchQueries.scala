@@ -419,11 +419,20 @@ object TpchQueries extends QueryGroup {
     // ---- Q13: customer order-count distribution (filtered LEFT OUTER
     // join + two-level aggregation).
     Q.Def("tpch_q13", (s, dir) => {
+      // r18 (guide §2.3 aggregate before you shuffle): count orders per
+      // o_custkey BEFORE the outer join, so the join carries one
+      // (custkey, cnt) row per ordering customer instead of one row per
+      // order, and the shuffled orders side is just the custkey column.
+      // count(o_orderkey) over the old joined stream = cnt for matched
+      // customers and 0 for unmatched (o_orderkey is never null in
+      // orders), i.e. coalesce(cnt, 0) — same c_count per customer.
+      val perCust = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("cnt"))
       t(s, dir, "customer")
-        .join(t(s, dir, "orders").filter(col("o_orderpriority") =!= "5-LOW"),
-          col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(desc_nulls_first("custdist"), desc_nulls_first("c_count"))

@@ -362,6 +362,43 @@ object DevProbe {
         SparkEntry.queries("q_sim_ivf")(spark, sfDir))
     }
 
+    // ---- shuffled-hash-join confs (guide §3.1/§9): default vs
+    // preferSortMergeJoin=false + AQE SMJ->SHJ conversion
+    if (only("shj")) {
+      val tpch = (1 to 22).map(i => s"tpch_q$i")
+      def runAll(label: String): Unit = {
+        val ts = tpch.map { q =>
+          val fn = SparkEntry.queries(q)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          System.gc()
+          val t0 = System.nanoTime()
+          (0 until 5).foreach(_ => fn(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
+          q -> (System.nanoTime() - t0) / 5e9
+        }
+        println(f"[probe] $label total=${ts.map(_._2).sum}%.3f")
+        ts.foreach { case (q, t) => println(f"[probe]   $q%-10s $t%.3f") }
+      }
+      runAll("tpch SMJ default")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      runAll("tpch SHJ allowed")
+      spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+      spark.conf.unset(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
+      // ordering control: a run this warm with the DEFAULT confs tells
+      // whether pass 2's gain was the conf or accumulated JIT warmth
+      runAll("tpch SMJ default (3rd pass)")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      spark.conf.set(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
+      runAll("tpch SHJ allowed (4th pass)")
+      spark.conf.unset("spark.sql.join.preferSortMergeJoin")
+      spark.conf.unset(
+        "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold")
+    }
+
     // ---- q13 pre-agg + q_events_session single-window: old vs new
     if (only("q13sess")) {
       val cust = GraftSession.table(spark, sfDir, "customer")

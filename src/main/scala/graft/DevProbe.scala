@@ -510,6 +510,299 @@ object DevProbe {
         minhashGate(docs, docs.repartition(32, col("doc_id"))))
     }
 
+    // ---- q11: derive the scalar grand_total FROM the per-partkey
+    // groups (sum of group hi/lo long partial sums, reassembled with the
+    // exact sumUnscaledDbl expression) so both branches share the same
+    // partial-agg Exchange (ReuseExchange) instead of evaluating the
+    // lineitem⋈supplier⋈nation subtree twice.
+    if (only("q11")) {
+      import org.apache.spark.sql.Column
+      import org.apache.spark.sql.graft.Bridge
+      import org.apache.spark.sql.catalyst.expressions.{EvalMode, IntegralDivide, Literal, Remainder}
+      import org.apache.spark.sql.types.DecimalType
+      val fn = SparkEntry.queries("tpch_q11")
+      timeDf("q11 current (2 fact passes)")(fn(spark, sfDir))
+      def q11shared = {
+        val natLi = li
+          .join(GraftSession.table(spark, sfDir, "supplier"),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(GraftSession.table(spark, sfDir, "nation")
+            .filter(col("n_name") === "NATION_13"),
+            col("s_nationkey") === col("n_nationkey"))
+        val ue = Bridge.expression(graft.queries.Q.u2(col("l_extendedprice")))
+        val hi = Bridge.column(IntegralDivide(ue, Literal(1000000L), EvalMode.LEGACY))
+        val lo = Bridge.column(Remainder(ue, Literal(1000000L), EvalMode.LEGACY))
+        def assemble(h: Column, l: Column): Column =
+          ((h.cast(DecimalType(38, 0)) * lit(1000000L) + l) /
+            lit(100L).cast(DecimalType(7, 0))).cast("double")
+        val groups = natLi.groupBy(col("l_partkey"))
+          .agg(sum(hi).as("__hi"), sum(lo).as("__lo"))
+        val total = groups.agg(
+          assemble(sum(col("__hi")), sum(col("__lo"))).as("grand_total"))
+        groups
+          .select(col("l_partkey"),
+            assemble(col("__hi"), col("__lo")).as("value"))
+          .crossJoin(broadcast(total))
+          .filter(col("value") > col("grand_total") * 0.001)
+          .select(col("l_partkey"), col("value"))
+          .orderBy(desc_nulls_first("value"), asc_nulls_last("l_partkey"))
+      }
+      timeDf("q11 shared-exchange")(q11shared)
+      locally {
+        val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+        val b = q11shared.collect().map(_.toString).toSeq
+        println(s"[probe] q11 rewrite equal: ${a == b} (${a.length} rows)")
+        println("[probe] q11 shared plan:")
+        println(q11shared.queryExecution.executedPlan.toString.take(4000))
+      }
+    }
+
+    // ---- q21: replace the EXISTS semi join's 600k-row lineitem
+    // broadcast build with a per-order min/max suppkey pre-aggregation
+    // (EXISTS(suppkey <> s) ⟺ min_supp <> s ∨ max_supp <> s)
+    if (only("q21x")) {
+      val fn = SparkEntry.queries("tpch_q21")
+      timeDf("q21 current (semi over full li)")(fn(spark, sfDir))
+      def q21agg = {
+        val ordF = ord.filter(col("o_orderstatus") === "F")
+        val late = li.join(ordF, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 180 DAYS"))
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_orderkey"))
+        val l1 = late
+          .withColumn("__mn", min(col("l_suppkey")).over(w))
+          .withColumn("__mx", max(col("l_suppkey")).over(w))
+          .filter(col("__mn") === col("__mx"))
+          .select(col("l_orderkey").as("l1_orderkey"),
+            col("l_suppkey").as("l1_suppkey"))
+        val perOrder = li.groupBy(col("l_orderkey").as("lo_orderkey"))
+          .agg(min(col("l_suppkey")).as("__amn"),
+            max(col("l_suppkey")).as("__amx"))
+        l1
+          .join(perOrder, col("l1_orderkey") === col("lo_orderkey"))
+          .filter(col("__amn") =!= col("l1_suppkey") ||
+            col("__amx") =!= col("l1_suppkey"))
+          .join(GraftSession.table(spark, sfDir, "supplier"),
+            col("l1_suppkey") === col("s_suppkey"))
+          .join(GraftSession.table(spark, sfDir, "nation")
+            .filter(col("n_name") === "NATION_13"),
+            col("s_nationkey") === col("n_nationkey"), "left_semi")
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc_nulls_first("numwait"), asc_nulls_last("s_name"))
+          .limit(100)
+      }
+      timeDf("q21 min/max pre-agg")(q21agg)
+      locally {
+        val a = fn(spark, sfDir).collect().map(_.toString).toSeq
+        val b = q21agg.collect().map(_.toString).toSeq
+        println(s"[probe] q21 pre-agg equal: ${a == b} (${a.length} rows)")
+      }
+    }
+
+    // ---- shuffle/IO codec (guide §2.3: lz4 default vs zstd — measure
+    // both), 4 alternating passes as the ordering control
+    if (only("codec")) {
+      val qs = Seq("tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q18",
+        "tpch_q21", "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash")
+      def runAll(label: String): Unit = {
+        val ts = qs.map { q =>
+          val fn = SparkEntry.queries(q)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          System.gc()
+          val t0 = System.nanoTime()
+          (0 until 3).foreach(_ => fn(spark, sfDir)
+            .write.format("noop").mode("overwrite").save())
+          q -> (System.nanoTime() - t0) / 3e9
+        }
+        println(f"[probe] $label total=${ts.map(_._2).sum}%.3f")
+        ts.foreach { case (q, t) => println(f"[probe]   $q%-16s $t%.3f") }
+      }
+      // spark.io.compression.codec is NOT runtime-settable on an active
+      // session's shuffles in local mode? It is a core conf read per
+      // shuffle block writer via SparkConf — must be set before the
+      // SparkContext starts. Restart the session per codec instead.
+      def withCodec(codec: String)(body: => Unit): Unit = {
+        spark.stop()
+        spark = SparkSession.builder()
+          .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+          .config("spark.sql.shuffle.partitions",
+            sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.ui.enabled", "false")
+          .config("spark.io.compression.codec", codec)
+          .getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
+        GraftSession.tune(spark)
+        GraftSession.table(spark, sfDir, "lineitem").count()
+        GraftSession.table(spark, sfDir, "documents").count()
+        body
+      }
+      withCodec("lz4")(runAll("codec lz4 pass1"))
+      withCodec("zstd")(runAll("codec zstd pass2"))
+      withCodec("lz4")(runAll("codec lz4 pass3"))
+      withCodec("zstd")(runAll("codec zstd pass4"))
+      // leave the session on the default codec for any later section
+      withCodec("lz4")(())
+    }
+
+    // ---- ngram stage decomposition + narrow-type variant (§2.3)
+    if (only("ngram2")) {
+      import graft.operators.Dedup
+      val docsDf = docs
+      def docsHs = docsDf.select(col("doc_id").as("id"),
+        Dedup.shingleHashes(col("text"), 3).as("hs"))
+      def inv = docsHs.select(col("id"),
+        size(col("hs")).cast("long").as("sz"), explode(col("hs")).as("h"))
+      timeDf("ngram: docs+shingles")(docsHs)
+      timeDf("ngram: + explode (inv)")(inv)
+      timeDf("ngram: + groupBy(h) collect_capped2")(
+        inv.groupBy(col("h"))
+          .agg(call_function("collect_capped2", col("id"), col("sz"),
+            lit(50)).as("ids"))
+          .filter(col("ids").isNotNull && size(col("ids")) >= 2))
+      timeDf("ngram: + pair explode")(
+        inv.groupBy(col("h"))
+          .agg(call_function("collect_capped2", col("id"), col("sz"),
+            lit(50)).as("ids"))
+          .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+          .select(explode(call_function("sorted_pairs2", col("ids"))).as("p")))
+      timeDf("ngram: + pair groupBy count (full pairs)")(
+        Dedup.ngramJaccardPairs(docsDf, "doc_id", "text"))
+      def agg3(p: org.apache.spark.sql.DataFrame) = p.agg(
+        count(lit(1)).as("n_pairs_examined"),
+        coalesce(round(max(col("jaccard")), 4), lit(0.0)).as("max_jaccard"),
+        coalesce(sum(when(col("jaccard") >= 0.3, 1L).otherwise(0L)), lit(0L))
+          .as("n_pairs_j30"))
+      timeDf("ngram: full query")(agg3(Dedup.ngramJaccardPairs(docsDf, "doc_id", "text")))
+      // repartition(h) variant: same exchange count (replaces the
+      // groupBy's own shuffle) but the posting-list buffers build on 32
+      // post-shuffle tasks instead of the single scan task
+      def pairsR = inv.repartition(col("h")).groupBy(col("h"))
+        .agg(call_function("collect_capped2", col("id"), col("sz"),
+          lit(50)).as("ids"))
+        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+        .select(explode(call_function("sorted_pairs2", col("ids"))).as("p"))
+        .groupBy(col("p.id1").as("id1"), col("p.b1").as("sz1"),
+          col("p.id2").as("id2"), col("p.b2").as("sz2"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("id1"), col("id2"),
+          (col("shared").cast("double") /
+            (col("sz1") + col("sz2") - col("shared"))).as("jaccard"))
+      timeDf("ngram: repartition(h) variant full")(agg3(pairsR))
+      locally {
+        val a = agg3(Dedup.ngramJaccardPairs(docsDf, "doc_id", "text"))
+          .collect().map(_.toString).toSeq
+        val b = agg3(pairsR).collect().map(_.toString).toSeq
+        println(s"[probe] ngram repart(h) equal: ${a == b} $a $b")
+        println("[probe] repart(h) plan:")
+        println(agg3(pairsR).queryExecution.executedPlan.toString.take(2500))
+      }
+      // how many pair rows?
+      println("[probe] inv rows: " + inv.count())
+      println("[probe] pair rows: " + inv.groupBy(col("h"))
+        .agg(call_function("collect_capped2", col("id"), col("sz"),
+          lit(50)).as("ids"))
+        .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+        .select(explode(call_function("sorted_pairs2", col("ids"))).as("p"))
+        .count())
+    }
+
+    // ---- single-pass verify: explode pairs to (side,id), join the
+    // per-id corpus relation ONCE, regroup — vs the 2-join shape that
+    // evaluates the corpus subtree twice
+    if (only("verify1")) {
+      import graft.operators.Dedup
+      val fnM = SparkEntry.queries("q_dedup_minhash")
+      timeDf("minhash current (2 corpus-verify scans)")(fnM(spark, sfDir))
+      def norm = md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")
+        .cast("binary"))
+      def minhash1 = {
+        val hh = docs.select(col("doc_id").as("id"), norm.as("hh"))
+        val exactPairs = hh.groupBy(col("hh")).agg(count(lit(1)).as("g"))
+          .agg(coalesce(sum(col("g")), lit(0L)).as("n_docs"),
+            coalesce(sum(col("g") * (col("g") - 1) / 2), lit(0.0))
+              .cast("long").as("n_exact_dup_pairs"))
+        val hashedHH = docs.select(col("doc_id").as("id"),
+          Dedup.shingleHashes(col("text")).as("hs"), norm.as("hh"))
+        val cands = Dedup.candidatePairs(
+          Dedup.bucketTable(docs, "doc_id", "text"))
+        val sides = cands.select(explode(array(
+          struct(lit(1).as("side"), col("id1").as("id"), col("id2").as("oid")),
+          struct(lit(2).as("side"), col("id2").as("id"), col("id1").as("oid"))))
+          .as("e")).select(col("e.side"), col("e.id"), col("e.oid"))
+        val joined = sides.join(hashedHH, Seq("id"))
+        val pairs = joined
+          .groupBy(
+            when(col("side") === 1, col("id")).otherwise(col("oid")).as("id1"),
+            when(col("side") === 1, col("oid")).otherwise(col("id")).as("id2"))
+          .agg(
+            first(when(col("side") === 1, col("hs")), ignoreNulls = true).as("hs1"),
+            first(when(col("side") === 2, col("hs")), ignoreNulls = true).as("hs2"),
+            first(when(col("side") === 1, col("hh")), ignoreNulls = true).as("hh1"),
+            first(when(col("side") === 2, col("hh")), ignoreNulls = true).as("hh2"))
+          .select(col("id1"), col("id2"),
+            (size(array_intersect(col("hs1"), col("hs2"))).cast("double") /
+              size(array_union(col("hs1"), col("hs2")))).as("jaccard"),
+            col("hh1"), col("hh2"))
+          .filter(col("jaccard") >= 0.7)
+        val pairStats = pairs.agg(
+          coalesce(sum(when(col("jaccard") === 1.0 &&
+            col("hh1") === col("hh2"), 1L).otherwise(0L)), lit(0L)).as("__f"),
+          count(lit(1)).as("__n"))
+        exactPairs.crossJoin(pairStats)
+          .select(col("n_docs"), col("n_exact_dup_pairs"),
+            (col("__f") === col("n_exact_dup_pairs")).as("exact_dups_at_j100"),
+            (col("__n") >= col("n_exact_dup_pairs")).as("near_ge_exact"))
+      }
+      timeDf("minhash single-pass verify")(minhash1)
+      locally {
+        val a = fnM(spark, sfDir).collect().map(_.toString).toSeq
+        val b = minhash1.collect().map(_.toString).toSeq
+        println(s"[probe] minhash verify1 equal: ${a == b} $a $b")
+      }
+      val fnS = SparkEntry.queries("q_dedup_simhash")
+      timeDf("simhash current (2 hh-verify scans)")(fnS(spark, sfDir))
+      def simhash1 = {
+        val hh = docs.select(col("doc_id").as("id"), norm.as("hh"))
+        val exactPairs = hh.groupBy(col("hh")).agg(count(lit(1)).as("g"))
+          .agg(coalesce(sum(col("g")), lit(0L)).as("n_docs"),
+            coalesce(sum(col("g") * (col("g") - 1) / 2), lit(0.0))
+              .cast("long").as("n_exact_dup_pairs"))
+        val pairs = Dedup.simhashDupPairs(docs, "doc_id", "text",
+          chunks = 4, maxHamming = 10)
+        val sides = pairs.select(col("hamming"), explode(array(
+          struct(lit(1).as("side"), col("id1").as("id"), col("id2").as("oid")),
+          struct(lit(2).as("side"), col("id2").as("id"), col("id1").as("oid"))))
+          .as("e")).select(col("hamming"), col("e.side"), col("e.id"), col("e.oid"))
+        val joined = sides.join(hh, Seq("id"))
+        val annotated = joined
+          .groupBy(
+            when(col("side") === 1, col("id")).otherwise(col("oid")).as("id1"),
+            when(col("side") === 1, col("oid")).otherwise(col("id")).as("id2"))
+          .agg(
+            first(col("hamming")).as("hamming"),
+            first(when(col("side") === 1, col("hh")), ignoreNulls = true).as("hh1"),
+            first(when(col("side") === 2, col("hh")), ignoreNulls = true).as("hh2"))
+        val pairStats = annotated.agg(
+          coalesce(sum(when(col("hamming") === 0 && col("hh1") === col("hh2"),
+            1L).otherwise(0L)), lit(0L)).as("__f"),
+          count(lit(1)).as("__n10"))
+        exactPairs.crossJoin(pairStats)
+          .select(col("n_docs"), col("n_exact_dup_pairs"),
+            (col("__f") === col("n_exact_dup_pairs")).as("exact_dups_at_h0"),
+            (col("__n10") >= col("n_exact_dup_pairs")).as("near_ge_exact"))
+      }
+      timeDf("simhash single-pass verify")(simhash1)
+      locally {
+        val a = fnS(spark, sfDir).collect().map(_.toString).toSeq
+        val b = simhash1.collect().map(_.toString).toSeq
+        println(s"[probe] simhash verify1 equal: ${a == b} $a $b")
+      }
+    }
+
     // ---- md5-normalization decomposition: is the regex the cost?
     if (only("md5")) {
       timeDf("lower+trim only")(docs.select(lower(trim(col("text")))))
